@@ -1,0 +1,108 @@
+"""WKB (ISO well-known binary) read/write, little-endian by default.
+
+Geometry-at-rest contract: polygon tables carry a ``geom_wkb: binary``
+column, mirroring the reference's WKB fallback layout for non-point
+geometries (SimpleFeatureParquetSchema.scala:181-217 analog).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from geomesa_ray.geometry.base import (
+    Geometry,
+    GeometryCollection,
+    LineString,
+    MultiLineString,
+    MultiPoint,
+    MultiPolygon,
+    Point,
+    Polygon,
+)
+
+_POINT, _LINESTRING, _POLYGON = 1, 2, 3
+_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION = 4, 5, 6, 7
+
+
+def to_wkb(g: Geometry) -> bytes:
+    out = bytearray()
+    _write(g, out)
+    return bytes(out)
+
+
+def _write(g: Geometry, out: bytearray):
+    out.append(1)  # little endian
+    if isinstance(g, Point):
+        out += struct.pack("<I2d", _POINT, g.x, g.y)
+    elif isinstance(g, LineString):
+        out += struct.pack("<II", _LINESTRING, len(g.coords))
+        out += np.ascontiguousarray(g.coords, dtype="<f8").tobytes()
+    elif isinstance(g, Polygon):
+        rings = g.rings
+        out += struct.pack("<II", _POLYGON, len(rings))
+        for r in rings:
+            out += struct.pack("<I", len(r))
+            out += np.ascontiguousarray(r, dtype="<f8").tobytes()
+    elif isinstance(g, (MultiPoint, MultiLineString, MultiPolygon, GeometryCollection)):
+        code = {
+            MultiPoint: _MULTIPOINT,
+            MultiLineString: _MULTILINESTRING,
+            MultiPolygon: _MULTIPOLYGON,
+            GeometryCollection: _COLLECTION,
+        }[type(g)]
+        out += struct.pack("<II", code, len(g.parts))
+        for p in g.parts:
+            _write(p, out)
+    else:
+        raise TypeError(f"unsupported geometry: {g.geom_type}")
+
+
+def from_wkb(data: bytes) -> Geometry:
+    g, _ = _read(memoryview(data), 0)
+    return g
+
+
+def _read(buf: memoryview, pos: int):
+    endian = "<" if buf[pos] == 1 else ">"
+    pos += 1
+    (code,) = struct.unpack_from(endian + "I", buf, pos)
+    pos += 4
+    code = code & 0xFF  # strip SRID/dimension flags if present
+    if code == _POINT:
+        x, y = struct.unpack_from(endian + "2d", buf, pos)
+        return Point(x, y), pos + 16
+    if code == _LINESTRING:
+        coords, pos = _read_coords(buf, pos, endian)
+        return LineString(coords), pos
+    if code == _POLYGON:
+        (nrings,) = struct.unpack_from(endian + "I", buf, pos)
+        pos += 4
+        rings = []
+        for _ in range(nrings):
+            r, pos = _read_coords(buf, pos, endian)
+            rings.append(r)
+        return Polygon(rings[0], rings[1:]) if rings else Polygon(np.empty((0, 2))), pos
+    if code in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION):
+        (n,) = struct.unpack_from(endian + "I", buf, pos)
+        pos += 4
+        parts = []
+        for _ in range(n):
+            p, pos = _read(buf, pos)
+            parts.append(p)
+        cls = {
+            _MULTIPOINT: MultiPoint,
+            _MULTILINESTRING: MultiLineString,
+            _MULTIPOLYGON: MultiPolygon,
+            _COLLECTION: GeometryCollection,
+        }[code]
+        return cls(parts), pos
+    raise ValueError(f"unsupported WKB geometry code: {code}")
+
+
+def _read_coords(buf: memoryview, pos: int, endian: str):
+    (n,) = struct.unpack_from(endian + "I", buf, pos)
+    pos += 4
+    arr = np.frombuffer(buf, dtype=endian + "f8", count=2 * n, offset=pos).reshape(n, 2)
+    return arr.copy(), pos + 16 * n
