@@ -1,0 +1,183 @@
+"""End-to-end ingest + scan over the synthetic pages table (Ray session).
+
+Mirrors the reference's index conformance layer (Z3IndexTest.scala:26-67):
+write -> query -> exact row-set equality against a naive oracle computed
+directly from the raw table.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geomesa_ray.curves.binnedtime import TimePeriod
+from geomesa_ray.sources.synth import expected_geo, generate_pages, write_pages_parquet
+from geomesa_ray.stages.encode import EncodeKeys, cell_of_z2
+from geomesa_ray.stages.extract import ExtractGeo
+from geomesa_ray.pipelines.ingest import ingest_pages
+from geomesa_ray.pipelines.scan import Query, scan
+from geomesa_ray.state.manifest import load_manifest
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_raw")
+    write_pages_parquet(str(d), 8000, seed=42, shard_rows=2000)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def indexed_dir(pages_dir, tmp_path_factory, ray_session):
+    out = tmp_path_factory.mktemp("pages_idx")
+    ingest_pages(pages_dir, str(out), n_groups=4, target_rows_per_file=500)
+    return str(out)
+
+
+def _oracle_frame(pages_dir):
+    """Naive oracle: parse geotags directly from the raw tables."""
+    tables = []
+    for f in sorted(os.listdir(pages_dir)):
+        if f.endswith(".parquet"):
+            tables.append(expected_geo(pq.read_table(os.path.join(pages_dir, f))))
+    t = pa.concat_tables(tables)
+    df = t.to_pandas()
+    return df[df["lon"].notna()]
+
+
+class TestExtract:
+    def test_extract_matches_embedded_geotags(self):
+        t = generate_pages(3000, seed=7)
+        out = ExtractGeo()(t)
+        exp = expected_geo(t).to_pandas()
+        exp = exp[exp["lon"].notna()]
+        got = out.to_pandas()
+        assert len(got) == len(exp)
+        np.testing.assert_array_equal(got["url"].values, exp["url"].values)
+        np.testing.assert_array_equal(got["lon"].values, exp["lon"].values)
+        np.testing.assert_array_equal(got["lat"].values, exp["lat"].values)
+
+    def test_text_byte_identical(self):
+        t = generate_pages(1000, seed=9)
+        out = ExtractGeo()(t)
+        raw = {u: x for u, x in zip(t["url"].to_pylist(), t["text"].to_pylist())}
+        for u, x in zip(out["url"].to_pylist(), out["text"].to_pylist()):
+            assert x == raw[u]
+
+    def test_drop_rate(self):
+        # kinds 17,18 of 20 have no geotag; kind 19 is malformed -> ~15% dropped
+        t = generate_pages(4000, seed=3)
+        out = ExtractGeo()(t)
+        assert 0.80 < len(out) / len(t) < 0.90
+
+
+class TestEncode:
+    def test_encode_columns(self):
+        t = ExtractGeo()(generate_pages(2000, seed=5))
+        enc = EncodeKeys()(t)
+        assert {"z2", "z3_bin", "z3", "cell", "shard"} <= set(enc.column_names)
+        z2 = enc["z2"].to_numpy()
+        cell = enc["cell"].to_numpy()
+        np.testing.assert_array_equal(cell, cell_of_z2(z2, 12))
+        shard = enc["shard"].to_numpy()
+        assert shard.min() >= 0 and shard.max() <= 3
+
+    def test_encode_matches_sfc(self):
+        from geomesa_ray.curves.sfc import Z2SFC
+
+        t = ExtractGeo()(generate_pages(500, seed=6))
+        enc = EncodeKeys()(t)
+        sfc = Z2SFC()
+        expect = sfc.index(
+            t["lon"].to_numpy(), t["lat"].to_numpy(), lenient=True
+        )
+        np.testing.assert_array_equal(enc["z2"].to_numpy(), expect)
+
+
+class TestIngestScan:
+    def test_manifest_complete(self, pages_dir, indexed_dir):
+        manifest = load_manifest(indexed_dir)
+        assert len(manifest) == 4
+        oracle = _oracle_frame(pages_dir)
+        assert sum(e.rows_out for e in manifest.values()) == len(oracle)
+        for e in manifest.values():
+            assert e.rows_in > e.rows_out > 0
+            assert e.files
+            for fs in e.files:
+                assert fs.z3_bin_min <= fs.z3_bin_max
+                assert fs.rows > 0
+
+    def test_bbox_scan_exact(self, pages_dir, indexed_dir):
+        # hotspot bbox around NYC
+        q = Query(bbox=(-74.5, 40.3, -73.5, 41.1))
+        got = scan(indexed_dir, q).to_pandas()
+        oracle = _oracle_frame(pages_dir)
+        exp = oracle[
+            (oracle["lon"] >= -74.5)
+            & (oracle["lon"] <= -73.5)
+            & (oracle["lat"] >= 40.3)
+            & (oracle["lat"] <= 41.1)
+        ]
+        assert sorted(got["url"]) == sorted(exp["url"])
+
+    def test_bbox_interval_scan_exact(self, pages_dir, indexed_dir):
+        lo = 1607385600000  # 2020-12-08
+        hi = 1608595199999  # 2020-12-21T23:59:59.999
+        q = Query(bbox=(-80.0, 35.0, -70.0, 45.0), interval=(lo, hi))
+        got = scan(indexed_dir, q).to_pandas()
+        oracle = _oracle_frame(pages_dir)
+        ts = oracle["warc_ts"].astype("datetime64[ns]").astype("int64") // 10**6
+        exp = oracle[
+            (oracle["lon"] >= -80)
+            & (oracle["lon"] <= -70)
+            & (oracle["lat"] >= 35)
+            & (oracle["lat"] <= 45)
+            & (ts >= lo)
+            & (ts <= hi)
+        ]
+        assert sorted(got["url"]) == sorted(exp["url"])
+
+    def test_polygon_scan_exact(self, pages_dir, indexed_dir):
+        from geomesa_ray.geometry import from_wkt
+
+        # triangle over Paris hotspot
+        tri = from_wkt("POLYGON((1.8 48.4, 2.9 48.4, 2.35 49.3, 1.8 48.4))")
+        got = scan(indexed_dir, Query(geometry=tri)).to_pandas()
+        oracle = _oracle_frame(pages_dir)
+        from geomesa_ray.geometry.predicates import points_in_polygon
+
+        mask = points_in_polygon(oracle["lon"].values, oracle["lat"].values, tri)
+        exp = oracle[mask]
+        assert sorted(got["url"]) == sorted(exp["url"])
+
+    def test_file_pruning_effective(self, indexed_dir):
+        from geomesa_ray.pipelines.scan import plan_files
+
+        all_files = [fs.path for e in load_manifest(indexed_dir).values() for fs in e.files]
+        pruned = plan_files(indexed_dir, Query(bbox=(-74.5, 40.3, -73.5, 41.1),
+                                               interval=(1606780800000, 1607385599999)))
+        assert len(pruned) < len(all_files)
+
+    def test_resume_skips_completed(self, pages_dir, indexed_dir):
+        import time
+
+        manifest_dir = os.path.join(indexed_dir, "manifest")
+        before = {f: os.path.getmtime(os.path.join(manifest_dir, f)) for f in os.listdir(manifest_dir)}
+        t0 = time.perf_counter()
+        ingest_pages(pages_dir, indexed_dir, n_groups=4, target_rows_per_file=500)
+        dt = time.perf_counter() - t0
+        after = {f: os.path.getmtime(os.path.join(manifest_dir, f)) for f in os.listdir(manifest_dir)}
+        assert before == after  # nothing rewritten
+        assert dt < 2.0  # no Dataset execution happened
+
+    def test_resume_reruns_missing_group(self, pages_dir, indexed_dir):
+        manifest_dir = os.path.join(indexed_dir, "manifest")
+        victim = os.path.join(manifest_dir, "group-00002.json")
+        os.remove(victim)
+        import shutil
+
+        shutil.rmtree(os.path.join(indexed_dir, "group=2"))
+        manifest = ingest_pages(pages_dir, indexed_dir, n_groups=4, target_rows_per_file=500)
+        assert 2 in manifest
+        assert os.path.exists(victim)
