@@ -1,0 +1,394 @@
+"""Point-in-polygon spatial join — the headline operator.
+
+Two execution paths sharing one exact predicate kernel, mirroring the
+reference's two join strategies:
+
+* **Broadcast** (polygon side fits in memory): the polygon set is packed
+  into a :class:`PolygonSet` (WKB-parsed geometries + bounds + a
+  :class:`~geomesa_ray.geometry.index.GridIndex`), put in the object store
+  ONCE (``ray.put``), and each actor of a ``map_batches`` actor pool
+  rebuilds nothing — it reads the shared copy in ``__init__``. Reference
+  analog: in-memory spatial index of one side
+  (geomesa-utils/.../index/WrappedSTRtree.scala, BucketIndex.scala) used by
+  SpatialIndexSupport.
+
+* **Shuffle** (both sides large): polygons are flat-mapped to their
+  covering quadtree cells (duplicated per cell — reference
+  RelationUtils.scala:39-54), points carry their single ``cell`` key, and a
+  ``groupby(cell_salt).map_groups`` runs the local index probe per cell.
+  Hot cells (skewed urban tiles) are salted: points spread across
+  ``salt = hash(id) % k`` sub-keys and the cell's polygon copies are
+  replicated to every salt. **Duplicate contract**: unlike the reference
+  (which emits duplicated join rows across grid cells and leaves
+  de-duplication as a TODO, RelationUtils.scala:37), our join emits each
+  (point, polygon) pair EXACTLY ONCE — a point belongs to exactly one cell,
+  so only that cell's polygon copy can produce the pair.
+
+The exact predicate is vectorized point-in-polygon
+(:func:`geomesa_ray.geometry.predicates.points_in_polygon`) applied
+per-candidate-polygon over numpy slices — no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from geomesa_ray.geometry.index import GridIndex
+from geomesa_ray.geometry.predicates import points_in_polygon
+from geomesa_ray.geometry.wkb import from_wkb
+from geomesa_ray.stages.encode import (
+    DEFAULT_CELL_RES,
+    cell_of_z2,
+    cells_for_box,
+    hash_strings,
+)
+
+PREDICATES = ("intersects", "contains", "covers", "within")
+
+
+class PolygonSet:
+    """Parsed, indexed polygon side of a join. Built once; broadcast via
+    ``ray.put``. Pure function of the polygon table → deterministic rebuild
+    on task retry."""
+
+    def __init__(self, table: pa.Table, id_col: str = "poly_id", wkb_col: str = "geom_wkb"):
+        self.id_col = id_col
+        self.ids = table[id_col].combine_chunks()
+        self.geoms = [from_wkb(b) for b in table[wkb_col].to_pylist()]
+        self.bounds = np.array(
+            [g.bounds for g in self.geoms], dtype=np.float64
+        ).reshape(-1, 4)
+        self.grid = GridIndex(self.bounds)
+        # carry-through attribute columns (everything except the wkb payload)
+        self.attrs = table.drop_columns([wkb_col])
+
+    def __len__(self):
+        return len(self.geoms)
+
+
+def match_points(
+    polyset: PolygonSet,
+    px: np.ndarray,
+    py: np.ndarray,
+    predicate: str = "intersects",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-match (point_idx, poly_idx) pairs for a batch of points.
+
+    Candidates from the grid index; exact test vectorized per candidate
+    polygon. ``intersects``/``covers`` include the boundary; ``contains``/
+    ``within`` are strict-interior (DE-9IM point-vs-area semantics, as pinned
+    by the reference's relation fixtures
+    SparkSQLSpatialRelationshipsTest.scala:75-101).
+    """
+    if predicate not in PREDICATES:
+        raise ValueError(f"predicate must be one of {PREDICATES}, got {predicate!r}")
+    include_boundary = predicate in ("intersects", "covers")
+    pt_idx, item_idx = polyset.grid.probe_points(px, py)
+    if len(pt_idx) == 0:
+        return pt_idx, item_idx
+    # group candidate pairs by polygon, run the vectorized kernel per polygon
+    order = np.argsort(item_idx, kind="stable")
+    pt_idx, item_idx = pt_idx[order], item_idx[order]
+    uniq, starts = np.unique(item_idx, return_index=True)
+    ends = np.append(starts[1:], len(item_idx))
+    keep = np.zeros(len(pt_idx), dtype=bool)
+    for poly_i, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+        pts = pt_idx[s:e]
+        mask = points_in_polygon(
+            px[pts], py[pts], polyset.geoms[poly_i], include_boundary=include_boundary
+        )
+        keep[s:e] = mask
+    return pt_idx[keep], item_idx[keep]
+
+
+def _emit_pairs(
+    batch: pa.Table,
+    polyset: PolygonSet,
+    pt_idx: np.ndarray,
+    poly_idx: np.ndarray,
+) -> pa.Table:
+    """Join output: point columns + polygon attribute columns."""
+    left = batch.take(pa.array(pt_idx, pa.int64()))
+    right = polyset.attrs.take(pa.array(poly_idx, pa.int64()))
+    for name in right.schema.names:
+        col = right[name]
+        if name in left.schema.names:
+            name = f"poly_{name}"
+        left = left.append_column(name, col)
+    return left
+
+
+class PIPJoinBroadcast:
+    """Actor-pool ``map_batches`` stage: broadcast PIP join.
+
+    ``polys_ref`` is a ``ray.put`` ObjectRef of a :class:`PolygonSet`;
+    resolved once per actor in ``__init__`` (zero-copy within a node).
+    """
+
+    def __init__(self, polys_ref, predicate: str = "intersects",
+                 lon_col: str = "lon", lat_col: str = "lat"):
+        self.polyset: PolygonSet = ray.get(polys_ref) if isinstance(
+            polys_ref, ray.ObjectRef) else polys_ref
+        self.predicate = predicate
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        py = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        pt_idx, poly_idx = match_points(self.polyset, px, py, self.predicate)
+        return _emit_pairs(batch, self.polyset, pt_idx, poly_idx)
+
+
+def pip_join_broadcast(
+    points: ray.data.Dataset,
+    polygons: pa.Table,
+    predicate: str = "intersects",
+    concurrency: int = 4,
+    batch_size: int = 50_000,
+    id_col: str = "poly_id",
+    wkb_col: str = "geom_wkb",
+) -> ray.data.Dataset:
+    """Broadcast PIP join: small polygon table vs a large point Dataset."""
+    polyset = PolygonSet(polygons, id_col=id_col, wkb_col=wkb_col)
+    ref = ray.put(polyset)
+    return points.map_batches(
+        PIPJoinBroadcast,
+        fn_constructor_kwargs={"polys_ref": ref, "predicate": predicate},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# shuffle path
+# ---------------------------------------------------------------------------
+
+_ROLE_POINT = 0
+_ROLE_POLY = 1
+
+
+def covering_cell_count(bounds: np.ndarray, cell_res: int) -> np.ndarray:
+    """Number of res-``cell_res`` cells each bbox overlaps (vectorized)."""
+    bounds = np.asarray(bounds, dtype=np.float64).reshape(-1, 4)
+    w = 360.0 / (1 << cell_res)
+    h = 180.0 / (1 << cell_res)
+    nmax = (1 << cell_res) - 1
+    ix0 = np.clip(((np.clip(bounds[:, 0], -180, 180) + 180.0) / w).astype(np.int64), 0, nmax)
+    ix1 = np.clip(((np.clip(bounds[:, 2], -180, 180) + 180.0) / w).astype(np.int64), 0, nmax)
+    iy0 = np.clip(((np.clip(bounds[:, 1], -90, 90) + 90.0) / h).astype(np.int64), 0, nmax)
+    iy1 = np.clip(((np.clip(bounds[:, 3], -90, 90) + 90.0) / h).astype(np.int64), 0, nmax)
+    return (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+
+
+class _CoverPolygons:
+    """map_batches stage: replicate each polygon row to its covering cells
+    (× salt replicas for hot cells). Output schema: (cell, salt, role,
+    poly_idx) — the polygon payload itself is broadcast separately so the
+    shuffle moves 4 ints per copy, not WKB blobs. Polygons whose covering
+    exceeds ``max_cover`` cells are skipped here — they travel the overflow
+    (broadcast) path and are probed by every cell group."""
+
+    def __init__(self, cell_res: int, hot_cells_ref, n_salt: int, max_cover: int):
+        self.cell_res = cell_res
+        self.hot = ray.get(hot_cells_ref) if isinstance(hot_cells_ref, ray.ObjectRef) else hot_cells_ref
+        self.n_salt = n_salt
+        self.max_cover = max_cover
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cells_out, salt_out, idx_out = [], [], []
+        base = batch["__poly_idx__"].to_numpy()
+        wkbs = batch["geom_wkb"].to_pylist()
+        for i, blob in enumerate(wkbs):
+            g = from_wkb(blob)
+            if covering_cell_count(np.array([g.bounds]), self.cell_res)[0] > self.max_cover:
+                continue  # overflow polygon: handled by broadcast path
+            cells, _res = cells_for_box(*g.bounds, cell_res=self.cell_res,
+                                        max_cells=self.max_cover)
+            for c in cells.tolist():
+                k = self.n_salt if c in self.hot else 1
+                for s in range(k):
+                    cells_out.append(c)
+                    salt_out.append(s)
+                    idx_out.append(base[i])
+        return pa.table(
+            {
+                "cell": pa.array(cells_out, pa.int64()),
+                "salt": pa.array(salt_out, pa.int8()),
+                "role": pa.array([_ROLE_POLY] * len(cells_out), pa.int8()),
+                "poly_idx": pa.array(idx_out, pa.int64()),
+            }
+        )
+
+
+def hot_cell_histogram(points: ray.data.Dataset, top_k: int = 64) -> dict[int, int]:
+    """Sampled per-cell counts of the point side (skew detection).
+
+    A small ``groupby(cell).count()`` — the result is tiny (≤ #occupied
+    cells), only the top-k heaviest are returned.
+    """
+    counts = points.groupby("cell").count().to_pandas()
+    counts = counts.sort_values("count()", ascending=False).head(top_k)
+    return dict(zip(counts["cell"].astype(int), counts["count()"].astype(int)))
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _resolve_broadcast(ref):
+    """Deserialize a ``ray.put`` object once per worker process."""
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def _join_cell_group(group: pa.Table, polys_ref, predicate: str,
+                     overflow: tuple = ()) -> pa.Table:
+    """map_groups fn: one (cell, salt) group → joined rows.
+
+    The group holds point rows (role=0) and polygon-copy rows (role=1,
+    poly_idx into the broadcast PolygonSet). The polygon payload comes from
+    the broadcast set, not the shuffled rows.
+    """
+    import pyarrow.compute as pc
+
+    polyset: PolygonSet = _resolve_broadcast(polys_ref)
+
+    def out_schema() -> pa.Schema:
+        point_schema = group.drop_columns(["role", "poly_idx", "salt"]).schema
+        fields = list(point_schema)
+        for f in polyset.attrs.schema:
+            name = f"poly_{f.name}" if f.name in point_schema.names else f.name
+            fields.append(pa.field(name, f.type))
+        return pa.schema(fields)
+
+    role = group["role"]
+    pts = group.filter(pc.equal(role, _ROLE_POINT))
+    poly_rows = group.filter(pc.equal(role, _ROLE_POLY))
+    if len(pts) == 0 or (len(poly_rows) == 0 and not overflow):
+        return out_schema().empty_table()
+    poly_idx = np.unique(
+        np.concatenate(
+            [
+                poly_rows["poly_idx"].to_numpy(zero_copy_only=False),
+                np.asarray(overflow, dtype=np.int64),
+            ]
+        )
+    )
+    px = pts["lon"].to_numpy(zero_copy_only=False)
+    py = pts["lat"].to_numpy(zero_copy_only=False)
+    include_boundary = predicate in ("intersects", "covers")
+    pt_parts, it_parts = [], []
+    for pi in poly_idx.tolist():
+        mask = points_in_polygon(
+            px, py, polyset.geoms[pi], include_boundary=include_boundary
+        )
+        hits = np.nonzero(mask)[0]
+        if len(hits):
+            pt_parts.append(hits)
+            it_parts.append(np.full(len(hits), pi, dtype=np.int64))
+    if not pt_parts:
+        return out_schema().empty_table()
+    pt_idx = np.concatenate(pt_parts)
+    it_idx = np.concatenate(it_parts)
+    pts = pts.drop_columns(["role", "poly_idx", "salt"])
+    return _emit_pairs(pts, polyset, pt_idx, it_idx).select(out_schema().names)
+
+
+def pip_join_shuffle(
+    points: ray.data.Dataset,
+    polygons: pa.Table,
+    predicate: str = "intersects",
+    cell_res: int = DEFAULT_CELL_RES,
+    n_salt: int = 8,
+    hot_threshold: int = 200_000,
+    max_cover: int = 1024,
+    id_col: str = "poly_id",
+    wkb_col: str = "geom_wkb",
+) -> ray.data.Dataset:
+    """Shuffle PIP join keyed by quadtree cell, with hot-cell salting.
+
+    ``points`` must carry ``lon``, ``lat`` and a ``cell`` column at
+    ``cell_res`` (from :class:`~geomesa_ray.stages.encode.EncodeKeys`).
+    Polygon geometries are broadcast (``ray.put``) so the shuffle moves only
+    (cell, salt, role, poly_idx) int rows for the polygon side; each
+    (point, polygon) output pair is emitted exactly once (see module doc).
+    """
+    if predicate not in PREDICATES:
+        raise ValueError(f"predicate must be one of {PREDICATES}, got {predicate!r}")
+    polygons = polygons.append_column(
+        "__poly_idx__", pa.array(np.arange(len(polygons)), pa.int64())
+    )
+    polyset = PolygonSet(polygons.drop_columns(["__poly_idx__"]), id_col=id_col, wkb_col=wkb_col)
+    polys_ref = ray.put(polyset)
+    # oversized polygons (covering > max_cover cells, e.g. whole-world) are
+    # probed by every group via broadcast instead of cell replication
+    overflow = tuple(
+        np.nonzero(covering_cell_count(polyset.bounds, cell_res) > max_cover)[0].tolist()
+    )
+
+    hot = {
+        c: n for c, n in hot_cell_histogram(points).items() if n >= hot_threshold
+    }
+    hot_ref = ray.put(set(hot))
+
+    poly_cells = ray.data.from_arrow(polygons.select(["__poly_idx__", wkb_col])).map_batches(
+        _CoverPolygons,
+        fn_constructor_kwargs={
+            "cell_res": cell_res,
+            "hot_cells_ref": hot_ref,
+            "n_salt": n_salt,
+            "max_cover": max_cover,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def _key_points(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if "cell" not in batch.schema.names:
+            z2 = batch["z2"].to_numpy(zero_copy_only=False)
+            batch = batch.append_column(
+                "cell", pa.array(cell_of_z2(z2, cell_res), pa.int64())
+            )
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        hotset = set(hot)
+        if hotset:
+            salt = (hash_strings(batch["url"]) % np.uint64(n_salt)).astype(np.int8)
+            is_hot = np.isin(cells, np.fromiter(hotset, dtype=np.int64))
+            salt = np.where(is_hot, salt, np.int8(0))
+        else:
+            salt = np.zeros(n, dtype=np.int8)
+        return (
+            batch.append_column("salt", pa.array(salt, pa.int8()))
+            .append_column("role", pa.array(np.full(n, _ROLE_POINT), pa.int8()))
+            .append_column("poly_idx", pa.array(np.full(n, -1), pa.int64()))
+        )
+
+    pts = points.map_batches(_key_points, batch_format="pyarrow")
+    # align polygon-copy schema with the point schema (missing cols → null)
+    pt_schema = pts.schema().base_schema
+
+    def _align(batch: pa.Table) -> pa.Table:
+        arrays = []
+        for f in pt_schema:
+            if f.name in batch.schema.names:
+                arrays.append(batch[f.name].cast(f.type))
+            else:
+                arrays.append(pa.nulls(len(batch), f.type))
+        return pa.Table.from_arrays(arrays, schema=pt_schema)
+
+    poly_cells = poly_cells.map_batches(_align, batch_format="pyarrow")
+    both = pts.union(poly_cells)
+    return both.groupby(["cell", "salt"]).map_groups(
+        _join_cell_group,
+        fn_kwargs={"polys_ref": polys_ref, "predicate": predicate, "overflow": overflow},
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,381 @@
+"""Composable distributed stats sketches (GeoMesa "stats" analog).
+
+Reference model: a ``Stat`` observes features, supports ``+=`` merge, and
+serializes to JSON (geomesa-utils/.../stats/Stat.scala:28-315); scans emit
+per-partition partials that a client reducer merges
+(iterators/StatsScan.scala:94-106, reducer :148-183).
+
+Ray Data shape: one ``map_batches`` pass produces ONE pickled partial row
+per block (vectorized observe, bounded state); the tiny partial dataset is
+merged on the driver. ``group_by`` stats nest any sub-stat per group value
+(stats/GroupBy.scala analog).
+
+Sketches: count, min_max, enumeration, top_k, histogram (fixed bins,
+Histogram.scala), frequency (count-min sketch, Frequency.scala),
+descriptive (multivariate running moments, DescriptiveStats.scala),
+z3_histogram (Z3Histogram.scala: counts per (time bin, z3 prefix)).
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+# ---------------------------------------------------------------------------
+# sketch objects: observe(numpy values) / merge / result
+# ---------------------------------------------------------------------------
+
+
+class Stat:
+    def observe(self, values: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def merge(self, other: "Stat") -> None:
+        raise NotImplementedError
+
+    def result(self) -> Any:
+        raise NotImplementedError
+
+
+class Count(Stat):
+    """Stat.scala Count: number of observed (non-null counted too)."""
+
+    def __init__(self):
+        self.n = 0
+
+    def observe(self, values):
+        self.n += len(values)
+
+    def merge(self, other):
+        self.n += other.n
+
+    def result(self):
+        return {"count": self.n}
+
+
+class MinMax(Stat):
+    def __init__(self):
+        self.min: Any = None
+        self.max: Any = None
+        self.n = 0
+
+    def observe(self, values):
+        values = values[~pa.compute.is_null(pa.array(values)).to_numpy(zero_copy_only=False)] if values.dtype == object else values
+        if len(values) == 0:
+            return
+        lo, hi = values.min(), values.max()
+        self.min = lo if self.min is None else min(self.min, lo)
+        self.max = hi if self.max is None else max(self.max, hi)
+        self.n += len(values)
+
+    def merge(self, other):
+        if other.min is not None:
+            self.min = other.min if self.min is None else min(self.min, other.min)
+            self.max = other.max if self.max is None else max(self.max, other.max)
+        self.n += other.n
+
+    def result(self):
+        return {"min": self.min, "max": self.max, "cardinality": self.n}
+
+
+class Enumeration(Stat):
+    """Exact value→count map (Enumeration stat); bounded by caller's domain."""
+
+    def __init__(self, max_size: int = 100_000):
+        self.counts: dict = {}
+        self.max_size = max_size
+        self.overflowed = False
+
+    def observe(self, values):
+        uniq, cnt = np.unique(values, return_counts=True)
+        for v, c in zip(uniq.tolist(), cnt.tolist()):
+            if v is None:
+                continue
+            if v in self.counts or len(self.counts) < self.max_size:
+                self.counts[v] = self.counts.get(v, 0) + c
+            else:
+                self.overflowed = True
+
+    def merge(self, other):
+        for v, c in other.counts.items():
+            if v in self.counts or len(self.counts) < self.max_size:
+                self.counts[v] = self.counts.get(v, 0) + c
+            else:
+                self.overflowed = True
+        self.overflowed |= other.overflowed
+
+    def result(self):
+        return dict(self.counts)
+
+
+class TopK(Stat):
+    """TopK.scala analog: heavy hitters via a bounded counter (space-saving
+    style — exact when the per-block distinct count fits the bound)."""
+
+    def __init__(self, k: int = 10, capacity: int = 10_000):
+        self.k = k
+        self.enum = Enumeration(max_size=capacity)
+
+    def observe(self, values):
+        self.enum.observe(values)
+
+    def merge(self, other):
+        self.enum.merge(other.enum)
+
+    def result(self):
+        items = sorted(self.enum.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        return items[: self.k]
+
+
+class Histogram(Stat):
+    """Fixed-width binned counts over [lo, hi] (Histogram.scala / BinnedArray):
+    values are clamped into the end bins like the reference's binned array."""
+
+    def __init__(self, bins: int, lo: float, hi: float):
+        self.bins = bins
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.counts = np.zeros(bins, dtype=np.int64)
+
+    def observe(self, values):
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.floor((v - self.lo) * self.bins / (self.hi - self.lo)).astype(np.int64)
+        idx = np.clip(idx, 0, self.bins - 1)
+        self.counts += np.bincount(idx, minlength=self.bins)
+
+    def merge(self, other):
+        self.counts += other.counts
+
+    def result(self):
+        return {"lo": self.lo, "hi": self.hi, "counts": self.counts.tolist()}
+
+
+class Frequency(Stat):
+    """Count-min sketch (Frequency.scala / CountMinSketch): conservative
+    point-frequency estimates with mergeable counters."""
+
+    def __init__(self, depth: int = 4, width: int = 2048, seed: int = 42):
+        self.depth = depth
+        self.width = width
+        self.seed = seed
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _hashes(self, values) -> np.ndarray:
+        from geomesa_ray.stages.encode import hash_strings
+
+        strs = [str(v) for v in values]
+        out = np.empty((self.depth, len(strs)), dtype=np.int64)
+        for d in range(self.depth):
+            h = hash_strings(strs, seed=self.seed + d)
+            out[d] = (h % np.uint64(self.width)).astype(np.int64)
+        return out
+
+    def observe(self, values):
+        vals = np.asarray(values)
+        hs = self._hashes(vals.tolist())
+        for d in range(self.depth):
+            self.table[d] += np.bincount(hs[d], minlength=self.width)
+
+    def merge(self, other):
+        self.table += other.table
+
+    def estimate(self, value) -> int:
+        hs = self._hashes([value])
+        return int(min(self.table[d, hs[d, 0]] for d in range(self.depth)))
+
+    def result(self):
+        return self
+
+    def __getstate__(self):
+        return {"depth": self.depth, "width": self.width, "seed": self.seed, "table": self.table}
+
+    def __setstate__(self, st):
+        self.__dict__.update(st)
+
+
+class DescriptiveStats(Stat):
+    """Running count/mean/M2 (+min/max) merged via Chan's parallel update —
+    DescriptiveStats.scala analog (univariate)."""
+
+    def __init__(self):
+        self.n = 0
+        self.mean = 0.0
+        self.m2 = 0.0
+        self.min = math.inf
+        self.max = -math.inf
+
+    def observe(self, values):
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        other = DescriptiveStats()
+        other.n = len(v)
+        other.mean = float(v.mean())
+        other.m2 = float(((v - v.mean()) ** 2).sum())
+        other.min = float(v.min())
+        other.max = float(v.max())
+        self.merge(other)
+
+    def merge(self, other):
+        if other.n == 0:
+            return
+        if self.n == 0:
+            self.n, self.mean, self.m2 = other.n, other.mean, other.m2
+            self.min, self.max = other.min, other.max
+            return
+        n = self.n + other.n
+        delta = other.mean - self.mean
+        self.m2 = self.m2 + other.m2 + delta * delta * self.n * other.n / n
+        self.mean = self.mean + delta * other.n / n
+        self.n = n
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+
+    def result(self):
+        var = self.m2 / (self.n - 1) if self.n > 1 else 0.0
+        return {
+            "count": self.n,
+            "mean": self.mean,
+            "stddev": math.sqrt(var),
+            "min": self.min if self.n else None,
+            "max": self.max if self.n else None,
+        }
+
+
+class Z3Histogram(Stat):
+    """Counts per (time bin, z3 prefix) — Z3Histogram.scala analog. Expects
+    the engine's ``z3_bin``/``z3`` columns (observe takes a 2-col stack)."""
+
+    def __init__(self, prefix_bits: int = 12):
+        self.shift = np.uint64(63 - prefix_bits)
+        self.counts: dict[tuple[int, int], int] = {}
+
+    def observe(self, values):
+        bins = values[:, 0].astype(np.int64)
+        z = values[:, 1].astype(np.uint64) >> self.shift
+        key = bins * (1 << 24) + z.astype(np.int64)
+        uniq, cnt = np.unique(key, return_counts=True)
+        for k, c in zip(uniq.tolist(), cnt.tolist()):
+            kk = (k >> 24, k & ((1 << 24) - 1))
+            self.counts[kk] = self.counts.get(kk, 0) + c
+
+    def merge(self, other):
+        for k, c in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + c
+
+    def result(self):
+        return dict(self.counts)
+
+
+# ---------------------------------------------------------------------------
+# spec + distributed execution
+# ---------------------------------------------------------------------------
+
+_FACTORIES = {
+    "count": Count,
+    "min_max": MinMax,
+    "enumeration": Enumeration,
+    "top_k": TopK,
+    "histogram": Histogram,
+    "frequency": Frequency,
+    "descriptive": DescriptiveStats,
+    "z3_histogram": Z3Histogram,
+}
+
+
+def make_stat(kind: str, **kwargs) -> Stat:
+    """Stat-spec-string analog (Stat.scala:28-80 parser → factory map)."""
+    return _FACTORIES[kind](**kwargs)
+
+
+class StatSpec:
+    """(name, column(s), sketch factory args)."""
+
+    def __init__(self, name: str, kind: str, column, group_by: str | None = None, **kwargs):
+        self.name = name
+        self.kind = kind
+        self.column = column
+        self.group_by = group_by
+        self.kwargs = kwargs
+
+    def build(self) -> Stat:
+        return make_stat(self.kind, **self.kwargs)
+
+
+def _column_values(batch: pa.Table, column) -> np.ndarray:
+    if isinstance(column, (list, tuple)):
+        return np.stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in column], axis=1
+        )
+    col = batch[column]
+    try:
+        return col.to_numpy(zero_copy_only=False)
+    except pa.ArrowInvalid:
+        return np.asarray(col.to_pylist(), dtype=object)
+
+
+class _StatsPartial:
+    """map_batches stage: batch → one pickled partial row (all specs)."""
+
+    def __init__(self, specs: list[StatSpec]):
+        self.specs = specs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        partial: dict[str, Any] = {}
+        for spec in self.specs:
+            if spec.group_by is None:
+                st = spec.build()
+                st.observe(_column_values(batch, spec.column))
+                partial[spec.name] = st
+            else:
+                groups: dict[Any, Stat] = {}
+                keys = batch[spec.group_by].to_numpy(zero_copy_only=False)
+                vals = _column_values(batch, spec.column)
+                order = np.argsort(keys, kind="stable")
+                skeys = keys[order]
+                uniq, starts = np.unique(skeys, return_index=True)
+                ends = np.append(starts[1:], len(skeys))
+                for k, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+                    st = spec.build()
+                    st.observe(vals[order[s:e]])
+                    groups[k] = st
+                partial[spec.name] = groups
+        return pa.table({"partial": pa.array([pickle.dumps(partial)], pa.binary())})
+
+
+def compute_stats(ds: ray.data.Dataset, specs: list[StatSpec],
+                  batch_size: int = 100_000) -> dict[str, Any]:
+    """Distributed partial-sketch pass + driver-side merge (StatsScan shape)."""
+    partials = ds.map_batches(
+        _StatsPartial(specs).__call__,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).take_all()  # one tiny row per block
+    merged: dict[str, Any] = {}
+    for row in partials:
+        p = pickle.loads(row["partial"])
+        for name, st in p.items():
+            if name not in merged:
+                merged[name] = st
+            elif isinstance(st, dict):  # group_by partial
+                for k, sub in st.items():
+                    if k in merged[name]:
+                        merged[name][k].merge(sub)
+                    else:
+                        merged[name][k] = sub
+            else:
+                merged[name].merge(st)
+    out: dict[str, Any] = {}
+    for name, st in merged.items():
+        if isinstance(st, dict):
+            out[name] = {k: s.result() for k, s in st.items()}
+        else:
+            out[name] = st.result()
+    return out

@@ -1,0 +1,124 @@
+"""PIP spatial join: broadcast + shuffle paths vs a naive O(n·m) oracle.
+
+The oracle applies the exact predicate kernel to every (point, polygon)
+pair with no index/shuffle machinery — the machinery (grid candidates,
+cell covering, salting, dedup contract) is what's under test here;
+boundary semantics of the kernel itself are pinned in test_geometry.py
+against the DE-9IM fixtures.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.geometry.predicates import points_in_polygon
+from geomesa_ray.geometry.wkb import from_wkb
+from geomesa_ray.sources.synth import generate_pages, generate_polygons
+from geomesa_ray.stages.encode import EncodeKeys
+from geomesa_ray.stages.extract import ExtractGeo
+from geomesa_ray.stages.join import (
+    PolygonSet,
+    match_points,
+    pip_join_broadcast,
+    pip_join_shuffle,
+)
+
+
+@pytest.fixture(scope="module")
+def points_table():
+    pages = generate_pages(2000, seed=7)
+    geo = ExtractGeo()(pages)
+    return EncodeKeys()(geo)
+
+
+@pytest.fixture(scope="module")
+def polygons():
+    return generate_polygons(n_admin=60, seed=11)
+
+
+def oracle_pairs(points: pa.Table, polygons: pa.Table, predicate: str) -> set:
+    px = points["lon"].to_numpy(zero_copy_only=False)
+    py = points["lat"].to_numpy(zero_copy_only=False)
+    urls = points["url"].to_pylist()
+    include_boundary = predicate in ("intersects", "covers")
+    out = set()
+    for pid, blob in zip(polygons["poly_id"].to_pylist(), polygons["geom_wkb"].to_pylist()):
+        g = from_wkb(blob)
+        mask = points_in_polygon(px, py, g, include_boundary=include_boundary)
+        for i in np.nonzero(mask)[0]:
+            out.add((urls[i], pid))
+    return out
+
+
+def _pairs_of(ds) -> list:
+    df = ds.to_pandas()
+    return list(zip(df["url"], df["poly_id"]))
+
+
+@pytest.mark.parametrize("predicate", ["intersects", "contains"])
+def test_match_points_vs_oracle(points_table, polygons, predicate):
+    polyset = PolygonSet(polygons)
+    px = points_table["lon"].to_numpy(zero_copy_only=False)
+    py = points_table["lat"].to_numpy(zero_copy_only=False)
+    pt_idx, poly_idx = match_points(polyset, px, py, predicate)
+    urls = points_table["url"].to_pylist()
+    pids = polygons["poly_id"].to_pylist()
+    got = {(urls[i], pids[j]) for i, j in zip(pt_idx.tolist(), poly_idx.tolist())}
+    assert got == oracle_pairs(points_table, polygons, predicate)
+    if predicate == "intersects":
+        # every point is inside-or-on the whole-world polygon exactly once
+        assert sum(1 for (_, p) in got if p == "world") == len(points_table)
+
+
+def test_broadcast_join(ray_session, points_table, polygons):
+    import ray.data
+
+    ds = ray.data.from_arrow(points_table).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=257
+    )
+    joined = pip_join_broadcast(ds, polygons, predicate="intersects", concurrency=2)
+    got = _pairs_of(joined)
+    expect = oracle_pairs(points_table, polygons, "intersects")
+    assert len(got) == len(expect)  # exactly-once contract: no dup pairs
+    assert set(got) == expect
+    # polygon attrs carried through
+    assert "category" in joined.schema().names
+    assert "name" in joined.schema().names
+
+
+def test_shuffle_join_matches_broadcast(ray_session, points_table, polygons):
+    import ray.data
+
+    ds = ray.data.from_arrow(points_table)
+    joined = pip_join_shuffle(
+        ds, polygons, predicate="intersects", hot_threshold=100, n_salt=4
+    )
+    got = _pairs_of(joined)
+    expect = oracle_pairs(points_table, polygons, "intersects")
+    assert len(got) == len(expect)  # exactly-once despite polygon duplication
+    assert set(got) == expect
+
+
+def test_shuffle_join_strict_contains(ray_session, polygons):
+    """Boundary point is intersects-matched but not contains-matched."""
+    import ray.data
+
+    pts = pa.table(
+        {
+            "url": pa.array(["edge", "inside", "outside"]),
+            "lon": pa.array([0.0, 5.0, 40.0], pa.float64()),
+            "lat": pa.array([5.0, 5.0, 40.0], pa.float64()),
+        }
+    )
+    keyed = EncodeKeys(id_col="url")(
+        pts.append_column("warc_ts", pa.array([0, 0, 0], pa.timestamp("ms")))
+    )
+    ref_poly = polygons.filter(
+        pa.compute.equal(polygons["poly_id"], "fix_boxRef")
+    )
+    ds = ray.data.from_arrow(keyed)
+    inter = _pairs_of(pip_join_shuffle(ds, ref_poly, predicate="intersects"))
+    cont = _pairs_of(pip_join_shuffle(ds, ref_poly, predicate="contains"))
+    assert ("edge", "fix_boxRef") in inter and ("inside", "fix_boxRef") in inter
+    assert ("outside", "fix_boxRef") not in inter
+    assert cont == [("inside", "fix_boxRef")]
