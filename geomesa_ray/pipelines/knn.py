@@ -1,0 +1,197 @@
+"""k-nearest-neighbor search.
+
+Reference algorithm: per query point, an expanding-window bbox search with a
+k-heap and an overflow list re-checked on each radius growth
+(geomesa-process-vector/.../query/KNearestNeighborSearchProcess.scala:96-260,
+expansion loop :160-195). Distances are geodesic.
+
+Ray Data shape — two paths:
+
+* :func:`knn_brute` — ONE streaming ``map_batches`` pass over the dataset:
+  each batch computes a (batch × Q) haversine distance matrix against the
+  broadcast query points and emits only its per-query top-k rows (a
+  combiner), then a tiny ``groupby(query).map_groups`` merges partials.
+  Exact; O(N·Q) vectorized flops; never materializes the input.
+
+* :func:`knn_search` — the indexed analog of the reference's expanding
+  window: radius-doubling bbox scans against the z-ordered ingested layout
+  (file pruning via the manifest), stopping when the k-th nearest neighbor
+  is closer than the scan radius (so no closer point can be outside the
+  window). Each iteration is a distributed planned scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from geomesa_ray.curves.binnedtime import TimePeriod
+from geomesa_ray.geometry.measures import haversine_m
+from geomesa_ray.pipelines.scan import Query, scan
+
+_M_PER_DEG_LAT = 111_195.0  # mean earth radius * pi / 180
+
+
+def _partial_topk(batch: pa.Table, qx: np.ndarray, qy: np.ndarray, k: int,
+                  id_col: str, lon_col: str, lat_col: str) -> pa.Table:
+    """Per-batch top-k rows for every query point (the combiner)."""
+    px = batch[lon_col].to_numpy(zero_copy_only=False)
+    py = batch[lat_col].to_numpy(zero_copy_only=False)
+    ids = batch[id_col]
+    n, q = len(px), len(qx)
+    out_q, out_i, out_d = [], [], []
+    if n:
+        # (n, q) geodesic distance matrix, vectorized
+        d = haversine_m(
+            px[:, None], py[:, None], qx[None, :], qy[None, :]
+        )
+        kk = min(k, n)
+        idx = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, q)
+        for j in range(q):
+            out_q.append(np.full(kk, j, dtype=np.int32))
+            out_i.append(idx[:, j])
+            out_d.append(d[idx[:, j], j])
+    if not out_q:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                id_col: pa.array([], ids.type),
+                "dist_m": pa.array([], pa.float64()),
+            }
+        )
+    qi = np.concatenate(out_q)
+    pi = np.concatenate(out_i)
+    return pa.table(
+        {
+            "query_idx": pa.array(qi, pa.int32()),
+            id_col: ids.take(pa.array(pi, pa.int64())),
+            "dist_m": pa.array(np.concatenate(out_d), pa.float64()),
+        }
+    )
+
+
+def _final_topk(group: pa.Table, k: int, id_col: str) -> pa.Table:
+    order = np.argsort(group["dist_m"].to_numpy(zero_copy_only=False), kind="stable")[:k]
+    out = group.take(pa.array(order, pa.int64()))
+    return out.append_column(
+        "rank", pa.array(np.arange(1, len(out) + 1, dtype=np.int32), pa.int32())
+    )
+
+
+def knn_brute(
+    points: ray.data.Dataset,
+    query_lon,
+    query_lat,
+    k: int,
+    id_col: str = "url",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    batch_size: int = 100_000,
+) -> ray.data.Dataset:
+    """Exact kNN via streaming per-batch partial top-k + per-query merge.
+
+    Result rows: (query_idx, id, dist_m, rank), k rows per query point.
+    """
+    qx = np.asarray(query_lon, dtype=np.float64)
+    qy = np.asarray(query_lat, dtype=np.float64)
+    partials = points.map_batches(
+        _partial_topk,
+        fn_kwargs={"qx": qx, "qy": qy, "k": k, "id_col": id_col,
+                   "lon_col": lon_col, "lat_col": lat_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return partials.groupby("query_idx").map_groups(
+        _final_topk, fn_kwargs={"k": k, "id_col": id_col}, batch_format="pyarrow"
+    )
+
+
+def _window(qx: float, qy: float, radius_m: float) -> list[tuple[float, float, float, float]]:
+    """Geodetic bbox(es) containing the radius disc around a point.
+
+    The lon span uses the cosine at the poleward edge of the window (the
+    disc is widest there), and windows crossing the antimeridian split into
+    two boxes (antimeridian-safe, st_antimeridianSafeGeom analog).
+    """
+    dlat = radius_m / _M_PER_DEG_LAT
+    ymin, ymax = max(qy - dlat, -90.0), min(qy + dlat, 90.0)
+    edge_lat = min(max(abs(ymin), abs(ymax)), 89.9)
+    coslat = max(np.cos(np.radians(edge_lat)), 1e-6)
+    dlon = radius_m / (_M_PER_DEG_LAT * coslat)
+    if dlon >= 180.0:
+        return [(-180.0, ymin, 180.0, ymax)]
+    lo, hi = qx - dlon, qx + dlon
+    if lo < -180.0:
+        return [(-180.0, ymin, hi, ymax), (lo + 360.0, ymin, 180.0, ymax)]
+    if hi > 180.0:
+        return [(lo, ymin, 180.0, ymax), (-180.0, ymin, hi - 360.0, ymax)]
+    return [(lo, ymin, hi, ymax)]
+
+
+def knn_search(
+    out_dir: str,
+    query_lon,
+    query_lat,
+    k: int,
+    start_radius_m: float = 10_000.0,
+    max_radius_m: float = 2.1e7,  # > half the earth circumference: full fallback
+    id_col: str = "url",
+    period: TimePeriod = TimePeriod.WEEK,
+) -> pa.Table:
+    """Indexed kNN over an ingested z-ordered layout via radius doubling.
+
+    Per round, ONE planned scan over the union of all unresolved query
+    windows feeds :func:`knn_brute`'s combiner; a query is resolved once its
+    k-th neighbor lies within the scan radius (correctness guarantee of the
+    expanding window: any unseen point is farther than the window edge).
+    """
+    qx = np.asarray(query_lon, dtype=np.float64)
+    qy = np.asarray(query_lat, dtype=np.float64)
+    nq = len(qx)
+    radius = np.full(nq, float(start_radius_m))
+    resolved = np.zeros(nq, dtype=bool)
+    results: dict[int, pa.Table] = {}
+
+    while not resolved.all():
+        active = np.nonzero(~resolved)[0]
+        # scan the union of all active windows (each side of any antimeridian
+        # split scanned once); per-query exactness comes from the distance
+        # check below, so over-covering is safe
+        boxes = [b for i in active for b in _window(qx[i], qy[i], radius[i])]
+        xmin = min(b[0] for b in boxes)
+        ymin = min(b[1] for b in boxes)
+        xmax = max(b[2] for b in boxes)
+        ymax = max(b[3] for b in boxes)
+        ds = scan(out_dir, Query(bbox=(xmin, ymin, xmax, ymax), loose=True), period=period)
+        got = knn_brute(
+            ds, qx[active], qy[active], k, id_col=id_col
+        ).to_pandas()
+        empty_round = len(got) == 0 or "query_idx" not in got.columns
+        for pos, i in enumerate(active.tolist()):
+            mine = got[got["query_idx"] == pos] if not empty_round else got
+            kth = mine["dist_m"].iloc[k - 1] if len(mine) >= k else np.inf
+            if kth <= radius[i] or radius[i] >= max_radius_m:
+                if empty_round:
+                    results[i] = pa.table(
+                        {
+                            "query_idx": pa.array([], pa.int32()),
+                            id_col: pa.array([], pa.string()),
+                            "dist_m": pa.array([], pa.float64()),
+                            "rank": pa.array([], pa.int32()),
+                        }
+                    )
+                    resolved[i] = True
+                    continue
+                tbl = pa.Table.from_pandas(mine.head(k), preserve_index=False)
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("query_idx"),
+                    "query_idx",
+                    pa.array(np.full(len(tbl), i, dtype=np.int32), pa.int32()),
+                )
+                results[i] = tbl
+                resolved[i] = True
+            else:
+                radius[i] = min(radius[i] * 2.0, max_radius_m)
+
+    return pa.concat_tables([results[i] for i in range(nq)])
