@@ -1,0 +1,182 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Binary payloads ride as opaque ``binary`` columns with typed metadata
+structs; decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages. The actual codec work is STUBBED (no image/audio
+libraries in this environment): each stage either raises
+``NotImplementedError`` (``mode="real"``) or produces a deterministic fake
+derived from the payload bytes (``mode="fake"``) so the Ray-side plumbing —
+schema, batch sizing, actor signature, output layout — is real and tested.
+
+Batch-size guidance: payloads are large, so these stages run with SMALL
+``batch_size`` (default 64) and actor pools; at scale, block size should be
+capped via DataContext.target_max_block_size so a batch × concurrency fits
+worker heaps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_META_TYPE = pa.struct(
+    [
+        ("media_type", pa.string()),  # image/audio/video
+        ("format", pa.string()),  # e.g. jpeg/png/wav/mp4
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
+    """Deterministic pseudo-decode: bytes → (h, w, c) uint8 via sha256 PRF."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+class DecodeImage:
+    """Actor stage: binary → fixed-size pixel tensor column.
+
+    ``__init__`` is where a real codec would load once per actor; ``mode``
+    selects real (NotImplementedError, no codec in this env) vs fake
+    (deterministic bytes-derived pixels).
+    """
+
+    def __init__(self, mode: str = "fake", out_h: int = 32, out_w: int = 32,
+                 payload_col: str = "payload"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.out_h = out_h
+        self.out_w = out_w
+        self.payload_col = payload_col
+        # real mode would do: self.codec = load_codec()  (once per actor)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "image codecs unavailable in this environment; use mode='fake'"
+            )
+        pixels = [
+            _fake_pixels(p, self.out_h, self.out_w).ravel()
+            for p in batch[self.payload_col].to_pylist()
+        ]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(pixels), pa.uint8()),
+            self.out_h * self.out_w * 3,
+        )
+        return batch.drop_columns([self.payload_col]).append_column("pixels", arr)
+
+
+class ImageFeatures:
+    """Actor stage: pixel tensor → small float feature vector (channel
+    means/stds + a 8-bin luma histogram). Pure numpy; runs on fake pixels."""
+
+    def __init__(self, h: int = 32, w: int = 32):
+        self.h = h
+        self.w = w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat = batch["pixels"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n = len(batch)
+        imgs = flat.reshape(n, self.h, self.w, 3)
+        means = imgs.mean(axis=(1, 2))  # (n, 3)
+        stds = imgs.std(axis=(1, 2))
+        luma = imgs @ np.array([0.299, 0.587, 0.114])
+        hists = np.stack(
+            [np.histogram(luma[i], bins=8, range=(0, 255))[0] for i in range(n)]
+        ).astype(np.float64)
+        feats = np.concatenate([means, stds, hists], axis=1)  # (n, 14)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.ravel(), pa.float64()), feats.shape[1]
+        )
+        return batch.drop_columns(["pixels"]).append_column("features", arr)
+
+
+class SampleFrames:
+    """Actor stage (video): payload → ``n_frames`` evenly-spaced fake frames
+    (one output row per frame: frame_idx + pixels)."""
+
+    def __init__(self, n_frames: int = 4, out_h: int = 16, out_w: int = 16,
+                 payload_col: str = "payload", id_col: str = "media_id"):
+        self.n_frames = n_frames
+        self.out_h = out_h
+        self.out_w = out_w
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, pix = [], [], []
+        for mid, p in zip(
+            batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            for f in range(self.n_frames):
+                ids.append(mid)
+                fidx.append(f)
+                pix.append(_fake_pixels(p + f.to_bytes(4, "little"), self.out_h, self.out_w).ravel())
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(pix), pa.uint8()), self.out_h * self.out_w * 3
+        )
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, batch[self.id_col].type),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "pixels": arr,
+            }
+        )
+
+
+def decode_pipeline(
+    media: ray.data.Dataset,
+    concurrency: int = 4,
+    batch_size: int = 64,
+    mode: str = "fake",
+) -> ray.data.Dataset:
+    """binary payloads → features, small batches through actor pools."""
+    return media.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_media(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for tests: (media_id, meta, payload)."""
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)
+    payloads = [rng.integers(0, 256, int(rng.integers(200, 2000)), dtype=np.uint8).tobytes() for _ in range(n)]
+    meta = pa.array(
+        [
+            {
+                "media_type": "image",
+                "format": "fake",
+                "width": 32,
+                "height": 32,
+                "duration_ms": 0,
+            }
+            for _ in range(n)
+        ],
+        MEDIA_META_TYPE,
+    )
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "meta": meta,
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )

@@ -1,0 +1,242 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* :func:`ann_brute` — exact cosine top-k baseline: each batch computes a
+  (batch × Q) float64 matmul against the broadcast query matrix and emits
+  only its per-query top-k (combiner), merged per query — the same
+  partial-top-k shape as the geo kNN.
+* :func:`ann_ivf` — the scale path: a deterministic sampled k-means builds
+  coarse centroids; every vector is assigned to its nearest centroid cell
+  (one pass); queries probe only ``n_probe`` nearest cells. The centroid
+  table is tiny and broadcast; the data pass writes a cell column so the
+  probe scan prunes by cell like the geo index prunes by z-range.
+* :func:`lsh_cosine_buckets` — random-hyperplane signatures for
+  embedding-cosine near-duplicate detection (pairs with high bit agreement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column, zero-copy-ish."""
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _partial_cosine_topk(batch: pa.Table, qmat: np.ndarray, k: int,
+                         id_col: str, emb_col: str) -> pa.Table:
+    m = _normalize(_emb_matrix(batch, emb_col))
+    sims = m @ qmat.T  # (n, Q)
+    n, q = sims.shape
+    kk = min(k, n)
+    out_q, out_i, out_s = [], [], []
+    idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+    for j in range(q):
+        out_q.append(np.full(kk, j, dtype=np.int32))
+        out_i.append(idx[:, j])
+        out_s.append(sims[idx[:, j], j])
+    return pa.table(
+        {
+            "query_idx": pa.array(np.concatenate(out_q), pa.int32()),
+            id_col: batch[id_col].take(pa.array(np.concatenate(out_i), pa.int64())),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        }
+    )
+
+
+def _final_cosine_topk(group: pa.Table, k: int) -> pa.Table:
+    sims = group["cosine"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((group[group.schema.names[1]].to_numpy(zero_copy_only=False), -sims))[:k]
+    out = group.take(pa.array(order, pa.int64()))
+    return out.append_column(
+        "rank", pa.array(np.arange(1, len(out) + 1, dtype=np.int32), pa.int32())
+    )
+
+
+def ann_brute(
+    vectors: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    batch_size: int = 50_000,
+) -> ray.data.Dataset:
+    """Exact cosine top-k per query row of ``query_matrix`` (Q × d).
+
+    Ties broken by ascending id (deterministic). Result rows:
+    (query_idx, id, cosine, rank).
+    """
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    partials = vectors.map_batches(
+        _partial_cosine_topk,
+        fn_kwargs={"qmat": qmat, "k": k, "id_col": id_col, "emb_col": emb_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return partials.groupby("query_idx").map_groups(
+        _final_cosine_topk, fn_kwargs={"k": k}, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    vectors: ray.data.Dataset,
+    n_cells: int = 64,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (normalized)."""
+    sample = vectors.limit(sample_rows).to_pandas()
+    m = _normalize(
+        np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+    )
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(m))
+    cent = m[rng.choice(len(m), n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_cells):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def assign_cells(vectors: ray.data.Dataset, centroids: np.ndarray,
+                 emb_col: str = "embedding") -> ray.data.Dataset:
+    """One streaming pass adding an ``ivf_cell`` column (nearest centroid)."""
+    import ray
+
+    cent_ref = ray.put(np.ascontiguousarray(centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        m = _normalize(_emb_matrix(batch, emb_col))
+        cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cells, pa.int32()))
+
+    return vectors.map_batches(assign, batch_format="pyarrow")
+
+
+def ann_ivf(
+    vectors: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    k: int,
+    centroids: np.ndarray,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """IVF ANN: probe only the ``n_probe`` cells nearest each query.
+
+    ``vectors`` must already carry ``ivf_cell`` (from :func:`assign_cells` —
+    at scale this is the written partition column, so the filter prunes
+    files instead of rows).
+    """
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    cq = np.argsort(-(qmat @ _normalize(centroids).T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    wanted = np.unique(cq).astype(np.int32)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch["ivf_cell"].to_numpy(zero_copy_only=False), wanted)
+        return batch.filter(pa.array(mask))
+
+    pruned = vectors.map_batches(prune, batch_format="pyarrow")
+    return ann_brute(pruned, query_matrix, k, id_col=id_col, emb_col=emb_col)
+
+
+# ---------------------------------------------------------------------------
+# cosine LSH (near-dup over embeddings)
+# ---------------------------------------------------------------------------
+
+def lsh_cosine_pairs(
+    vectors: ray.data.Dataset,
+    n_planes: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+) -> pa.Table:
+    """Embedding near-dup pairs: random-hyperplane bucket + exact cosine
+    verify inside each bucket. Returns (left_id, right_id, cosine) sorted."""
+    if dim is None:
+        first = vectors.take(1)[0][emb_col]
+        dim = len(first)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        bits = (m @ planes) > 0  # (n, planes)
+        key = np.zeros(len(m), dtype=np.int64)
+        for b in range(n_planes):
+            key = (key << 1) | bits[:, b].astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(key, pa.int64()),
+                emb_col: batch[emb_col],
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(group) < 2 or len(group) > 10_000:
+            return empty
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_emb_matrix(group, emb_col))
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        if not hit.any():
+            return empty
+        return pa.table(
+            {
+                "left_id": pa.array(ids[iu[hit]], pa.int64()),
+                "right_id": pa.array(ids[ju[hit]], pa.int64()),
+                "cosine": pa.array(sims[iu[hit], ju[hit]], pa.float64()),
+            }
+        )
+
+    pairs = (
+        vectors.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    df = pairs.to_pandas()
+    if len(df) == 0:
+        return pa.Table.from_pandas(df, preserve_index=False)
+    df = df.drop_duplicates(["left_id", "right_id"]).sort_values(
+        ["left_id", "right_id"]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

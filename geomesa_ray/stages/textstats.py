@@ -1,0 +1,209 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All vectorized or bounded-state per batch; heavy
+setup (stopword tables, compiled regexes) happens once per actor.
+
+These mirror what a web-scale training-data pipeline needs over the
+``documents``/``pages`` tables; the converter-expression analogs of the
+reference (geomesa-convert .../transforms/StringFunctionFactory.scala) cover
+the plain string ops, these add the corpus-level analyses.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# small built-in stopword profiles (top function words; public knowledge)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "it", "that", "for", "was",
+           "on", "with", "as", "are", "this", "at", "be", "by", "have", "not"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "für", "auf", "im", "des", "sich", "dem", "als"},
+    "fr": {"le", "la", "les", "et", "est", "des", "un", "une", "du", "que",
+           "pour", "dans", "qui", "par", "sur", "pas", "au", "avec", "ce"},
+    "es": {"el", "la", "los", "las", "y", "es", "de", "que", "un", "una",
+           "en", "por", "con", "para", "del", "se", "no", "al", "su", "como"},
+    "pt": {"o", "a", "os", "as", "e", "é", "de", "que", "um", "uma", "em",
+           "por", "com", "para", "do", "da", "não", "se", "ao", "como"},
+}
+
+TOKEN_RE = r"\w+"
+
+
+def token_count(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized \\w+ token count (Arrow RE2 kernel — matches DuckDB's
+    ``len(regexp_extract_all(text, '\\w+'))`` semantics)."""
+    return pc.count_substring_regex(texts, TOKEN_RE)
+
+
+class QualityScorer:
+    """map_batches stage: per-doc quality signals + a composite score.
+
+    Signals: n_chars, n_tokens, mean token length, alpha ratio, digit
+    ratio, punctuation ratio, uppercase ratio, stopword ratio (any
+    language), max-line-length share. Score = weighted bounded signals in
+    [0, 1] (heuristic, documented; the value is determinism not linguistics).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"\w+")
+        self.all_stop = set().union(*_STOPWORDS.values())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        n_chars = np.empty(n, np.int64)
+        n_tokens = np.empty(n, np.int64)
+        mean_tok = np.zeros(n, np.float64)
+        alpha = np.zeros(n, np.float64)
+        digit = np.zeros(n, np.float64)
+        punct = np.zeros(n, np.float64)
+        upper = np.zeros(n, np.float64)
+        stop = np.zeros(n, np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_chars[i] = len(t)
+            toks = self.word_re.findall(t)
+            n_tokens[i] = len(toks)
+            if t:
+                arr = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+                la = len(arr)
+                if la:
+                    alpha[i] = (((arr >= 65) & (arr <= 90)) | ((arr >= 97) & (arr <= 122))).mean()
+                    digit[i] = ((arr >= 48) & (arr <= 57)).mean()
+                    upper[i] = ((arr >= 65) & (arr <= 90)).mean()
+                    punct[i] = np.isin(arr, np.frombuffer(b".,;:!?'\"()-", dtype=np.uint8)).mean()
+            if toks:
+                mean_tok[i] = sum(len(w) for w in toks) / len(toks)
+                stop[i] = sum(1 for w in toks if w.lower() in self.all_stop) / len(toks)
+        # composite: reward stopword presence + sane token lengths; penalize
+        # digit/punct/upper-heavy text (C4/Gopher-style heuristics)
+        score = (
+            0.35 * np.clip(stop / 0.4, 0, 1)
+            + 0.25 * np.clip(1 - np.abs(mean_tok - 4.5) / 4.5, 0, 1)
+            + 0.20 * np.clip(alpha / 0.7, 0, 1)
+            + 0.10 * (1 - np.clip(digit / 0.2, 0, 1))
+            + 0.10 * (1 - np.clip(punct / 0.25, 0, 1))
+        )
+        out = batch
+        for name, arr, typ in [
+            ("n_chars_q", n_chars, pa.int64()),
+            ("n_tokens", n_tokens, pa.int64()),
+            ("mean_token_len", mean_tok, pa.float64()),
+            ("alpha_ratio", alpha, pa.float64()),
+            ("digit_ratio", digit, pa.float64()),
+            ("punct_ratio", punct, pa.float64()),
+            ("upper_ratio", upper, pa.float64()),
+            ("stopword_ratio", stop, pa.float64()),
+            ("quality_score", score, pa.float64()),
+        ]:
+            out = out.append_column(name, pa.array(arr, typ))
+        return out
+
+
+class LanguageID:
+    """map_batches stage: n-gram/stopword-profile language guesser.
+
+    Scores each doc against per-language stopword sets (token hits) plus
+    Unicode-block detection for zh/ja/ru; emits ``lang_pred`` and
+    ``lang_conf``. Deterministic, dependency-free.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"\w+")
+        self.langs = sorted(_STOPWORDS)
+
+    def _unicode_vote(self, t: str) -> str | None:
+        cjk = sum(1 for c in t[:400] if "一" <= c <= "鿿")
+        kana = sum(1 for c in t[:400] if "぀" <= c <= "ヿ")
+        cyr = sum(1 for c in t[:400] if "Ѐ" <= c <= "ӿ")
+        n = max(len(t[:400]), 1)
+        if kana / n > 0.05:
+            return "ja"
+        if cjk / n > 0.15:
+            return "zh"
+        if cyr / n > 0.25:
+            return "ru"
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        preds, confs = [], []
+        for t in texts:
+            t = t or ""
+            uv = self._unicode_vote(t)
+            if uv:
+                preds.append(uv)
+                confs.append(1.0)
+                continue
+            toks = [w.lower() for w in self.word_re.findall(t)[:200]]
+            if not toks:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            scores = {
+                lang: sum(1 for w in toks if w in sw) / len(toks)
+                for lang, sw in _STOPWORDS.items()
+            }
+            best = max(self.langs, key=lambda l: scores[l])
+            preds.append(best if scores[best] > 0.02 else "und")
+            confs.append(scores[best])
+        return batch.append_column(
+            "lang_pred", pa.array(preds, pa.string())
+        ).append_column("lang_conf", pa.array(confs, pa.float64()))
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
+    """Winnowing document fingerprint: min rolling k-gram hash per window
+    (Schleimer et al. 2003). Deterministic; used for copy detection."""
+    data = text.encode("utf-8", "ignore")
+    if len(data) < k:
+        return []
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    base = np.uint64(1099511628211)
+    n = len(arr)
+    pw = np.empty(k, dtype=np.uint64)
+    pw[0] = 1
+    for i in range(1, k):
+        pw[i] = pw[i - 1] * base
+    h = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        h += arr[j : n - k + 1 + j] * pw[k - 1 - j]
+    if len(h) <= window:
+        return [int(h.min())]
+    # sliding-window min with positions; dedupe consecutive picks
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(h, window)
+    mins = win.min(axis=1)
+    out, prev = [], None
+    for v in mins.tolist():
+        if v != prev:
+            out.append(int(v))
+            prev = v
+    return out
+
+
+class Fingerprinter:
+    """map_batches stage: add ``fingerprint`` (uint64 hash of the winnowed
+    sketch) — cheap whole-doc copy detector."""
+
+    def __init__(self, text_col: str = "text", k: int = 8, window: int = 16):
+        self.text_col = text_col
+        self.k = k
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = []
+        for t in batch[self.text_col].to_pylist():
+            sketch = winnow_fingerprint(t or "", self.k, self.window)
+            acc = np.uint64(0xCBF29CE484222325)
+            for v in sketch:
+                acc = (acc ^ np.uint64(v)) * np.uint64(0x100000001B3)
+            fps.append(int(acc.astype(np.int64)))
+        return batch.append_column("fingerprint", pa.array(fps, pa.int64()))

@@ -1,0 +1,298 @@
+"""Dedup / text-analysis / similarity / multimodal operators vs naive oracles,
+driven over the driver-generated documents + embeddings tables."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup(ray_session, documents):
+    import ray.data
+    from geomesa_ray.stages.dedup import exact_dedup
+
+    # inject duplicates deterministically: copy rows with new ids
+    dup = documents.slice(0, 20).set_column(
+        documents.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array(
+            (documents["doc_id"].to_numpy() .max() + 1 + np.arange(20)), pa.int64()
+        ),
+    )
+    full = pa.concat_tables([documents, dup])
+    ds = ray.data.from_arrow(full).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=37
+    )
+    out = exact_dedup(ds).to_pandas()
+    texts = full["text"].to_pylist()
+    ids = full["doc_id"].to_numpy()
+    expect = {}
+    for t, i in zip(texts, ids.tolist()):
+        expect[t] = min(expect.get(t, i), i)
+    assert sorted(out["doc_id"]) == sorted(expect.values())
+    assert set(out.columns) == set(documents.schema.names)
+
+
+# ---------------------------------------------------------------------------
+# minhash / simhash
+# ---------------------------------------------------------------------------
+
+
+def _near_dup_corpus(documents) -> pa.Table:
+    """Corpus with planted near-duplicates (small edits of originals)."""
+    texts = documents["text"].to_pylist()[:60]
+    ids = list(range(len(texts)))
+    planted = []
+    for j in range(10):
+        t = texts[j]
+        planted.append(t[: len(t) // 2] + " xyz " + t[len(t) // 2 :])
+    all_texts = texts + planted
+    all_ids = ids + [1000 + j for j in range(10)]
+    return pa.table(
+        {"doc_id": pa.array(all_ids, pa.int64()), "text": pa.array(all_texts)}
+    )
+
+
+def test_minhash_lsh_pairs(ray_session, documents):
+    import ray.data
+    from geomesa_ray.stages.dedup import (
+        dedup_keep_ids,
+        minhash_lsh_pairs,
+        ngram_jaccard,
+    )
+
+    corpus = _near_dup_corpus(documents)
+    ds = ray.data.from_arrow(corpus).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=17
+    )
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    got = set(zip(pairs["left_id"].to_pylist(), pairs["right_id"].to_pylist()))
+    # every planted pair must be found (their true jaccard is high)
+    texts = dict(zip(corpus["doc_id"].to_pylist(), corpus["text"].to_pylist()))
+    for j in range(10):
+        assert (j, 1000 + j) in got, f"missing planted pair {j}"
+    # no false positives among found pairs: exact jaccard must be substantial
+    for l, r in got:
+        assert ngram_jaccard(texts[l], texts[r]) > 0.3, (l, r)
+    keep = dedup_keep_ids(pairs, corpus["doc_id"].to_numpy())
+    for j in range(10):
+        assert 1000 + j not in keep  # planted copy dropped
+        assert j in keep  # original (min id) kept
+
+
+def test_simhash_pairs(ray_session, documents):
+    import ray.data
+    from geomesa_ray.stages.dedup import simhash_pairs
+
+    corpus = _near_dup_corpus(documents)
+    ds = ray.data.from_arrow(corpus)
+    pairs = simhash_pairs(ds, max_hamming=6)
+    got = set(zip(pairs["left_id"].to_pylist(), pairs["right_id"].to_pylist()))
+    found = sum((j, 1000 + j) in got for j in range(10))
+    assert found >= 7  # simhash is approximate; most planted pairs found
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+
+def test_token_count_matches_duckdb(documents):
+    import duckdb
+
+    from geomesa_ray.stages.textstats import token_count
+
+    got = token_count(documents["text"]).to_pylist()
+    expect = (
+        duckdb.sql(
+            f"SELECT len(regexp_extract_all(text, '\\w+')) n FROM read_parquet('{SF}/documents.parquet')"
+        )
+        .df()["n"]
+        .tolist()
+    )
+    assert got == expect
+
+
+def test_quality_and_langid(ray_session, documents):
+    import ray.data
+    from geomesa_ray.stages.textstats import LanguageID, QualityScorer
+
+    ds = ray.data.from_arrow(documents)
+    out = (
+        ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
+        .map_batches(LanguageID, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+    assert (out["n_chars_q"] == out["text"].str.len()).all()
+
+
+def test_langid_on_real_language_samples(ray_session):
+    """The driver's documents.lang labels are arbitrary (all texts are the
+    same English-ish word soup), so language-ID is validated on texts that
+    actually carry each language's function words / scripts."""
+    import ray.data
+    from geomesa_ray.stages.textstats import LanguageID
+
+    samples = [
+        ("en", "the cat sat on the mat and it was happy that the sun is out"),
+        ("de", "der hund ist nicht mit der katze und das ist ein problem für den mann"),
+        ("fr", "le chat est dans la maison et les enfants sont pour une fois dans le jardin"),
+        ("es", "el perro es de la casa y los niños están en el jardín para el verano"),
+        ("pt", "o gato não é um problema para a casa e as crianças são do jardim"),
+        ("zh", "这是一个关于猫和狗的故事它们住在一个小房子里每天一起玩耍"),
+        ("ru", "Это история о кошке и собаке которые живут в маленьком доме"),
+        ("und", "zzz qqq 12345 @@@@"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(samples)), pa.int64()),
+            "text": pa.array([s[1] for s in samples]),
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(LanguageID, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["lang_pred"].tolist() == [s[0] for s in samples]
+
+
+def test_fingerprint_copy_detection(ray_session, documents):
+    import ray.data
+    from geomesa_ray.stages.textstats import Fingerprinter
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    documents["text"][0].as_py(),
+                    documents["text"][0].as_py(),  # exact copy
+                    documents["text"][1].as_py(),
+                ]
+            ),
+        }
+    )
+    out = ray.data.from_arrow(corpus).map_batches(
+        Fingerprinter, batch_format="pyarrow", concurrency=1
+    ).to_pandas().sort_values("doc_id")
+    fps = out["fingerprint"].tolist()
+    assert fps[0] == fps[1] != fps[2]
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def oracle_topk(embeddings, qvec, k):
+    m = np.stack(embeddings["embedding"].to_pylist()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    sims = m @ q
+    ids = embeddings["vec_id"].to_numpy()
+    order = np.lexsort((ids, -sims))[:k]
+    return [int(ids[i]) for i in order]
+
+
+def test_ann_brute_vs_oracle(ray_session, embeddings):
+    import ray.data
+    from geomesa_ray.stages.similarity import ann_brute
+
+    q = np.stack(
+        [embeddings["embedding"][0].as_py(), embeddings["embedding"][7].as_py()]
+    )
+    ds = ray.data.from_arrow(embeddings).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=41
+    )
+    res = ann_brute(ds, q, 10).to_pandas()
+    for qi in range(2):
+        mine = res[res["query_idx"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert mine == oracle_topk(embeddings, q[qi], 10)
+
+
+def test_ann_ivf_recall(ray_session, embeddings):
+    import ray.data
+    from geomesa_ray.stages.similarity import ann_brute, ann_ivf, assign_cells, train_centroids
+
+    ds = ray.data.from_arrow(embeddings)
+    cent = train_centroids(ds, n_cells=16, sample_rows=500)
+    cells = assign_cells(ds, cent)
+    q = np.stack([embeddings["embedding"][3].as_py()])
+    approx = ann_ivf(cells, q, 10, cent, n_probe=8).to_pandas()
+    exact = oracle_topk(embeddings, q[0], 10)
+    recall = len(set(approx["vec_id"]) & set(exact)) / 10
+    assert recall >= 0.5, recall  # probing half the cells: decent recall
+
+
+def test_lsh_cosine_pairs(ray_session, embeddings):
+    import ray.data
+    from geomesa_ray.stages.similarity import lsh_cosine_pairs
+
+    # plant an exact duplicate embedding with a new id
+    dup = embeddings.slice(0, 5).set_column(
+        embeddings.schema.get_field_index("vec_id"),
+        "vec_id",
+        pa.array(embeddings["vec_id"].to_numpy().max() + 1 + np.arange(5), pa.int64()),
+    )
+    full = pa.concat_tables([embeddings, dup])
+    pairs = lsh_cosine_pairs(ray.data.from_arrow(full), threshold=0.99)
+    got = set(zip(pairs["left_id"].to_pylist(), pairs["right_id"].to_pylist()))
+    base = embeddings["vec_id"].to_numpy().max() + 1
+    for j in range(5):
+        assert (j, base + j) in got
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_pipeline(ray_session):
+    import ray.data
+    from geomesa_ray.stages.multimodal import (
+        DecodeImage,
+        SampleFrames,
+        decode_pipeline,
+        synth_media,
+    )
+
+    media = synth_media(20, seed=9)
+    ds = ray.data.from_arrow(media)
+    feats = decode_pipeline(ds, concurrency=2, batch_size=8).to_pandas()
+    assert len(feats) == 20
+    assert all(len(f) == 14 for f in feats["features"])
+    # deterministic: same payload → same features
+    feats2 = decode_pipeline(ray.data.from_arrow(media), concurrency=2, batch_size=8).to_pandas()
+    a = np.stack(feats.sort_values("media_id")["features"].to_numpy())
+    b = np.stack(feats2.sort_values("media_id")["features"].to_numpy())
+    assert np.array_equal(a, b)
+    # real mode raises cleanly
+    with pytest.raises(NotImplementedError):
+        DecodeImage(mode="real")(media.select(["payload"]))
+    # frame sampling: one row per (media, frame)
+    frames = ray.data.from_arrow(media).map_batches(
+        SampleFrames, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas()
+    assert len(frames) == 20 * 4
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
