@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the corpus operators); ``oracle_sql()`` gives the DuckDB
+equivalent where the operation is SQL-expressible with bit-deterministic
+results (integer counts, exact double arithmetic, deterministic tie-breaks).
+Operators whose results are approximate/sketch-based or order-sensitive in
+floating point (minhash/simhash pairs, quality scores, language-ID, IVF ANN,
+fingerprints) ship without an oracle and get the rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +19,31 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derived geo-points →
+    Z2/Z3/cell encoding → broadcast point-in-polygon join."""
+    import pyarrow as pa
+
+    from geomesa_ray.pipelines.queries import events_points, polygons_table
+    from geomesa_ray.stages.encode import EncodeKeys
+    from geomesa_ray.stages.join import pip_join_broadcast
+
+    pts = events_points("/root/testdata/sf0.001").map_batches(
+        lambda b: b.append_column("url", b["event_id"].cast(pa.string())),
+        batch_format="pyarrow",
+    )
+    encoded = pts.map_batches(
+        EncodeKeys(id_col="url", ts_col="ts").__call__, batch_format="pyarrow"
+    )
+    return pip_join_broadcast(encoded, polygons_table(), concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from geomesa_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geomesa_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

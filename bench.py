@@ -1,0 +1,270 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) at ``num_cpus=$RAY_GRAFT_CPUS`` (default 32) and print
+ONE JSON line with per-query wall times.
+
+``--scaling``: run the headline job (spatial join + tile aggregation) twice
+in FRESH processes at num_cpus=8 and num_cpus=32 on the same input and
+report both throughputs plus scaling efficiency = (T_small / T_big) /
+(cpus_big / cpus_small). This is the sandbox substitute for the N→4N-node
+cluster criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    # (name, callable-name in geomesa_ray.pipelines.queries)
+    "pip_join",
+    "pip_join_shuffle",
+    "tile_agg",
+    "bbox_scan",
+    "bbox_time_scan",
+    "knn",
+    "exact_dedup",
+    "minhash_pairs",
+    "ann_topk",
+    "pricing_summary",
+    "token_counts",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _consume(result) -> int:
+    """Materialize a query result enough to count rows (stream, no driver copy
+    of the payload beyond counts)."""
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    return len(result)
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from geomesa_ray.pipelines.queries import QUERIES
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows[name] = _consume(fn(sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    join_rows_per_s = rows["pip_join"] / times["pip_join"] if times["pip_join"] else 0
+    return {
+        "metric": "headline wall-time (spatial join + tile agg + scans + corpus ops)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "join_rows_per_s": round(join_rows_per_s),
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+
+
+BENCH_PAGES_ROWS = int(os.environ.get("GRAFT_BENCH_PAGES", "12000000"))
+BENCH_PAGES_SEED = 7
+
+
+def ensure_bench_pages(n: int = BENCH_PAGES_ROWS, seed: int = BENCH_PAGES_SEED) -> str:
+    """Deterministic multi-shard pages table for the scaling run (cached).
+
+    The scaling unit must be the real headline pipeline (html extraction →
+    SFC encoding → PIP join → tile agg) over enough data to amortize fixed
+    scheduling overhead; the sf dirs are single small files.
+    """
+    out = f"/tmp/graft_bench_pages_n{n}_s{seed}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        from geomesa_ray.sources.synth import write_pages_parquet
+
+        os.makedirs(out, exist_ok=True)
+        write_pages_parquet(out, n, seed=seed, shard_rows=max(n // 32, 50_000))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def _headline_file_task(batch, polys_ref):
+    """ONE fused task per input shard: read → extract(html→geo) →
+    encode(z2/z3/cell) → broadcast PIP join → dense 256×256 tile partial.
+
+    Emits one tiny row per shard (join-pair count + the dense tile grid),
+    so the only object-store traffic is ~0.5 MB/shard of partials — the
+    full-fusion pattern the engine recommends for aggregate-terminated
+    pipelines (object-store writes are the anti-scaling term on shared
+    hosts)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from geomesa_ray.stages.density import GridSnap
+    from geomesa_ray.stages.encode import EncodeKeys
+    from geomesa_ray.stages.extract import ExtractGeo
+    from geomesa_ray.stages.join import _resolve_broadcast, match_points
+
+    polyset = _resolve_broadcast(polys_ref)
+    snap = GridSnap((-180.0, -90.0, 180.0, 90.0), 256, 256)
+    counts = []
+    grids = []
+    rows_in = []
+    for path in batch["path"].to_pylist():
+        t = EncodeKeys()(ExtractGeo()(pq.read_table(path)))
+        px = t["lon"].to_numpy(zero_copy_only=False)
+        py = t["lat"].to_numpy(zero_copy_only=False)
+        pt_idx, poly_idx = match_points(polyset, px, py, "intersects")
+        counts.append(len(pt_idx))
+        rows_in.append(len(t))
+        i = snap.i(px)
+        j = snap.j(py)
+        valid = (i >= 0) & (j >= 0)
+        key = i[valid] * 256 + j[valid]
+        grid = np.bincount(key, minlength=256 * 256).astype(np.float64)
+        grids.append(grid)
+    total_grid = np.sum(grids, axis=0) if grids else np.zeros(256 * 256)
+    return pa.table(
+        {
+            "join_pairs": pa.array([int(sum(counts))], pa.int64()),
+            "rows_in": pa.array([int(sum(rows_in))], pa.int64()),
+            "grid": pa.array([total_grid.tobytes()], pa.binary()),
+        }
+    )
+
+
+def run_headline_once(sf_dir: str, num_cpus: int) -> dict:
+    """The scaling unit (see :func:`_headline_file_task`)."""
+    import glob
+
+    pages_dir = ensure_bench_pages()
+    _init_ray(num_cpus)
+    import numpy as np
+    import ray
+    import ray.data
+
+    from geomesa_ray.sources.synth import generate_polygons
+    from geomesa_ray.stages.join import PolygonSet
+
+    files = sorted(glob.glob(f"{pages_dir}/pages-*.parquet"))
+    polys_ref = ray.put(PolygonSet(generate_polygons(n_admin=500, seed=13)))
+    # warm the worker pool so both runs measure steady-state execution
+    ray.data.from_items([{"x": 1}] * num_cpus).map_batches(
+        lambda b: b, batch_size=1
+    ).count()
+
+    t0 = time.perf_counter()
+    partials = (
+        ray.data.from_items([{"path": f} for f in files])
+        .map_batches(
+            _headline_file_task,
+            fn_kwargs={"polys_ref": polys_ref},
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+        .take_all()
+    )
+    join_rows = int(sum(p["join_pairs"] for p in partials))
+    n_input = int(sum(p["rows_in"] for p in partials))
+    grid = np.sum(
+        [np.frombuffer(p["grid"], dtype=np.float64) for p in partials], axis=0
+    )
+    tile_rows = int((grid > 0).sum())
+    wall = time.perf_counter() - t0
+    return {
+        "num_cpus": num_cpus,
+        "input_rows": n_input,
+        "join_rows": join_rows,
+        "tile_rows": tile_rows,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_input / wall) if wall else 0,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--worker-cpus", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    if args.worker_cpus is not None:
+        # scaling sub-process: one fresh Ray session at the given width
+        out = run_headline_once(args.sf_dir, args.worker_cpus)
+        print(json.dumps(out))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.scaling:
+        ensure_bench_pages()  # generate once, outside the timed subprocesses
+        results = []
+        for cpus in (8, 32):
+            env = dict(os.environ)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-cpus",
+                 str(cpus), "--sf-dir", args.sf_dir],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results.append(json.loads(line))
+        small, big = results
+        ratio = big["num_cpus"] / small["num_cpus"]
+        eff = (small["wall_sec"] / big["wall_sec"]) / ratio if big["wall_sec"] else 0
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency (8→32 cpus, fresh sessions)",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "queries": {
+                        "throughput_8cpu_rows_per_sec": small["rows_per_sec"],
+                        "throughput_32cpu_rows_per_sec": big["rows_per_sec"],
+                        "wall_8cpu_sec": small["wall_sec"],
+                        "wall_32cpu_sec": big["wall_sec"],
+                    },
+                    "sf": args.sf_dir,
+                    "num_cpus": big["num_cpus"],
+                }
+            )
+        )
+        return 0
+
+    out = run_suite(args.sf_dir, NUM_CPUS)
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,218 @@
+"""Converter expression-language analogs (vectorized, Arrow-native).
+
+Reference: geomesa-convert-common/.../transforms/StringFunctionFactory.scala
+:23-189 (strip/replace/regexReplace/capitalize/lowercase/uppercase/concat/
+mkstring/emptyToNull/length/substr/printf/trim), DateFunctionFactory.scala:
+31-198, MathFunctionFactory.scala:17-96, IdFunctionFactory.scala:30-102
+(md5/murmur/uuid determinism), EncodingFunctionFactory.scala:20-28.
+
+Each function maps an Arrow array → Arrow array via pyarrow.compute where a
+kernel exists; deterministic ids come from the engine's stable hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geomesa_ray.stages.encode import hash_strings
+
+# --- strings (StringFunctionFactory.scala) ---------------------------------
+
+def lowercase(col):
+    return pc.utf8_lower(col)
+
+
+def uppercase(col):
+    return pc.utf8_upper(col)
+
+
+def capitalize(col):
+    return pc.utf8_capitalize(col)
+
+
+def trim(col):
+    return pc.utf8_trim_whitespace(col)
+
+
+def strip(col, chars: str):
+    return pc.utf8_trim(col, chars)
+
+
+def strip_prefix(col, prefix: str):
+    starts = pc.starts_with(col, prefix)
+    sliced = pc.utf8_slice_codeunits(col, len(prefix))
+    return pc.if_else(starts, sliced, col)
+
+
+def strip_suffix(col, suffix: str):
+    ends = pc.ends_with(col, suffix)
+    n = pc.utf8_length(col)
+    sliced = pc.utf8_slice_codeunits(col, 0, None)
+    # no direct "slice to len-k" kernel with per-row stop: fall back
+    out = [
+        s[: -len(suffix)] if s is not None and s.endswith(suffix) else s
+        for s in col.to_pylist()
+    ]
+    return pa.array(out, pa.string())
+
+
+def remove(col, piece: str):
+    return pc.replace_substring(col, piece, "")
+
+
+def replace(col, old: str, new: str):
+    return pc.replace_substring(col, old, new)
+
+
+def regex_replace(col, pattern: str, new: str):
+    return pc.replace_substring_regex(col, pattern, new)
+
+
+def concat(*cols, sep: str = ""):
+    return pc.binary_join_element_wise(*cols, sep)
+
+
+def mkstring(list_col, sep: str = ","):
+    return pc.binary_join(list_col, sep)
+
+
+def empty_to_null(col):
+    return pc.if_else(pc.equal(col, ""), pa.nulls(len(col), pa.string()), col)
+
+
+def length(col):
+    return pc.utf8_length(col)
+
+
+def substr(col, start: int, stop: int | None = None):
+    return pc.utf8_slice_codeunits(col, start, stop)
+
+
+# --- dates (DateFunctionFactory.scala) --------------------------------------
+
+def millis_to_date(col):
+    return pc.cast(col, pa.timestamp("ms"))
+
+
+def secs_to_date(col):
+    return pc.cast(pc.multiply(pc.cast(col, pa.int64()), 1000), pa.timestamp("ms"))
+
+
+def date_to_millis(col):
+    return pc.cast(pc.cast(col, pa.timestamp("ms")), pa.int64())
+
+
+def iso_date(col):
+    return pc.strftime(col, format="%Y-%m-%d")
+
+
+def iso_datetime(col):
+    # Arrow's %S renders fractional digits for sub-second units; truncate
+    # to seconds first for the ISO-seconds format
+    return pc.strftime(pc.floor_temporal(col, unit="second").cast(pa.timestamp("s")),
+                       format="%Y-%m-%dT%H:%M:%S")
+
+
+def date_parse(col, fmt: str):
+    return pc.strptime(col, format=fmt, unit="ms")
+
+
+# --- math (MathFunctionFactory.scala) ---------------------------------------
+
+def add(a, b):
+    return pc.add(a, b)
+
+
+def subtract(a, b):
+    return pc.subtract(a, b)
+
+
+def multiply(a, b):
+    return pc.multiply(a, b)
+
+
+def divide(a, b):
+    return pc.divide(a, b)
+
+
+def mean(*cols):
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = pc.add(acc, c)
+    return pc.divide(pc.cast(acc, pa.float64()), float(len(cols)))
+
+
+def min_of(*cols):
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = pc.min_element_wise(acc, c)
+    return acc
+
+
+def max_of(*cols):
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = pc.max_element_wise(acc, c)
+    return acc
+
+
+# --- encodings / ids (Encoding/IdFunctionFactory.scala) ---------------------
+
+def base64_encode(col):
+    import base64
+
+    return pa.array(
+        [base64.b64encode(b).decode() if b is not None else None for b in col.to_pylist()],
+        pa.string(),
+    )
+
+
+def base64_decode(col):
+    import base64
+
+    return pa.array(
+        [base64.b64decode(s) if s is not None else None for s in col.to_pylist()],
+        pa.binary(),
+    )
+
+
+def md5(col):
+    return pa.array(
+        [
+            hashlib.md5(v.encode() if isinstance(v, str) else v).hexdigest()
+            if v is not None
+            else None
+            for v in col.to_pylist()
+        ],
+        pa.string(),
+    )
+
+
+def murmur3_64(col):
+    """Stable 64-bit hash column (murmur3-class determinism)."""
+    return pa.array(hash_strings(col).astype(np.int64), pa.int64())
+
+
+def uuid5(col, namespace: uuid.UUID = uuid.NAMESPACE_URL):
+    """Deterministic UUID per value (uuidZ3-style determinism: same input →
+    same id across runs/processes)."""
+    return pa.array(
+        [
+            str(uuid.uuid5(namespace, s)) if s is not None else None
+            for s in col.to_pylist()
+        ],
+        pa.string(),
+    )
+
+
+def with_default(col, default):
+    return pc.fill_null(col, default)
+
+
+def int_to_boolean(col):
+    return pc.not_equal(col, 0)

@@ -96,11 +96,13 @@ class STRtree:
 
 
 class GridIndex:
-    """Uniform grid over lon/lat with vectorized point probes.
+    """Uniform grid over lon/lat with fully vectorized point probes.
 
-    Each item (by bbox) is registered in every grid cell its bbox overlaps;
-    a point probe computes cell coordinates for the whole batch at once and
-    gathers (point_idx, item_idx) candidate pairs per occupied cell.
+    Each item (by bbox) is registered in every grid cell its bbox overlaps.
+    Storage is CSR-style flat arrays (sorted unique cell ids + offsets +
+    one contiguous item array) — a handful of large numpy buffers, so
+    broadcast deserialization and first-touch cost stay tiny and probes are
+    pure vectorized gathers (no Python loop over cells).
     """
 
     def __init__(
@@ -110,7 +112,7 @@ class GridIndex:
         extent: tuple[float, float, float, float] = (-180.0, -90.0, 180.0, 90.0),
         max_cells_per_item: int = 4096,
     ):
-        bounds = np.asarray(bounds, dtype=np.float64)
+        bounds = np.asarray(bounds, dtype=np.float64).reshape(-1, 4)
         self.extent = extent
         if cell_size is None:
             if len(bounds):
@@ -123,50 +125,72 @@ class GridIndex:
         self.nx = max(1, int(np.ceil((extent[2] - extent[0]) / self.cell_size)))
         self.ny = max(1, int(np.ceil((extent[3] - extent[1]) / self.cell_size)))
 
-        cells: dict[int, list[int]] = {}
-        for i, (xmin, ymin, xmax, ymax) in enumerate(bounds):
-            ix0, iy0 = self._cell_of(xmin, ymin)
-            ix1, iy1 = self._cell_of(xmax, ymax)
-            if (ix1 - ix0 + 1) * (iy1 - iy0 + 1) > max_cells_per_item:
-                # very large item: coarse registration via a per-item overflow list
-                cells.setdefault(-1 - i, [i])
-                continue
-            for ix in range(ix0, ix1 + 1):
-                for iy in range(iy0, iy1 + 1):
-                    cells.setdefault(ix * self.ny + iy, []).append(i)
-        self._cells = {k: np.asarray(v, dtype=np.int64) for k, v in cells.items()}
-        self._overflow = np.asarray(
-            [v[0] for k, v in cells.items() if k < 0], dtype=np.int64
-        )
+        n = len(bounds)
+        ix0 = self._cell_coord(bounds[:, 0], 0)
+        iy0 = self._cell_coord(bounds[:, 1], 1)
+        ix1 = self._cell_coord(bounds[:, 2], 0)
+        iy1 = self._cell_coord(bounds[:, 3], 1)
+        ncells = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+        over = ncells > max_cells_per_item
+        self._overflow = np.nonzero(over)[0].astype(np.int64)
 
-    def _cell_of(self, x: float, y: float) -> tuple[int, int]:
-        ix = int((x - self.extent[0]) / self.cell_size)
-        iy = int((y - self.extent[1]) / self.cell_size)
-        return min(max(ix, 0), self.nx - 1), min(max(iy, 0), self.ny - 1)
+        # expand (item, cell) registrations vectorized-per-item
+        reg_cells = []
+        reg_items = []
+        for i in np.nonzero(~over)[0].tolist():
+            xs = np.arange(ix0[i], ix1[i] + 1, dtype=np.int64) * self.ny
+            ys = np.arange(iy0[i], iy1[i] + 1, dtype=np.int64)
+            cc = (xs[:, None] + ys[None, :]).ravel()
+            reg_cells.append(cc)
+            reg_items.append(np.full(len(cc), i, dtype=np.int64))
+        if reg_cells:
+            cells = np.concatenate(reg_cells)
+            items = np.concatenate(reg_items)
+            order = np.argsort(cells, kind="stable")
+            cells, items = cells[order], items[order]
+            self._uniq_cells, starts = np.unique(cells, return_index=True)
+            self._starts = starts.astype(np.int64)
+            self._counts = np.diff(np.append(self._starts, len(cells))).astype(np.int64)
+            self._items = items
+        else:
+            self._uniq_cells = np.empty(0, np.int64)
+            self._starts = np.empty(0, np.int64)
+            self._counts = np.empty(0, np.int64)
+            self._items = np.empty(0, np.int64)
+
+    def _cell_coord(self, v: np.ndarray, axis: int) -> np.ndarray:
+        base = self.extent[0] if axis == 0 else self.extent[1]
+        hi = (self.nx if axis == 0 else self.ny) - 1
+        return np.clip(((np.asarray(v) - base) / self.cell_size).astype(np.int64), 0, hi)
 
     def probe_points(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Candidate (point_idx, item_idx) pairs for a batch of points."""
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
-        ix = np.clip(((px - self.extent[0]) / self.cell_size).astype(np.int64), 0, self.nx - 1)
-        iy = np.clip(((py - self.extent[1]) / self.cell_size).astype(np.int64), 0, self.ny - 1)
+        n = len(px)
+        ix = self._cell_coord(px, 0)
+        iy = self._cell_coord(py, 1)
         cell = ix * self.ny + iy
-        order = np.argsort(cell, kind="stable")
-        sorted_cells = cell[order]
-        uniq, starts = np.unique(sorted_cells, return_index=True)
-        ends = np.append(starts[1:], len(sorted_cells))
         pt_parts, it_parts = [], []
-        for c, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
-            items = self._cells.get(c)
-            if items is None:
-                continue
-            pts = order[s:e]
-            pt_parts.append(np.repeat(pts, len(items)))
-            it_parts.append(np.tile(items, len(pts)))
+        if len(self._uniq_cells):
+            pos = np.searchsorted(self._uniq_cells, cell)
+            pos_c = np.minimum(pos, len(self._uniq_cells) - 1)
+            hit = self._uniq_cells[pos_c] == cell
+            hp = np.nonzero(hit)[0]
+            if len(hp):
+                u = pos_c[hp]
+                counts = self._counts[u]
+                total = int(counts.sum())
+                if total:
+                    pt_idx = np.repeat(hp, counts)
+                    out_first = np.cumsum(counts) - counts
+                    within = np.arange(total, dtype=np.int64) - np.repeat(out_first, counts)
+                    item_pos = np.repeat(self._starts[u], counts) + within
+                    pt_parts.append(pt_idx)
+                    it_parts.append(self._items[item_pos])
         if len(self._overflow):
-            all_pts = np.arange(len(px))
-            pt_parts.append(np.repeat(all_pts, len(self._overflow)))
-            it_parts.append(np.tile(self._overflow, len(px)))
+            pt_parts.append(np.repeat(np.arange(n, dtype=np.int64), len(self._overflow)))
+            it_parts.append(np.tile(self._overflow, n))
         if not pt_parts:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         return np.concatenate(pt_parts), np.concatenate(it_parts)

@@ -1,0 +1,553 @@
+"""Driver-contract queries: each runs an engine operator over the
+driver-generated testdata tables and has (where SQL-expressible) a DuckDB
+oracle in ``__ray_entry__.oracle_sql`` with IDENTICAL column names and
+bit-deterministic arithmetic.
+
+Geo queries derive lon/lat from ``events.event_id`` with integer-exact
+arithmetic reproduced verbatim in the oracle SQL:
+
+    lon = ((event_id * 7919)  % 36000) / 100.0 - 180.0
+    lat = ((event_id * 104729) % 18000) / 100.0 - 90.0
+
+(Integer products stay far below 2^63; /100.0 and the grid arithmetic are
+identical IEEE-double op sequences in numpy and DuckDB.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from geomesa_ray.curves.sfc import Z2SFC
+from geomesa_ray.curves.zranges import zranges_2d
+from geomesa_ray.geometry.base import box
+from geomesa_ray.geometry.wkb import to_wkb
+from geomesa_ray.stages.density import density
+from geomesa_ray.stages.join import pip_join_broadcast, pip_join_shuffle
+from geomesa_ray.stages.stats import StatSpec, compute_stats
+
+# fixed query geometry constants (shared with the SQL strings)
+BBOX = (-10.0, 40.0, 30.0, 60.0)
+TS_LO = "2024-01-05 00:00:00"
+TS_HI = "2024-01-12 00:00:00"
+KNN_Q = (2.35, 48.85)
+
+# join polygon fixture: 6 rectangles (id, xmin, ymin, xmax, ymax) — also
+# inlined as a VALUES cte in the oracle SQL
+JOIN_RECTS = [
+    ("r_eu", -10.0, 35.0, 30.0, 60.0),
+    ("r_us", -125.0, 25.0, -65.0, 50.0),
+    ("r_asia", 60.0, 5.0, 145.0, 55.0),
+    ("r_africa", -20.0, -35.0, 50.0, 35.0),
+    ("r_null_island", -1.0, -1.0, 1.0, 1.0),
+    ("r_world_band", -180.0, -5.0, 180.0, 5.0),
+]
+
+
+def events_points(sf_dir: str) -> ray.data.Dataset:
+    """events → (event_id, ts, event_type, value, lon, lat), streaming."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000) / 100.0 - 90.0
+        return batch.append_column("lon", pa.array(lon, pa.float64())).append_column(
+            "lat", pa.array(lat, pa.float64())
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def polygons_table() -> pa.Table:
+    return pa.table(
+        {
+            "poly_id": pa.array([r[0] for r in JOIN_RECTS], pa.string()),
+            "geom_wkb": pa.array(
+                [to_wkb(box(*r[1:])) for r in JOIN_RECTS], pa.binary()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# geo queries
+# ---------------------------------------------------------------------------
+
+def q_bbox_scan(sf_dir: str) -> ray.data.Dataset:
+    """Z2-planned bbox scan: z-range prefilter + exact bbox residual
+    (Z2 index scan analog: ranges from the BFS planner, residual like
+    Z2Filter)."""
+    sfc = Z2SFC()
+    ranges = zranges_2d(sfc, [BBOX], max_ranges=128)
+    lows = np.array([r.lower for r in ranges], dtype=np.uint64)
+    highs = np.array([r.upper for r in ranges], dtype=np.uint64)
+    order = np.argsort(lows)
+    lows, highs = lows[order], highs[order]
+    xmin, ymin, xmax, ymax = BBOX
+
+    def zfilter(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        z = sfc.index(lon, lat, lenient=True).astype(np.uint64)
+        pos = np.searchsorted(lows, z, side="right") - 1
+        in_range = (pos >= 0) & (z <= highs[np.clip(pos, 0, len(highs) - 1)])
+        exact = (lon >= xmin) & (lon <= xmax) & (lat >= ymin) & (lat <= ymax)
+        assert not (exact & ~in_range).any()  # planner must cover the box
+        return batch.filter(pa.array(in_range & exact)).select(
+            ["event_id", "lon", "lat"]
+        )
+
+    return events_points(sf_dir).map_batches(zfilter, batch_format="pyarrow")
+
+
+def q_bbox_time_scan(sf_dir: str) -> ray.data.Dataset:
+    """bbox + time-interval scan (Z3 query class analog)."""
+    xmin, ymin, xmax, ymax = BBOX
+    lo = np.datetime64(TS_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(TS_HI).astype("datetime64[us]").astype(np.int64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        mask = (
+            (lon >= xmin) & (lon <= xmax) & (lat >= ymin) & (lat <= ymax)
+            & (ts >= lo) & (ts < hi)
+        )
+        return batch.filter(pa.array(mask)).select(["event_id"])
+
+    return events_points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_attr_filter(sf_dir: str) -> ray.data.Dataset:
+    """Attribute-index scan analog: equality + range predicate pushdown."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["event_type"], "click"), pc.greater(batch["value"], 10.0)
+        )
+        return batch.filter(mask).select(["event_id", "value"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_pip_join(sf_dir: str) -> ray.data.Dataset:
+    out = pip_join_broadcast(
+        events_points(sf_dir), polygons_table(), predicate="intersects"
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "poly_id"]), batch_format="pyarrow"
+    )
+
+
+def q_pip_join_shuffle(sf_dir: str) -> ray.data.Dataset:
+    pts = events_points(sf_dir).map_batches(
+        lambda b: b.append_column(
+            "url", b["event_id"].cast(pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    out = pip_join_shuffle(
+        pts, polygons_table(), predicate="intersects", hot_threshold=5000, n_salt=4
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "poly_id"]), batch_format="pyarrow"
+    )
+
+
+def q_tile_agg(sf_dir: str) -> ray.data.Dataset:
+    """256×256 world density (reference default grid), weight = row count."""
+    tiles = density(
+        events_points(sf_dir), envelope=(-180.0, -90.0, 180.0, 90.0),
+        width=256, height=256,
+    )
+    return tiles.map_batches(
+        lambda b: pa.table(
+            {
+                "tile_x": b["tile_x"].cast(pa.int64()),
+                "tile_y": b["tile_y"].cast(pa.int64()),
+                "weight": b["weight"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_knn(sf_dir: str) -> pa.Table:
+    from geomesa_ray.pipelines.knn import knn_brute
+
+    res = knn_brute(
+        events_points(sf_dir), [KNN_Q[0]], [KNN_Q[1]], 10, id_col="event_id"
+    ).to_pandas()
+    # deterministic tie-break: (distance, id), matching the oracle's ORDER BY
+    res = res.sort_values(["dist_m", "event_id"]).reset_index(drop=True)
+    res["rank"] = np.arange(1, len(res) + 1)
+    return pa.table(
+        {
+            "event_id": pa.array(res["event_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(res["rank"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregation queries (engine surface: groupby, sort, limit)
+# ---------------------------------------------------------------------------
+
+def q_events_by_type(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    out = ds.groupby("event_type").count()
+    return out.map_batches(
+        lambda b: pa.table(
+            {"event_type": b["event_type"], "n": b["count()"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_lang_counts(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    out = ds.groupby("lang").count()
+    return out.map_batches(
+        lambda b: pa.table({"lang": b["lang"], "n": b["count()"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_customers(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    counts = ds.groupby("o_custkey").count().to_pandas()
+    counts = counts.rename(columns={"count()": "n_orders"})
+    counts = counts.sort_values(
+        ["n_orders", "o_custkey"], ascending=[False, True]
+    ).head(10)
+    return pa.table(
+        {
+            "o_custkey": pa.array(counts["o_custkey"].to_numpy(), pa.int64()),
+            "n_orders": pa.array(counts["n_orders"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped partial-aggregate: per-batch combine, small groupby.
+
+    Aggregates chosen to be bit-exact under reordering (integral quantity
+    sums and counts; avg = exact_sum / count).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), count_order=("l_quantity", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=50_000)
+
+    def final(group: pa.Table) -> pa.Table:
+        sq = float(group["sum_qty"].to_numpy(zero_copy_only=False).sum())
+        co = int(group["count_order"].to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "l_returnflag": group["l_returnflag"].slice(0, 1),
+                "l_linestatus": group["l_linestatus"].slice(0, 1),
+                "sum_qty": pa.array([sq], pa.float64()),
+                "count_order": pa.array([co], pa.int64()),
+                "avg_qty": pa.array([sq / co], pa.float64()),
+            }
+        )
+
+    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+def q_value_stats(sf_dir: str) -> pa.Table:
+    """Stats-sketch scan (StatsScan analog): count / min / max of a column."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = compute_stats(
+        ds,
+        [StatSpec("v", "min_max", "value"), StatSpec("n", "count", "value")],
+    )
+    return pa.table(
+        {
+            "n": pa.array([out["n"]["count"]], pa.int64()),
+            "vmin": pa.array([out["v"]["min"]], pa.float64()),
+            "vmax": pa.array([out["v"]["max"]], pa.float64()),
+        }
+    )
+
+
+def q_sample_per_key(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic every-nth-per-key sampling (FeatureSampler analog:
+    keep every 5th event per event_type, ordered by event_id)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def sample(group: pa.Table) -> pa.Table:
+        ids = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        keep = order[::5]
+        return group.take(pa.array(np.sort(keep), pa.int64()))
+
+    return ds.groupby("event_type").map_groups(sample, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus queries
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    from geomesa_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds)
+    return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def q_token_counts(sf_dir: str) -> ray.data.Dataset:
+    from geomesa_ray.stages.textstats import token_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": token_count(batch["text"]).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    from geomesa_ray.stages.similarity import ann_brute
+
+    import pyarrow.parquet as pq
+
+    q = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+            pc.equal(pc.field("vec_id"), 0)
+        )["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = ann_brute(ds, q[None, :], 10).to_pandas().sort_values("rank")
+    return pa.table(
+        {
+            "vec_id": pa.array(res["vec_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(res["rank"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    from geomesa_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    from geomesa_ray.stages.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_quality(sf_dir: str) -> ray.data.Dataset:
+    from geomesa_ray.stages.textstats import QualityScorer
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=4)
+    return out.map_batches(
+        lambda b: b.select(
+            ["doc_id", "n_tokens", "stopword_ratio", "quality_score"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_langid(sf_dir: str) -> ray.data.Dataset:
+    from geomesa_ray.stages.textstats import LanguageID
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(LanguageID, batch_format="pyarrow", concurrency=4)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    from geomesa_ray.stages.similarity import (
+        ann_ivf,
+        assign_cells,
+        train_centroids,
+    )
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cent = train_centroids(ds, n_cells=16, sample_rows=5000)
+    cells = assign_cells(ds, cent)
+    q = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+            pc.equal(pc.field("vec_id"), 0)
+        )["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    res = ann_ivf(cells, q[None, :], 10, cent, n_probe=8).to_pandas().sort_values("rank")
+    return pa.table(
+        {
+            "vec_id": pa.array(res["vec_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(res["rank"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    from geomesa_ray.stages.textstats import Fingerprinter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=4)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    )
+
+
+QUERIES = {
+    "bbox_scan": q_bbox_scan,
+    "bbox_time_scan": q_bbox_time_scan,
+    "attr_filter": q_attr_filter,
+    "pip_join": q_pip_join,
+    "pip_join_shuffle": q_pip_join_shuffle,
+    "tile_agg": q_tile_agg,
+    "knn": q_knn,
+    "events_by_type": q_events_by_type,
+    "lang_counts": q_lang_counts,
+    "top_customers": q_top_customers,
+    "pricing_summary": q_pricing_summary,
+    "value_stats": q_value_stats,
+    "sample_per_key": q_sample_per_key,
+    "exact_dedup": q_exact_dedup,
+    "token_counts": q_token_counts,
+    "ann_topk": q_ann_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "quality_scores": q_quality,
+    "langid": q_langid,
+    "ann_ivf_topk": q_ann_ivf,
+    "fingerprints": q_fingerprints,
+}
+
+_DERIVE_SQL = """
+derived AS (
+  SELECT *,
+         ((event_id * 7919)  % 36000) / 100.0 - 180.0 AS lon,
+         ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat
+  FROM events
+)
+"""
+
+_RECTS_SQL = "polys(poly_id, xmin, ymin, xmax, ymax) AS (VALUES " + ", ".join(
+    f"('{r[0]}', {r[1]}, {r[2]}, {r[3]}, {r[4]})" for r in JOIN_RECTS
+) + ")"
+
+_PIP_SQL = f"""
+WITH {_DERIVE_SQL.strip()}, {_RECTS_SQL}
+SELECT d.event_id, p.poly_id
+FROM derived d JOIN polys p
+  ON d.lon >= p.xmin AND d.lon <= p.xmax AND d.lat >= p.ymin AND d.lat <= p.ymax
+"""
+
+ORACLE_SQL = {
+    "bbox_scan": f"""
+WITH {_DERIVE_SQL.strip()}
+SELECT event_id, lon, lat FROM derived
+WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+""",
+    "bbox_time_scan": f"""
+WITH {_DERIVE_SQL.strip()}
+SELECT event_id FROM derived
+WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+  AND ts >= TIMESTAMP '{TS_LO}' AND ts < TIMESTAMP '{TS_HI}'
+""",
+    "attr_filter": """
+SELECT event_id, value FROM events WHERE event_type = 'click' AND value > 10.0
+""",
+    "pip_join": _PIP_SQL,
+    "pip_join_shuffle": _PIP_SQL,
+    "tile_agg": f"""
+WITH {_DERIVE_SQL.strip()}
+SELECT CAST(LEAST(FLOOR((lon - (-180.0)) / 1.40625), 255) AS BIGINT) AS tile_x,
+       CAST(LEAST(FLOOR((lat - (-90.0)) / 0.703125), 255) AS BIGINT) AS tile_y,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM derived
+GROUP BY 1, 2
+""",
+    "knn": f"""
+WITH {_DERIVE_SQL.strip()}, dists AS (
+  SELECT event_id,
+         2 * 6371008.7714 * ASIN(LEAST(1.0, SQRT(
+             POW(SIN(RADIANS(lat - {KNN_Q[1]}) / 2), 2)
+             + COS(RADIANS({KNN_Q[1]})) * COS(RADIANS(lat))
+               * POW(SIN(RADIANS(lon - {KNN_Q[0]}) / 2), 2)
+         ))) AS d
+  FROM derived
+)
+SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY d, event_id) AS BIGINT) AS rank
+FROM dists ORDER BY d, event_id LIMIT 10
+""",
+    "events_by_type": """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+""",
+    "lang_counts": """
+SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+""",
+    "top_customers": """
+SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+       COUNT(*) AS count_order, SUM(l_quantity) / COUNT(*) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "value_stats": """
+SELECT COUNT(value) AS n, MIN(value) AS vmin, MAX(value) AS vmax FROM events
+""",
+    "sample_per_key": """
+SELECT event_id, event_type FROM events
+QUALIFY (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1) % 5 = 0
+""",
+    "exact_dedup": """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+    "token_counts": """
+SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    "ann_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.qe) DESC, e.vec_id
+       ) AS BIGINT) AS rank
+FROM embeddings e, q
+ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.qe) DESC, e.vec_id LIMIT 10
+""",
+}

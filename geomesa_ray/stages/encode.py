@@ -114,20 +114,33 @@ class EncodeKeys:
         cell_res: int = DEFAULT_CELL_RES,
         n_shards: int = DEFAULT_SHARDS,
         id_col: str = "url",
+        ts_col: str = "warc_ts",
     ):
         self.z2sfc = Z2SFC()
         self.z3sfc = Z3SFC(period)
         self.cell_res = cell_res
         self.n_shards = n_shards
         self.id_col = id_col
+        self.ts_col = ts_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         import pyarrow.compute as pc
 
-        # null timestamps index at t=0 (Z3IndexKeySpace.scala:71-72)
-        ts = pc.fill_null(batch["warc_ts"].cast(pa.timestamp("ms")).cast(pa.int64()), 0).to_numpy()
+        # null timestamps index at t=0 (Z3IndexKeySpace.scala:71-72);
+        # convert to epoch ms via int64 (truncating sub-ms, never erroring)
+        col = batch[self.ts_col]
+        raw = pc.fill_null(col.cast(pa.int64()), 0).to_numpy()
+        unit = getattr(col.type, "unit", "ms")
+        if unit == "s":
+            ts = raw * 1000
+        elif unit == "ms":
+            ts = raw
+        elif unit == "us":
+            ts = raw // 1000
+        else:  # ns
+            ts = raw // 1_000_000
 
         z2 = self.z2sfc.index(lon, lat, lenient=True)
         bins, z3 = self.z3sfc.index_from_millis(lon, lat, ts, lenient=True)

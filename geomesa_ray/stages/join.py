@@ -143,24 +143,55 @@ class PIPJoinBroadcast:
         return _emit_pairs(batch, self.polyset, pt_idx, poly_idx)
 
 
+def _pip_join_batch(batch: pa.Table, polys_ref, predicate: str,
+                    lon_col: str, lat_col: str) -> pa.Table:
+    """Task-based broadcast join kernel: the PolygonSet is deserialized once
+    per worker PROCESS (module cache), so elastic tasks pay no per-actor
+    startup while still sharing the built index."""
+    polyset: PolygonSet = _resolve_broadcast(polys_ref)
+    px = batch[lon_col].to_numpy(zero_copy_only=False)
+    py = batch[lat_col].to_numpy(zero_copy_only=False)
+    pt_idx, poly_idx = match_points(polyset, px, py, predicate)
+    return _emit_pairs(batch, polyset, pt_idx, poly_idx)
+
+
 def pip_join_broadcast(
     points: ray.data.Dataset,
     polygons: pa.Table,
     predicate: str = "intersects",
-    concurrency: int = 4,
+    concurrency=None,
     batch_size: int = 50_000,
     id_col: str = "poly_id",
     wkb_col: str = "geom_wkb",
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
-    """Broadcast PIP join: small polygon table vs a large point Dataset."""
+    """Broadcast PIP join: small polygon table vs a large point Dataset.
+
+    Default is task-based with a per-process broadcast cache (scales
+    elastically, no actor-pool startup); pass ``use_actors=True`` +
+    ``concurrency`` for a fixed actor pool (heavier state reuse guarantees).
+    """
     polyset = PolygonSet(polygons, id_col=id_col, wkb_col=wkb_col)
     ref = ray.put(polyset)
+    if use_actors:
+        return points.map_batches(
+            PIPJoinBroadcast,
+            fn_constructor_kwargs={"polys_ref": ref, "predicate": predicate},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or 4,
+        )
     return points.map_batches(
-        PIPJoinBroadcast,
-        fn_constructor_kwargs={"polys_ref": ref, "predicate": predicate},
+        _pip_join_batch,
+        fn_kwargs={
+            "polys_ref": ref,
+            "predicate": predicate,
+            "lon_col": "lon",
+            "lat_col": "lat",
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        **({"concurrency": concurrency} if concurrency else {}),
     )
 
 
@@ -334,6 +365,22 @@ def pip_join_shuffle(
         np.nonzero(covering_cell_count(polyset.bounds, cell_res) > max_cover)[0].tolist()
     )
 
+    def _ensure_cell(batch: pa.Table) -> pa.Table:
+        if "cell" in batch.schema.names:
+            return batch
+        if "z2" in batch.schema.names:
+            z2 = batch["z2"].to_numpy(zero_copy_only=False)
+        else:
+            from geomesa_ray.curves.sfc import Z2SFC
+
+            z2 = Z2SFC().index(
+                batch["lon"].to_numpy(zero_copy_only=False),
+                batch["lat"].to_numpy(zero_copy_only=False),
+                lenient=True,
+            )
+        return batch.append_column("cell", pa.array(cell_of_z2(z2, cell_res), pa.int64()))
+
+    points = points.map_batches(_ensure_cell, batch_format="pyarrow")
     hot = {
         c: n for c, n in hot_cell_histogram(points).items() if n >= hot_threshold
     }
@@ -353,11 +400,6 @@ def pip_join_shuffle(
 
     def _key_points(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        if "cell" not in batch.schema.names:
-            z2 = batch["z2"].to_numpy(zero_copy_only=False)
-            batch = batch.append_column(
-                "cell", pa.array(cell_of_z2(z2, cell_res), pa.int64())
-            )
         cells = batch["cell"].to_numpy(zero_copy_only=False)
         hotset = set(hot)
         if hotset:
