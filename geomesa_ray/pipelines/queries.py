@@ -429,7 +429,54 @@ def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+PROX_TARGETS = [("paris", 2.35, 48.85), ("nyc", -74.0, 40.7)]
+PROX_RADIUS_M = 500_000.0
+
+
+def q_proximity_join(sf_dir: str) -> ray.data.Dataset:
+    from geomesa_ray.pipelines.processes import proximity_join
+
+    out = proximity_join(
+        events_points(sf_dir),
+        [t[1] for t in PROX_TARGETS],
+        [t[2] for t in PROX_TARGETS],
+        [t[0] for t in PROX_TARGETS],
+        PROX_RADIUS_M,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "target_id"]), batch_format="pyarrow"
+    )
+
+
+def q_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Attribute semi-join (JoinProcess analog): customers having orders."""
+    from geomesa_ray.pipelines.processes import attribute_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return attribute_join(orders, customer, "o_custkey", "c_custkey")
+
+
+def q_latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Upsert live-view semantics (Kafka-store analog): latest event per
+    user by event time, ties broken by highest event id."""
+    from geomesa_ray.state.upsert import latest_view
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    out = latest_view(ds, id_col="user_id", time_col="ts", seq_col="event_id")
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id"]), batch_format="pyarrow"
+    )
+
+
 QUERIES = {
+    "proximity_join": q_proximity_join,
+    "semi_join": q_semi_join,
+    "latest_event_per_user": q_latest_event_per_user,
     "bbox_scan": q_bbox_scan,
     "bbox_time_scan": q_bbox_time_scan,
     "attr_filter": q_attr_filter,
@@ -474,7 +521,29 @@ FROM derived d JOIN polys p
   ON d.lon >= p.xmin AND d.lon <= p.xmax AND d.lat >= p.ymin AND d.lat <= p.ymax
 """
 
+_PROX_UNION = " UNION ALL ".join(
+    f"SELECT '{n}' AS target_id, {x} AS tx, {y} AS ty" for n, x, y in PROX_TARGETS
+)
+
 ORACLE_SQL = {
+    "proximity_join": f"""
+WITH {_DERIVE_SQL.strip()}, targets AS ({_PROX_UNION})
+SELECT d.event_id, t.target_id
+FROM derived d JOIN targets t
+  ON 2 * 6371008.7714 * ASIN(LEAST(1.0, SQRT(
+       POW(SIN(RADIANS(d.lat - t.ty) / 2), 2)
+       + COS(RADIANS(t.ty)) * COS(RADIANS(d.lat))
+         * POW(SIN(RADIANS(d.lon - t.tx) / 2), 2)
+     ))) <= {PROX_RADIUS_M}
+""",
+    "semi_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+    "latest_event_per_user": """
+SELECT user_id, event_id FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
     "bbox_scan": f"""
 WITH {_DERIVE_SQL.strip()}
 SELECT event_id, lon, lat FROM derived

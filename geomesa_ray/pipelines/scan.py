@@ -65,10 +65,14 @@ def plan_files(out_dir: str, query: Query, period: TimePeriod = TimePeriod.WEEK)
         tb = times_by_bin(sfc3, query.interval[0], query.interval[1])
         bins = sorted(tb)
         bin_range = (bins[0], bins[-1])
-        if bbox is not None:
+        # per-epoch z3 fan-out is budgeted like the reference's
+        # ScanRangesTarget / #bins split (Z3IndexKeySpace.scala:169-174);
+        # with very many bins the per-bin planning cost exceeds its pruning
+        # value, so fall back to bin-range + z2 pruning only
+        if bbox is not None and len(bins) <= 256:
             all_ranges = []
             for b in bins:
-                rs = zranges_3d(sfc3, [bbox], tb[b], max_ranges=50)
+                rs = zranges_3d(sfc3, [bbox], tb[b], max_ranges=max(50 // max(len(bins) // 8, 1), 4))
                 all_ranges.extend((r.lower, r.upper) for r in rs)
             z3_ranges = all_ranges
     return prune_files(

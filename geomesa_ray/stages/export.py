@@ -1,0 +1,165 @@
+"""Export sinks: BIN packed records, Arrow IPC, CSV, GeoJSON, partitioned
+Parquet.
+
+Reference surface: geomesa-tools/.../export/ExportFormat.scala:56-112 and
+the feature exporters (geomesa-features/geomesa-feature-exporters). The BIN
+format follows BinaryOutputEncoder.scala:101-123 + :177-187 exactly:
+little-endian ``[trackId:int32][time_s:int32][lat:f32][lon:f32]`` (16 B), or
+24 B with a trailing ``label:int64`` (first 8 utf-8 bytes little-endian for
+string labels, BinaryOutputEncoder.convertToLabel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from geomesa_ray.stages.encode import hash_strings
+
+
+def _label_to_i64(values) -> np.ndarray:
+    """String label → first-8-utf8-bytes little-endian int64
+    (BinaryOutputEncoder.convertToLabel)."""
+    out = np.zeros(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        if v is None:
+            continue
+        if isinstance(v, (int, np.integer)):
+            out[i] = int(v)
+            continue
+        acc = 0
+        for k, b in enumerate(str(v).encode("utf-8")[:8]):
+            acc += (b & 0xFF) << (8 * k)
+        out[i] = np.int64(np.uint64(acc).astype(np.int64))
+    return out
+
+
+class BinEncode:
+    """map_batches stage: rows → one packed BIN blob per batch.
+
+    Output: single ``bin`` binary column (one blob per batch, like the
+    reference's aggregated bin features, BinAggregatingScan.scala:121-199).
+    trackId = stable 32-bit hash of the track column (hashCode analog).
+    """
+
+    def __init__(self, track_col: str = "url", ts_col: str = "warc_ts",
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 label_col: str | None = None, sort_by_time: bool = False):
+        self.track_col = track_col
+        self.ts_col = ts_col
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.label_col = label_col
+        self.sort_by_time = sort_by_time
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        track = (hash_strings(batch[self.track_col]) & np.uint64(0xFFFFFFFF)).astype(
+            np.uint32
+        )
+        ts_ms = batch[self.ts_col].cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        secs = (ts_ms // 1000).astype(np.int64)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False).astype(np.float32)
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False).astype(np.float32)
+        order = np.argsort(secs, kind="stable") if self.sort_by_time else np.arange(n)
+        if self.label_col is None:
+            rec = np.zeros(n, dtype=[("t", "<u4"), ("s", "<i4"), ("la", "<f4"), ("lo", "<f4")])
+        else:
+            rec = np.zeros(
+                n,
+                dtype=[("t", "<u4"), ("s", "<i4"), ("la", "<f4"), ("lo", "<f4"), ("lb", "<i8")],
+            )
+            rec["lb"] = _label_to_i64(batch[self.label_col].to_pylist())[order]
+        rec["t"] = track[order]
+        rec["s"] = secs[order].astype(np.int32)
+        rec["la"] = lat[order]
+        rec["lo"] = lon[order]
+        return pa.table({"bin": pa.array([rec.tobytes()], pa.binary())})
+
+
+def bin_decode(blob: bytes, has_label: bool = False) -> pa.Table:
+    """Decode a BIN blob (BinaryOutputEncoder.decode:177-187)."""
+    if has_label:
+        dt = np.dtype([("t", "<u4"), ("s", "<i4"), ("la", "<f4"), ("lo", "<f4"), ("lb", "<i8")])
+    else:
+        dt = np.dtype([("t", "<u4"), ("s", "<i4"), ("la", "<f4"), ("lo", "<f4")])
+    rec = np.frombuffer(blob, dtype=dt)
+    cols = {
+        "track_id": pa.array(rec["t"].astype(np.int64), pa.int64()),
+        "dtg_ms": pa.array(rec["s"].astype(np.int64) * 1000, pa.int64()),
+        "lat": pa.array(rec["la"], pa.float32()),
+        "lon": pa.array(rec["lo"], pa.float32()),
+    }
+    if has_label:
+        cols["label"] = pa.array(rec["lb"], pa.int64())
+    return pa.table(cols)
+
+
+def write_bin(ds: ray.data.Dataset, path: str, **encoder_kwargs) -> int:
+    """Stream the dataset into one .bin file; returns record count."""
+    enc = BinEncode(**encoder_kwargs)
+    total = 0
+    rec_size = 24 if encoder_kwargs.get("label_col") else 16
+    with open(path, "wb") as f:
+        for blob_batch in ds.map_batches(
+            enc.__call__, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for blob in blob_batch["bin"].to_pylist():
+                f.write(blob)
+                total += len(blob) // rec_size
+    return total
+
+
+def write_arrow_ipc(ds: ray.data.Dataset, path: str) -> int:
+    """Arrow IPC stream export (ArrowScan / arrow exporter analog):
+    zero-copy per block — Ray Data blocks already ARE Arrow."""
+    import pyarrow.ipc as ipc
+
+    total = 0
+    writer = None
+    try:
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            if writer is None:
+                writer = ipc.new_stream(path, batch.schema)
+            writer.write_table(batch)
+            total += len(batch)
+    finally:
+        if writer is not None:
+            writer.close()
+    return total
+
+
+def write_csv(ds: ray.data.Dataset, path_dir: str) -> None:
+    ds.write_csv(path_dir)
+
+
+def write_geojson(ds: ray.data.Dataset, path: str, lon_col: str = "lon",
+                  lat_col: str = "lat", limit_props: list[str] | None = None) -> int:
+    """GeoJSON FeatureCollection export (point geometries)."""
+    import json
+
+    total = 0
+    with open(path, "w") as f:
+        f.write('{"type":"FeatureCollection","features":[')
+        first = True
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            props_cols = limit_props or [
+                c for c in batch.schema.names if c not in (lon_col, lat_col)
+            ]
+            lon = batch[lon_col].to_pylist()
+            lat = batch[lat_col].to_pylist()
+            props = {c: batch[c].to_pylist() for c in props_cols}
+            for i in range(len(batch)):
+                feat = {
+                    "type": "Feature",
+                    "geometry": {"type": "Point", "coordinates": [lon[i], lat[i]]},
+                    "properties": {c: props[c][i] for c in props_cols},
+                }
+                f.write(("" if first else ",") + json.dumps(feat, default=str))
+                first = False
+                total += 1
+        f.write("]}")
+    return total
