@@ -154,7 +154,8 @@ def q_pip_join_shuffle(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     out = pip_join_shuffle(
-        pts, polygons_table(), predicate="intersects", hot_threshold=5000, n_salt=4
+        pts, polygons_table(), predicate="intersects", hot_threshold=5000, n_salt=4,
+        point_cols=["event_id"],
     )
     return out.map_batches(
         lambda b: b.select(["event_id", "poly_id"]), batch_format="pyarrow"

@@ -22,11 +22,27 @@ _LON_PATTERN = r'itemprop="longitude">(?P<mlon>-?\d+\.\d+)<'
 
 class ExtractGeo:
     """Stateless-per-batch extract; declared as a class so a pool reuses the
-    compiled regex machinery inside Arrow and the schema constants."""
+    compiled regex machinery inside Arrow and the schema constants.
 
-    def __init__(self, drop_missing: bool = True, keep_html: bool = False):
-        self.drop_missing = drop_missing
+    ``error_mode`` mirrors the converter framework's modes
+    (AbstractConverter.scala:256-262):
+      * ``"skip"``  — drop unparsable rows (default); counts accumulate in
+        ``self.n_dropped`` / ``self.n_ok`` (per actor — aggregate via the
+        manifest or a stats pass);
+      * ``"return"`` — keep unparsable rows with null lon/lat plus an
+        ``extract_error`` flag column;
+      * ``"raise"`` — raise on the first unparsable row.
+    """
+
+    def __init__(self, drop_missing: bool = True, keep_html: bool = False,
+                 error_mode: str = "skip"):
+        if error_mode not in ("skip", "return", "raise"):
+            raise ValueError(error_mode)
+        self.drop_missing = drop_missing and error_mode == "skip"
         self.keep_html = keep_html
+        self.error_mode = error_mode
+        self.n_ok = 0
+        self.n_dropped = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         html = pc.cast(batch["html"], pa.string())
@@ -55,14 +71,25 @@ class ExtractGeo:
         if self.keep_html:
             cols["html"] = batch["html"]
         out = pa.table(cols)
-        if self.drop_missing:
-            # drop rows with no parsable geotag AND out-of-range coordinates
-            valid = pc.and_(
+        # rows with no parsable geotag or out-of-range coordinates
+        valid = pc.fill_null(
+            pc.and_(
                 pc.is_valid(lon),
                 pc.and_(
                     pc.and_(pc.greater_equal(lon, -180.0), pc.less_equal(lon, 180.0)),
                     pc.and_(pc.greater_equal(lat, -90.0), pc.less_equal(lat, 90.0)),
                 ),
-            )
+            ),
+            False,
+        )
+        n_bad = len(out) - pc.sum(pc.cast(valid, pa.int64())).as_py()
+        self.n_ok += len(out) - n_bad
+        self.n_dropped += n_bad
+        if self.error_mode == "raise" and n_bad:
+            bad_url = out.filter(pc.invert(valid))["url"][0].as_py()
+            raise ValueError(f"unparsable geotag (first bad url: {bad_url})")
+        if self.error_mode == "return":
+            return out.append_column("extract_error", pc.invert(valid))
+        if self.drop_missing:
             out = out.filter(valid)
         return out

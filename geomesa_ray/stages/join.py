@@ -343,14 +343,21 @@ def pip_join_shuffle(
     max_cover: int = 1024,
     id_col: str = "poly_id",
     wkb_col: str = "geom_wkb",
+    point_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Shuffle PIP join keyed by quadtree cell, with hot-cell salting.
 
     ``points`` must carry ``lon``, ``lat`` and a ``cell`` column at
-    ``cell_res`` (from :class:`~geomesa_ray.stages.encode.EncodeKeys`).
-    Polygon geometries are broadcast (``ray.put``) so the shuffle moves only
-    (cell, salt, role, poly_idx) int rows for the polygon side; each
-    (point, polygon) output pair is emitted exactly once (see module doc).
+    ``cell_res`` (from :class:`~geomesa_ray.stages.encode.EncodeKeys`), or
+    at least ``lon``/``lat`` (the cell is derived). Polygon geometries are
+    broadcast (``ray.put``) so the shuffle moves only (cell, salt, role,
+    poly_idx) int rows for the polygon side; each (point, polygon) output
+    pair is emitted exactly once (see module doc).
+
+    ``point_cols`` projects the point side BEFORE the shuffle (prune-early:
+    the all-to-all exchange then moves only the requested columns plus
+    lon/lat/cell/url); the join output carries exactly those columns +
+    polygon attributes.
     """
     if predicate not in PREDICATES:
         raise ValueError(f"predicate must be one of {PREDICATES}, got {predicate!r}")
@@ -380,6 +387,14 @@ def pip_join_shuffle(
             )
         return batch.append_column("cell", pa.array(cell_of_z2(z2, cell_res), pa.int64()))
 
+    if point_cols is not None:
+        needed = list(dict.fromkeys(point_cols + ["lon", "lat", "url"]))
+
+        def _project(batch: pa.Table) -> pa.Table:
+            keep = [c for c in needed + ["cell", "z2"] if c in batch.schema.names]
+            return batch.select(keep)
+
+        points = points.map_batches(_project, batch_format="pyarrow")
     points = points.map_batches(_ensure_cell, batch_format="pyarrow")
     hot = {
         c: n for c, n in hot_cell_histogram(points).items() if n >= hot_threshold

@@ -1,0 +1,70 @@
+"""Compaction (scan-equivalence before/after) + reprojection + extract
+error modes."""
+
+import glob
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.geometry.reproject import (
+    Reproject,
+    lonlat_to_webmercator,
+    webmercator_to_lonlat,
+)
+from geomesa_ray.pipelines.compact import compact
+from geomesa_ray.pipelines.ingest import ingest_pages
+from geomesa_ray.pipelines.scan import Query, scan
+from geomesa_ray.sources.synth import generate_pages, write_pages_parquet
+from geomesa_ray.stages.extract import ExtractGeo
+
+
+def test_compaction_preserves_scans(ray_session, tmp_path):
+    raw, idx = tmp_path / "raw", tmp_path / "idx"
+    raw.mkdir()
+    write_pages_parquet(str(raw), 4000, seed=88, shard_rows=1000)
+    ingest_pages(str(raw), str(idx), n_groups=2, target_rows_per_file=300)
+    q = Query(bbox=(-80, 30, 10, 55))
+    before = sorted(scan(str(idx), q).to_pandas()["url"])
+    n_files_before = len(glob.glob(f"{idx}/group=*/*.parquet"))
+    done = compact(str(idx), target_rows_per_file=10_000)
+    assert done == [0, 1]
+    n_files_after = len(glob.glob(f"{idx}/group=*/*.parquet"))
+    assert n_files_after < n_files_before
+    after = sorted(scan(str(idx), q).to_pandas()["url"])
+    assert after == before
+    # second compaction is a no-op
+    assert compact(str(idx), target_rows_per_file=10_000) == []
+
+
+def test_reprojection_roundtrip():
+    lon = np.array([-74.0, 0.0, 139.69, 180.0])
+    lat = np.array([40.7, 0.0, 35.69, 80.0])
+    x, y = lonlat_to_webmercator(lon, lat)
+    # known value: origin maps to (0, 0)
+    assert x[1] == 0.0 and abs(y[1]) < 1e-9
+    lon2, lat2 = webmercator_to_lonlat(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    batch = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+    out = Reproject("EPSG:4326", "EPSG:3857", out_x="mx", out_y="my")(batch)
+    assert out["mx"].to_numpy().tolist() == x.tolist()
+    with pytest.raises(NotImplementedError):
+        Reproject("EPSG:4326", "EPSG:2154")
+
+
+def test_extract_error_modes():
+    pages = generate_pages(500, seed=123)
+    skip = ExtractGeo(error_mode="skip")
+    out = skip(pages)
+    assert skip.n_ok == len(out)
+    assert skip.n_dropped == len(pages) - len(out)
+    assert skip.n_dropped > 0  # fixture plants missing/malformed geotags
+
+    ret = ExtractGeo(error_mode="return")
+    out2 = ret(pages)
+    assert len(out2) == len(pages)
+    assert out2["extract_error"].to_numpy(zero_copy_only=False).sum() == skip.n_dropped
+
+    with pytest.raises(ValueError, match="unparsable"):
+        ExtractGeo(error_mode="raise")(pages)
