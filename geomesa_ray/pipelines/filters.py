@@ -1,0 +1,263 @@
+"""Filter algebra: And/Or predicate trees → (geometries, intervals, residual).
+
+Reference analog: CQL filter decomposition — `FilterHelper.extractGeometries`
+(geomesa-filter/.../FilterHelper.scala:100-135: And intersects, Or unions,
+clip to world, empty → whole world) and `extractIntervals` (:146-169 with
+typed bounds And=intersect / Or=union), feeding FilterSplitter's
+primary/secondary split (planning/FilterSplitter.scala:25-121).
+
+Our AST is explicit (no CQL parser): predicate leaves are BBox / GeomPredicate
+/ During / AttrEq / AttrRange; And / Or combine them. ``plan`` extracts the
+index-drivable parts (spatial extents as a list of OR'd bboxes; time as a
+list of OR'd intervals) plus a residual callable evaluated per batch — the
+same primary/secondary contract the reference's planner produces.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geomesa_ray.geometry.base import Geometry, Polygon, box
+from geomesa_ray.geometry.predicates import points_in_polygon
+
+WORLD = (-180.0, -90.0, 180.0, 90.0)
+
+
+class Filter:
+    pass
+
+
+@dataclass(frozen=True)
+class BBox(Filter):
+    xmin: float
+    ymin: float
+    xmax: float
+    ymax: float
+
+
+@dataclass(frozen=True)
+class GeomPredicate(Filter):
+    """Exact geometry predicate (intersects-style, boundary inclusive)."""
+
+    geometry: Geometry
+
+
+@dataclass(frozen=True)
+class During(Filter):
+    lo_ms: int
+    hi_ms: int  # exclusive upper
+
+
+@dataclass(frozen=True)
+class AttrEq(Filter):
+    column: str
+    value: object
+
+
+@dataclass(frozen=True)
+class AttrRange(Filter):
+    column: str
+    lo: object = None
+    hi: object = None  # inclusive bounds; None = unbounded
+
+
+@dataclass(frozen=True)
+class And(Filter):
+    parts: tuple
+
+    def __init__(self, *parts):
+        object.__setattr__(self, "parts", tuple(parts))
+
+
+@dataclass(frozen=True)
+class Or(Filter):
+    parts: tuple
+
+    def __init__(self, *parts):
+        object.__setattr__(self, "parts", tuple(parts))
+
+
+# ---------------------------------------------------------------------------
+# extraction (FilterHelper semantics)
+# ---------------------------------------------------------------------------
+
+
+def _bbox_intersect(a, b):
+    r = (max(a[0], b[0]), max(a[1], b[1]), min(a[2], b[2]), min(a[3], b[3]))
+    return r if r[0] <= r[2] and r[1] <= r[3] else None
+
+
+def extract_bboxes(f: Filter) -> list[tuple]:
+    """OR'd list of spatial extents; [] = no spatial bound (whole world).
+
+    And intersects the children's extents pairwise; Or unions the lists
+    (FilterHelper.extractGeometries And/Or algebra, clipped to the world).
+    """
+    if isinstance(f, BBox):
+        clipped = _bbox_intersect((f.xmin, f.ymin, f.xmax, f.ymax), WORLD)
+        return [clipped] if clipped else []
+    if isinstance(f, GeomPredicate):
+        clipped = _bbox_intersect(f.geometry.bounds, WORLD)
+        return [clipped] if clipped else []
+    if isinstance(f, And):
+        lists = [extract_bboxes(p) for p in f.parts]
+        lists = [l for l, p in zip(lists, f.parts) if _is_spatial(p)]
+        if not lists:
+            return []
+        acc = lists[0]
+        for nxt in lists[1:]:
+            acc = [r for a in acc for b in nxt if (r := _bbox_intersect(a, b))]
+        return acc
+    if isinstance(f, Or):
+        if not all(_is_spatial_somewhere(p) for p in f.parts):
+            return []  # an un-bounded OR arm defeats spatial pruning
+        out = []
+        for p in f.parts:
+            out.extend(extract_bboxes(p))
+        return out
+    return []
+
+
+def _is_spatial(f: Filter) -> bool:
+    if isinstance(f, (BBox, GeomPredicate)):
+        return True
+    if isinstance(f, (And, Or)):
+        return any(_is_spatial(p) for p in f.parts)
+    return False
+
+
+def _is_spatial_somewhere(f: Filter) -> bool:
+    return _is_spatial(f)
+
+
+def _ivl_intersect(a, b):
+    r = (max(a[0], b[0]), min(a[1], b[1]))
+    return r if r[0] < r[1] else None
+
+
+def extract_intervals(f: Filter) -> list[tuple[int, int]]:
+    """OR'd list of [lo, hi) epoch-ms intervals; [] = unbounded."""
+    if isinstance(f, During):
+        return [(f.lo_ms, f.hi_ms)]
+    if isinstance(f, And):
+        lists = [extract_intervals(p) for p in f.parts]
+        lists = [l for l in lists if l]
+        if not lists:
+            return []
+        acc = lists[0]
+        for nxt in lists[1:]:
+            acc = [r for a in acc for b in nxt if (r := _ivl_intersect(a, b))]
+        return acc
+    if isinstance(f, Or):
+        lists = [extract_intervals(p) for p in f.parts]
+        if any(not l for l in lists):
+            return []  # unbounded arm
+        return [iv for l in lists for iv in l]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# residual evaluation (the secondary filter)
+# ---------------------------------------------------------------------------
+
+
+def evaluate(f: Filter, batch: pa.Table, lon_col="lon", lat_col="lat",
+             ts_col="warc_ts") -> np.ndarray:
+    """Vectorized boolean mask for the FULL predicate over a batch."""
+    if isinstance(f, BBox):
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        return (
+            (lon >= f.xmin) & (lon <= f.xmax) & (lat >= f.ymin) & (lat <= f.ymax)
+        )
+    if isinstance(f, GeomPredicate):
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        return points_in_polygon(lon, lat, f.geometry)
+    if isinstance(f, During):
+        ts = batch[ts_col].cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return (ts >= f.lo_ms) & (ts < f.hi_ms)
+    if isinstance(f, AttrEq):
+        return pc.fill_null(pc.equal(batch[f.column], f.value), False).to_numpy(
+            zero_copy_only=False
+        )
+    if isinstance(f, AttrRange):
+        mask = np.ones(len(batch), dtype=bool)
+        if f.lo is not None:
+            mask &= pc.fill_null(
+                pc.greater_equal(batch[f.column], f.lo), False
+            ).to_numpy(zero_copy_only=False)
+        if f.hi is not None:
+            mask &= pc.fill_null(
+                pc.less_equal(batch[f.column], f.hi), False
+            ).to_numpy(zero_copy_only=False)
+        return mask
+    if isinstance(f, And):
+        mask = np.ones(len(batch), dtype=bool)
+        for p in f.parts:
+            mask &= evaluate(p, batch, lon_col, lat_col, ts_col)
+        return mask
+    if isinstance(f, Or):
+        mask = np.zeros(len(batch), dtype=bool)
+        for p in f.parts:
+            mask |= evaluate(p, batch, lon_col, lat_col, ts_col)
+        return mask
+    raise TypeError(type(f).__name__)
+
+
+@dataclass
+class FilterPlan:
+    """Primary (index-drivable) + secondary (residual) split."""
+
+    bboxes: list[tuple]  # OR'd spatial extents ([] = full)
+    intervals: list[tuple[int, int]]  # OR'd time intervals ([] = unbounded)
+    residual: Callable[[pa.Table], np.ndarray]
+
+
+def plan(f: Filter) -> FilterPlan:
+    """Split a predicate tree into scan extents + a residual evaluator.
+
+    The residual is the FULL filter (always correct); the extents are used
+    only for pruning, so over-covering is safe — mirroring loose-vs-exact
+    (Z3IndexKeySpace.scala:240-254).
+    """
+    return FilterPlan(
+        bboxes=extract_bboxes(f),
+        intervals=extract_intervals(f),
+        residual=lambda batch: evaluate(f, batch),
+    )
+
+
+def scan_with_filter(out_dir: str, f: Filter):
+    """Planned multi-extent scan: union of per-(bbox×interval) planned scans
+    with the exact residual applied per batch; results dedup by url when
+    extents overlap."""
+    import ray.data
+
+    from geomesa_ray.pipelines.scan import Query, scan
+    from geomesa_ray.stages.dedup import exact_dedup
+
+    fp = plan(f)
+    bboxes = fp.bboxes or [WORLD]
+    intervals = fp.intervals or [None]
+    parts = []
+    for bb in bboxes:
+        for iv in intervals:
+            ds = scan(out_dir, Query(bbox=bb, interval=iv, loose=True))
+            parts.append(ds)
+    out = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+    def residual(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(fp.residual(batch)))
+
+    out = out.map_batches(residual, batch_format="pyarrow")
+    if len(parts) > 1:
+        out = exact_dedup(out, key_col="url", id_col="url")
+    return out

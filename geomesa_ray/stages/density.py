@@ -105,16 +105,41 @@ def density(
     batch_size: int = 100_000,  # geomesa.density.batch.size (DensityScan.scala:58)
     lon_col: str = "lon",
     lat_col: str = "lat",
+    reduce_max_cells: int = 1_048_576,
 ) -> ray.data.Dataset:
-    """Tile-aggregation pipeline: partial sums per batch, one small shuffle."""
+    """Tile-aggregation pipeline: sparse partial sums per batch, then either
+    a driver-side merge (grid ≤ ``reduce_max_cells`` — the reference's
+    client-reducer shape, no all-to-all shuffle) or a small tile groupby."""
     tiler = DensityTiles(envelope, width, height, weight_col, lon_col, lat_col)
     partials = points.map_batches(
         tiler.__call__, batch_format="pyarrow", batch_size=batch_size
     )
+    if width * height <= reduce_max_cells:
+        import ray.data as rd
+
+        grid = np.zeros(width * height, dtype=np.float64)
+        touched = np.zeros(width * height, dtype=bool)
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            tx = b["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ty = b["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = b["weight"].to_numpy(zero_copy_only=False)
+            idx = tx * height + ty
+            np.add.at(grid, idx, w)
+            touched[idx] = True
+        occ = np.nonzero(touched)[0]
+        merged = pa.table(
+            {
+                "tile_x": pa.array((occ // height).astype(np.int32), pa.int32()),
+                "tile_y": pa.array((occ % height).astype(np.int32), pa.int32()),
+                "weight": pa.array(grid[occ], pa.float64()),
+            }
+        )
+        return rd.from_arrow(merged)
     from ray.data.aggregate import Sum
 
-    agg = partials.groupby(["tile_x", "tile_y"]).aggregate(Sum("weight", alias_name="weight"))
-    return agg
+    return partials.groupby(["tile_x", "tile_y"]).aggregate(
+        Sum("weight", alias_name="weight")
+    )
 
 
 def decode(tiles: pa.Table, envelope=WORLD, width: int = DEFAULT_WIDTH,

@@ -1,0 +1,99 @@
+"""Property-based invariants (hypothesis) for the curve/index kernels —
+randomized complement to the enumerated reference fixtures."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geomesa_ray.curves.binnedtime import (
+    TimePeriod,
+    bins_and_offsets,
+    binned_time_to_millis,
+    max_offset,
+)
+from geomesa_ray.curves.sfc import Z2SFC, Z3SFC
+from geomesa_ray.curves.xz import XZ2SFC
+from geomesa_ray.curves.zranges import zranges_2d
+from geomesa_ray.stages.density import GridSnap
+
+lon = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+lat = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+# ≤ year 2037: keeps every period's int16 bin in range (reference Short
+# bins error beyond max, time_to_binned_time analog)
+millis = st.integers(min_value=0, max_value=2_145_916_800_000)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon, lat)
+def test_z2_round_trip_within_bin(x, y):
+    sfc = Z2SFC()
+    z = sfc.index(np.array([x]), np.array([y]))[0]
+    dx, dy = sfc.invert(np.array([z]))
+    assert abs(dx[0] - x) <= 360.0 / (1 << 31) + 1e-12
+    assert abs(dy[0] - y) <= 180.0 / (1 << 31) + 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon, lat, millis)
+def test_z3_round_trip_within_bin(x, y, t):
+    sfc = Z3SFC(TimePeriod.WEEK)
+    bins, z = sfc.index_from_millis(np.array([x]), np.array([y]), np.array([t]))
+    dx, dy, dt = sfc.invert(np.array([z]))
+    assert abs(dx[0] - x) <= 360.0 / (1 << 21) + 1e-9
+    assert abs(dy[0] - y) <= 180.0 / (1 << 21) + 1e-9
+    # time offset within one time-bin cell
+    mo = max_offset(TimePeriod.WEEK)
+    _, off = bins_and_offsets(np.array([t]), TimePeriod.WEEK)
+    assert abs(dt[0] - off[0]) <= mo / (1 << 21) + 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(millis, st.sampled_from(list(TimePeriod)))
+def test_binned_time_round_trip(t, period):
+    bins, offs = bins_and_offsets(np.array([t]), period)
+    back = binned_time_to_millis(int(bins[0]), int(offs[0]), period)
+    # offsets truncate to the period's unit resolution
+    unit = {"day": 1, "week": 1000, "month": 1000, "year": 60_000}[period.value]
+    assert 0 <= t - back < unit
+
+
+@settings(max_examples=50, deadline=None)
+@given(lon, lat, st.floats(min_value=0.01, max_value=30.0),
+       st.floats(min_value=0.01, max_value=30.0))
+def test_zranges_cover_random_point(x, y, w, h):
+    """A window containing the point must cover its z2 code."""
+    sfc = Z2SFC()
+    xmin, xmax = max(x - w, -180.0), min(x + w, 180.0)
+    ymin, ymax = max(y - h, -90.0), min(y + h, 90.0)
+    z = int(sfc.index(np.array([x]), np.array([y]))[0])
+    ranges = zranges_2d(sfc, [(xmin, ymin, xmax, ymax)], max_ranges=64)
+    assert any(r.lower <= z <= r.upper for r in ranges)
+
+
+@settings(max_examples=50, deadline=None)
+@given(lon, lat, st.floats(min_value=0.0, max_value=5.0),
+       st.floats(min_value=0.0, max_value=5.0),
+       st.floats(min_value=0.5, max_value=20.0))
+def test_xz2_containing_window_covers(x, y, w, h, pad):
+    sfc = XZ2SFC(10)
+    xmin, xmax = max(x - w, -180.0), min(x + w, 180.0)
+    ymin, ymax = max(y - h, -90.0), min(y + h, 90.0)
+    code = int(sfc.index(np.array([xmin]), np.array([ymin]),
+                         np.array([xmax]), np.array([ymax]))[0])
+    window = (
+        max(xmin - pad, -180.0), max(ymin - pad, -90.0),
+        min(xmax + pad, 180.0), min(ymax + pad, 90.0),
+    )
+    ranges = sfc.ranges([window])
+    assert any(r.lower <= code <= r.upper for r in ranges)
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon, lat)
+def test_gridsnap_cell_contains_point(x, y):
+    snap = GridSnap((-180.0, -90.0, 180.0, 90.0), 256, 256)
+    i = int(snap.i(np.array([x]))[0])
+    j = int(snap.j(np.array([y]))[0])
+    assert 0 <= i < 256 and 0 <= j < 256
+    cx, cy = float(snap.x(np.array([i]))[0]), float(snap.y(np.array([j]))[0])
+    assert abs(cx - x) <= snap.dx / 2 + 1e-9
+    assert abs(cy - y) <= snap.dy / 2 + 1e-9
