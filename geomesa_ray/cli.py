@@ -1,0 +1,164 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+Examples (local; on a cluster drop ``--local`` and let RAY_ADDRESS route):
+
+    ray job submit -- python -m geomesa_ray.cli ingest \
+        --input /data/pages --out /data/index
+    ray job submit -- python -m geomesa_ray.cli scan \
+        --index /data/index --bbox -10,40,30,60 --out /data/scan_out
+    ray job submit -- python -m geomesa_ray.cli join \
+        --index /data/index --polygons /data/polygons.parquet --out /data/pairs
+    ray job submit -- python -m geomesa_ray.cli density \
+        --index /data/index --width 256 --height 256 --out /data/tiles
+
+The CLI owns the Ray session (guarded init, shutdown at exit) — the library
+never calls ``ray.init``. Jobs are resumable: ingest skips manifest-complete
+groups, and all writers emit partitioned output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _init(args) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=args.address, **kwargs)
+
+
+def cmd_ingest(args) -> dict:
+    from geomesa_ray.pipelines.ingest import ingest_pages
+
+    manifest = ingest_pages(
+        args.input, args.out,
+        n_groups=args.groups,
+        target_rows_per_file=args.target_rows,
+    )
+    return {
+        "groups": len(manifest),
+        "rows_out": sum(e.rows_out for e in manifest.values()),
+    }
+
+
+def cmd_scan(args) -> dict:
+    from geomesa_ray.pipelines.scan import Query, scan
+
+    bbox = tuple(float(v) for v in args.bbox.split(",")) if args.bbox else None
+    interval = None
+    if args.interval:
+        lo, hi = args.interval.split("/")
+        import numpy as np
+
+        interval = (
+            int(np.datetime64(lo).astype("datetime64[ms]").astype(np.int64)),
+            int(np.datetime64(hi).astype("datetime64[ms]").astype(np.int64)),
+        )
+    ds = scan(args.index, Query(bbox=bbox, interval=interval, loose=args.loose))
+    ds.write_parquet(args.out)
+    return {"rows": ds.count()}
+
+
+def cmd_join(args) -> dict:
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geomesa_ray.stages.join import pip_join_broadcast, pip_join_shuffle
+
+    files = sorted(glob.glob(os.path.join(args.index, "group=*", "*.parquet")))
+    points = ray.data.read_parquet(files)
+    polygons = pq.read_table(args.polygons)
+    if args.strategy == "broadcast":
+        out = pip_join_broadcast(points, polygons, predicate=args.predicate)
+    else:
+        out = pip_join_shuffle(points, polygons, predicate=args.predicate)
+    out.write_parquet(args.out)
+    return {"pairs": out.count()}
+
+
+def cmd_density(args) -> dict:
+    import glob
+
+    import ray.data
+
+    from geomesa_ray.stages.density import density
+
+    files = sorted(glob.glob(os.path.join(args.index, "group=*", "*.parquet")))
+    points = ray.data.read_parquet(files, columns=["lon", "lat"])
+    tiles = density(points, width=args.width, height=args.height)
+    tiles.write_parquet(args.out)
+    return {"tiles": tiles.count()}
+
+
+def cmd_compact(args) -> dict:
+    from geomesa_ray.pipelines.compact import compact
+
+    done = compact(args.index, target_rows_per_file=args.target_rows)
+    return {"compacted_groups": done}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="geomesa_ray")
+    ap.add_argument("--address", default=os.environ.get("RAY_ADDRESS", "local"))
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ingest")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--groups", type=int, default=None)
+    p.add_argument("--target-rows", type=int, default=1_000_000)
+    p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("scan")
+    p.add_argument("--index", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--bbox", default=None, help="xmin,ymin,xmax,ymax")
+    p.add_argument("--interval", default=None, help="ISO/ISO")
+    p.add_argument("--loose", action="store_true")
+    p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser("join")
+    p.add_argument("--index", required=True)
+    p.add_argument("--polygons", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--strategy", choices=["broadcast", "shuffle"], default="broadcast")
+    p.add_argument("--predicate", default="intersects")
+    p.set_defaults(fn=cmd_join)
+
+    p = sub.add_parser("density")
+    p.add_argument("--index", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=256)
+    p.set_defaults(fn=cmd_density)
+
+    p = sub.add_parser("compact")
+    p.add_argument("--index", required=True)
+    p.add_argument("--target-rows", type=int, default=1_000_000)
+    p.set_defaults(fn=cmd_compact)
+
+    args = ap.parse_args(argv)
+    _init(args)
+    t0 = time.perf_counter()
+    result = args.fn(args)
+    result["wall_sec"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -256,13 +256,19 @@ class _CoverPolygons:
         )
 
 
-def hot_cell_histogram(points: ray.data.Dataset, top_k: int = 64) -> dict[int, int]:
+def hot_cell_histogram(points: ray.data.Dataset, top_k: int = 64,
+                       sample_rows: int = 1_000_000) -> dict[int, int]:
     """Sampled per-cell counts of the point side (skew detection).
 
-    A small ``groupby(cell).count()`` — the result is tiny (≤ #occupied
-    cells), only the top-k heaviest are returned.
+    Reads at most ``sample_rows`` rows (hot-cell detection needs only the
+    shape of the skew, so a prefix sample is enough and the full pipeline
+    is not executed twice); counts are scaled back to the full size only
+    in the sense that thresholds should be set per-sample. Result is tiny
+    (≤ top_k rows).
     """
-    counts = points.groupby("cell").count().to_pandas()
+    counts = (
+        points.limit(sample_rows).groupby("cell").count().to_pandas()
+    )
     counts = counts.sort_values("count()", ascending=False).head(top_k)
     return dict(zip(counts["cell"].astype(int), counts["count()"].astype(int)))
 
