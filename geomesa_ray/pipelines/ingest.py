@@ -45,8 +45,17 @@ def ingest_pages(
     batch_size: int = 20_000,  # reference local ingest flush (IngestCommand.scala:187)
     target_rows_per_file: int = 1_000_000,
     resume: bool = True,
+    extract: bool = True,
+    columns: list[str] | None = None,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
 ) -> dict[int, GroupEntry]:
-    """Run the resumable ingest; returns the complete manifest."""
+    """Run the resumable ingest; returns the complete manifest.
+
+    ``extract=False`` indexes tables that already carry lon/lat (skips the
+    html extraction stage — the converter-free ingest path); ``columns``
+    overrides the read projection in that case.
+    """
     if isinstance(input_files, str):
         if os.path.isdir(input_files):
             input_files = sorted(
@@ -70,11 +79,14 @@ def ingest_pages(
             continue  # already completed: skip (resume)
         t0 = time.perf_counter()
         group_dir = os.path.join(out_dir, f"group={k}")
-        ds = ray.data.read_parquet(files, columns=PAGE_COLUMNS)
+        read_cols = columns if columns is not None else (PAGE_COLUMNS if extract else None)
+        ds = ray.data.read_parquet(files, columns=read_cols)
         rows_in = ds.count()
-        ds = ds.map_batches(ExtractGeo(), batch_format="pyarrow", batch_size=batch_size)
+        if extract:
+            ds = ds.map_batches(ExtractGeo(), batch_format="pyarrow", batch_size=batch_size)
         ds = ds.map_batches(
-            EncodeKeys(period=period, cell_res=cell_res, n_shards=n_shards),
+            EncodeKeys(period=period, cell_res=cell_res, n_shards=n_shards,
+                       id_col=id_col, ts_col=ts_col),
             batch_format="pyarrow",
             batch_size=batch_size,
         )

@@ -180,6 +180,54 @@ def q_tile_agg(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _indexed_events_layout(sf_dir: str) -> str:
+    """Cached z-ordered layout of the derived events points (built once per
+    sf_dir via the resumable ingest; reruns skip complete groups)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/geomesa_ray_events_idx_{key}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        from geomesa_ray.pipelines.ingest import ingest_pages
+
+        os.makedirs(out, exist_ok=True)
+        raw = os.path.join(out, "raw.parquet")
+        # materialize the derived points (small per sf tier) with a string id
+        parts = []
+        for b in events_points(sf_dir).iter_batches(batch_format="pyarrow"):
+            parts.append(b.append_column("url", b["event_id"].cast(pa.string())))
+        pq.write_table(pa.concat_tables(parts), raw)
+        ingest_pages(
+            raw, out, extract=False, id_col="url", ts_col="ts",
+            target_rows_per_file=20_000, n_groups=2,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_knn_indexed(sf_dir: str) -> pa.Table:
+    """kNN via the z-indexed expanding-window path (same oracle as knn)."""
+    from geomesa_ray.pipelines.knn import knn_search
+
+    layout = _indexed_events_layout(sf_dir)
+    res = knn_search(
+        layout, [KNN_Q[0]], [KNN_Q[1]], 10, id_col="event_id",
+        start_radius_m=100_000.0,
+    ).to_pandas()
+    res = res.sort_values(["dist_m", "event_id"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "event_id": pa.array(res["event_id"].to_numpy().astype(np.int64), pa.int64()),
+            "rank": pa.array(np.arange(1, len(res) + 1, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
 def q_knn(sf_dir: str) -> pa.Table:
     from geomesa_ray.pipelines.knn import knn_brute
 
@@ -485,6 +533,7 @@ QUERIES = {
     "pip_join_shuffle": q_pip_join_shuffle,
     "tile_agg": q_tile_agg,
     "knn": q_knn,
+    "knn_indexed": q_knn_indexed,
     "events_by_type": q_events_by_type,
     "lang_counts": q_lang_counts,
     "top_customers": q_top_customers,
@@ -576,6 +625,24 @@ WITH {_DERIVE_SQL.strip()}, dists AS (
              POW(SIN(RADIANS(lat - {KNN_Q[1]}) / 2), 2)
              + COS(RADIANS({KNN_Q[1]})) * COS(RADIANS(lat))
                * POW(SIN(RADIANS(lon - {KNN_Q[0]}) / 2), 2)
+         ))) AS d
+  FROM derived
+)
+SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY d, event_id) AS BIGINT) AS rank
+FROM dists ORDER BY d, event_id LIMIT 10
+""",
+    "knn_indexed": """
+WITH derived AS (
+  SELECT *,
+         ((event_id * 7919)  % 36000) / 100.0 - 180.0 AS lon,
+         ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat
+  FROM events
+), dists AS (
+  SELECT event_id,
+         2 * 6371008.7714 * ASIN(LEAST(1.0, SQRT(
+             POW(SIN(RADIANS(lat - 48.85) / 2), 2)
+             + COS(RADIANS(48.85)) * COS(RADIANS(lat))
+               * POW(SIN(RADIANS(lon - 2.35) / 2), 2)
          ))) AS d
   FROM derived
 )
