@@ -323,6 +323,29 @@ def st_within(a_col, b):
     return st_relation("st_within", a_col, b)
 
 
+def st_relate_matrix(a_col, b: Geometry | bytes) -> pa.Array:
+    """st_relate: DE-9IM matrix string per row vs a fixed geometry."""
+    from geomesa_ray.geometry.relate import relate as _relate
+
+    if isinstance(b, (bytes, bytearray)):
+        b = from_wkb(bytes(b))
+    return pa.array(
+        [_relate(g, b) if g is not None else None for g in geoms_from_wkb(a_col)],
+        pa.string(),
+    )
+
+
+def st_relate_bool(a_col, b: Geometry | bytes, pattern: str) -> pa.Array:
+    from geomesa_ray.geometry.relate import relate_bool as _rb
+
+    if isinstance(b, (bytes, bytearray)):
+        b = from_wkb(bytes(b))
+    return pa.array(
+        [_rb(g, b, pattern) if g is not None else None for g in geoms_from_wkb(a_col)],
+        pa.bool_(),
+    )
+
+
 def st_area(col) -> pa.Array:
     return pa.array(
         [measures.area(g) if g is not None else None for g in geoms_from_wkb(col)],

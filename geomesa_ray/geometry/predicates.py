@@ -472,5 +472,7 @@ def equals(a: Geometry, b: Geometry) -> bool:
 
 
 def relate_bool(a: Geometry, b: Geometry, pattern: str) -> bool:
-    """Subset of DE-9IM pattern matching used by st_relateBool."""
-    raise NotImplementedError("general DE-9IM pattern matching not supported")
+    """DE-9IM pattern matching (st_relateBool) — full matrix in relate.py."""
+    from geomesa_ray.geometry.relate import relate_bool as _rb
+
+    return _rb(a, b, pattern)
