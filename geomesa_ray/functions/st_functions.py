@@ -388,6 +388,39 @@ def st_distance_spheroid(lon1: float, lat1: float, lon2: float, lat2: float) -> 
     return measures.vincenty_m(lon1, lat1, lon2, lat2)
 
 
+def st_length_sphere(col) -> pa.Array:
+    """Geodesic (haversine) length in meters of LineString columns
+    (st_lengthSphere)."""
+    out = []
+    for g in geoms_from_wkb(col):
+        if g is None:
+            out.append(None)
+        elif isinstance(g, LineString):
+            c = g.coords
+            out.append(
+                float(
+                    np.sum(
+                        measures.haversine_m(c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1])
+                    )
+                )
+            )
+        else:
+            out.append(0.0)
+    return pa.array(out, pa.float64())
+
+
+def st_aggregate_distance_sphere(lons, lats) -> float:
+    """Total geodesic path length over an ordered point sequence
+    (st_aggregateDistanceSphere)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    if len(lons) < 2:
+        return 0.0
+    return float(
+        np.sum(measures.haversine_m(lons[:-1], lats[:-1], lons[1:], lats[1:]))
+    )
+
+
 def st_buffer_point(lon: float, lat: float, radius_m: float, segments: int = 32) -> bytes:
     """Geodesic point buffer (st_bufferPoint analog): polygon of
     ``segments`` vertices at constant haversine radius."""

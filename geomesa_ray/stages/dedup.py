@@ -88,14 +88,15 @@ def _shingle_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
         return np.empty(0, np.uint64), offsets
     # polynomial hash of each k-window via prefix products (mod 2^64)
     base = np.uint64(1099511628211)
-    pw = np.empty(k, dtype=np.uint64)
-    pw[0] = 1
-    for i in range(1, k):
-        pw[i] = pw[i - 1] * base
-    # windowed dot product data[i:i+k] · pw[::-1] — computed as k shifted adds
-    h = np.zeros(n - k + 1, dtype=np.uint64)
-    for j in range(k):
-        h += data[j : n - k + 1 + j] * pw[k - 1 - j]
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash design
+        pw = np.empty(k, dtype=np.uint64)
+        pw[0] = 1
+        for i in range(1, k):
+            pw[i] = pw[i - 1] * base
+        # windowed dot product data[i:i+k] · pw[::-1] — k shifted adds
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h += data[j : n - k + 1 + j] * pw[k - 1 - j]
     # positions whose window crosses a doc boundary are invalid
     starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
     valid_parts = []

@@ -167,13 +167,14 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     base = np.uint64(1099511628211)
     n = len(arr)
-    pw = np.empty(k, dtype=np.uint64)
-    pw[0] = 1
-    for i in range(1, k):
-        pw[i] = pw[i - 1] * base
-    h = np.zeros(n - k + 1, dtype=np.uint64)
-    for j in range(k):
-        h += arr[j : n - k + 1 + j] * pw[k - 1 - j]
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash design
+        pw = np.empty(k, dtype=np.uint64)
+        pw[0] = 1
+        for i in range(1, k):
+            pw[i] = pw[i - 1] * base
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h += arr[j : n - k + 1 + j] * pw[k - 1 - j]
     if len(h) <= window:
         return [int(h.min())]
     # sliding-window min with positions; dedupe consecutive picks
