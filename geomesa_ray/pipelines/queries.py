@@ -423,7 +423,7 @@ def q_quality(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.textstats import QualityScorer
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=4)
+    out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
     return out.map_batches(
         lambda b: b.select(
             ["doc_id", "n_tokens", "stopword_ratio", "quality_score"]
@@ -436,7 +436,7 @@ def q_langid(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.textstats import LanguageID
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(LanguageID, batch_format="pyarrow", concurrency=4)
+    out = ds.map_batches(LanguageID, batch_format="pyarrow", concurrency=(1, 4))
     return out.map_batches(
         lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
     )
@@ -472,7 +472,7 @@ def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.textstats import Fingerprinter
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=4)
+    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
     return out.map_batches(
         lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
     )

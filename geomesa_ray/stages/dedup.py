@@ -158,12 +158,13 @@ class MinHasher:
         sig = minhash_signature_batch(texts, self.num_perm, self.shingle_k, self.seed)
         out = {self.id_col: batch[self.id_col]}
         # band hash: mix the band's row values into one int64 key
-        for bnd in range(self.bands):
-            seg = sig[:, bnd * self.rows : (bnd + 1) * self.rows]
-            acc = np.zeros(len(texts), dtype=np.uint64)
-            for r in range(self.rows):
-                acc = acc * np.uint64(1099511628211) + seg[:, r]
-            out[f"band_{bnd}"] = pa.array(acc.astype(np.int64), pa.int64())
+        with np.errstate(over="ignore"):  # uint64 wraparound by design
+            for bnd in range(self.bands):
+                seg = sig[:, bnd * self.rows : (bnd + 1) * self.rows]
+                acc = np.zeros(len(texts), dtype=np.uint64)
+                for r in range(self.rows):
+                    acc = acc * np.uint64(1099511628211) + seg[:, r]
+                out[f"band_{bnd}"] = pa.array(acc.astype(np.int64), pa.int64())
         # keep the full signature for verification (fixed-size binary)
         out["signature"] = pa.array(
             [s.tobytes() for s in sig], pa.binary(self.num_perm * 8)
@@ -231,7 +232,7 @@ def minhash_lsh_pairs(
             "shingle_k": shingle_k,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),  # autoscale: a full-size pool can starve upstream reads
     )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -390,7 +391,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),  # autoscale: a full-size pool can starve upstream reads
     )
 
     def explode_bands(batch: pa.Table) -> pa.Table:

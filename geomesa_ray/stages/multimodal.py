@@ -101,6 +101,44 @@ class ImageFeatures:
         return batch.drop_columns(["pixels"]).append_column("features", arr)
 
 
+class DecodeAudio:
+    """Actor stage (audio): binary payload → fixed-rate sample window +
+    8-band spectrum-ish features. Real codecs unavailable (``mode="real"``
+    raises); fake mode derives deterministic samples from payload bytes."""
+
+    def __init__(self, mode: str = "fake", n_samples: int = 1024,
+                 payload_col: str = "payload"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.n_samples = n_samples
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "audio codecs unavailable in this environment; use mode='fake'"
+            )
+        feats = []
+        for p in batch[self.payload_col].to_pylist():
+            seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
+            rng = np.random.default_rng(seed)
+            wave = rng.standard_normal(self.n_samples)
+            spec = np.abs(np.fft.rfft(wave))
+            bands = np.array_split(spec, 8)
+            feats.append(
+                np.concatenate(
+                    [[wave.mean(), wave.std()], [b.mean() for b in bands]]
+                )
+            )
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats), pa.float64()), 10
+        )
+        return batch.drop_columns([self.payload_col]).append_column(
+            "audio_features", arr
+        )
+
+
 class SampleFrames:
     """Actor stage (video): payload → ``n_frames`` evenly-spaced fake frames
     (one output row per frame: frame_idx + pixels)."""
@@ -146,12 +184,12 @@ def decode_pipeline(
         fn_constructor_kwargs={"mode": mode},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     ).map_batches(
         ImageFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 

@@ -296,3 +296,17 @@ def test_multimodal_pipeline(ray_session):
     ).to_pandas()
     assert len(frames) == 20 * 4
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    # audio stage: deterministic 10-dim features, real mode raises
+    from geomesa_ray.stages.multimodal import DecodeAudio
+
+    au = ray.data.from_arrow(media).map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas()
+    au2 = ray.data.from_arrow(media).map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas()
+    a1 = np.stack(au.sort_values("media_id")["audio_features"].to_numpy())
+    a2 = np.stack(au2.sort_values("media_id")["audio_features"].to_numpy())
+    assert a1.shape == (20, 10) and np.array_equal(a1, a2)
+    with pytest.raises(NotImplementedError):
+        DecodeAudio(mode="real")(media.select(["payload"]))
