@@ -113,17 +113,30 @@ def write_bin(ds: ray.data.Dataset, path: str, **encoder_kwargs) -> int:
     return total
 
 
-def write_arrow_ipc(ds: ray.data.Dataset, path: str) -> int:
+def write_arrow_ipc(ds: ray.data.Dataset, path: str,
+                    dictionary_cols: list[str] | None = None) -> int:
     """Arrow IPC stream export (ArrowScan / arrow exporter analog):
-    zero-copy per block — Ray Data blocks already ARE Arrow."""
+    zero-copy per block — Ray Data blocks already ARE Arrow.
+
+    ``dictionary_cols`` dictionary-encodes the named string columns per
+    batch (the reference's per-batch dictionaries + deltas,
+    vector/ArrowDictionary.scala / io/DeltaWriter.scala analog — IPC
+    handles the delta dictionaries natively)."""
     import pyarrow.ipc as ipc
 
     total = 0
     writer = None
+    opts = ipc.IpcWriteOptions(emit_dictionary_deltas=True)
     try:
         for batch in ds.iter_batches(batch_format="pyarrow"):
+            if dictionary_cols:
+                for c in dictionary_cols:
+                    i = batch.schema.get_field_index(c)
+                    batch = batch.set_column(
+                        i, c, batch[c].combine_chunks().dictionary_encode()
+                    )
             if writer is None:
-                writer = ipc.new_stream(path, batch.schema)
+                writer = ipc.new_stream(path, batch.schema, options=opts)
             writer.write_table(batch)
             total += len(batch)
     finally:

@@ -1,0 +1,47 @@
+"""Merged/routed views + dictionary-encoded Arrow IPC export."""
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+import pytest
+
+from geomesa_ray.pipelines.views import RoutedView, merged_view
+from geomesa_ray.stages.export import write_arrow_ipc
+
+
+def test_merged_and_routed_views(ray_session):
+    import ray.data
+
+    a = ray.data.from_arrow(pa.table({"k": ["a1", "a2"], "v": [1, 2]}))
+    b = ray.data.from_arrow(pa.table({"k": ["b1"], "v": [3]}))
+    merged = merged_view([a, b]).to_pandas()
+    assert sorted(merged["k"]) == ["a1", "a2", "b1"]
+
+    rv = RoutedView({"A": a, "B": b}, lambda q: q.get("store"))
+    assert sorted(rv.query({"store": "A"}).to_pandas()["k"]) == ["a1", "a2"]
+    assert sorted(rv.query({}).to_pandas()["k"]) == ["a1", "a2", "b1"]
+    with pytest.raises(KeyError):
+        rv.query({"store": "C"})
+
+
+def test_dictionary_encoded_ipc(ray_session, tmp_path):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "lang": pa.array(["en", "de", "en", "fr"] * 50),
+            "n": pa.array(range(200), pa.int64()),
+        }
+    )
+    path = str(tmp_path / "dict.arrow")
+    n = write_arrow_ipc(
+        ray.data.from_arrow(tbl).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=37
+        ),
+        path,
+        dictionary_cols=["lang"],
+    )
+    assert n == 200
+    got = ipc.open_stream(path).read_all()
+    assert pa.types.is_dictionary(got.schema.field("lang").type)
+    assert got.column("lang").to_pylist() == tbl["lang"].to_pylist()
+    assert got.column("n").to_pylist() == tbl["n"].to_pylist()
