@@ -173,8 +173,12 @@ class MinHasher:
 
 
 def _bucket_pairs(group: pa.Table, id_col: str, threshold: float,
-                  num_perm: int) -> pa.Table:
-    """All id pairs in one LSH bucket whose signature-Jaccard ≥ threshold."""
+                  num_perm: int, sig_ref=None) -> pa.Table:
+    """All id pairs in one LSH bucket whose signature-Jaccard ≥ threshold.
+
+    Signatures come either from the shuffled rows (``signature`` column) or
+    from a broadcast (sorted_ids, sig_matrix) pair when ``sig_ref`` is set
+    (the shuffle then carries only ints)."""
     ids = group[id_col].to_numpy(zero_copy_only=False)
     empty = pa.table(
         {
@@ -185,9 +189,18 @@ def _bucket_pairs(group: pa.Table, id_col: str, threshold: float,
     )
     if len(ids) < 2 or len(ids) > 10_000:  # degenerate mega-bucket guard
         return empty
-    sigs = np.stack(
-        [np.frombuffer(s, dtype=np.uint64) for s in group["signature"].to_pylist()]
-    )
+    if sig_ref is not None:
+        import ray as _ray
+
+        sorted_ids, sig_matrix = (
+            _ray.get(sig_ref) if isinstance(sig_ref, _ray.ObjectRef) else sig_ref
+        )
+        pos = np.searchsorted(sorted_ids, ids)
+        sigs = sig_matrix[pos]
+    else:
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.uint64) for s in group["signature"].to_pylist()]
+        )
     order = np.argsort(ids, kind="stable")
     ids, sigs = ids[order], sigs[order]
     li, ri, js = [], [], []
@@ -218,10 +231,16 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     concurrency: int = 4,
+    broadcast_limit_bytes: int = 512 * 1024 * 1024,
 ) -> pa.Table:
     """Near-duplicate candidate pairs via MinHash-LSH, verified by
     signature Jaccard ≥ ``threshold``. Returns a deduplicated driver-side
-    pair table sorted by (left_id, right_id)."""
+    pair table sorted by (left_id, right_id).
+
+    When the signature matrix fits ``broadcast_limit_bytes`` it is
+    broadcast once and the band shuffle carries ONLY (band, key, id) ints
+    (~16× less exchange volume); above the cap, signatures ride the
+    shuffle rows instead."""
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={
@@ -233,10 +252,28 @@ def minhash_lsh_pairs(
         },
         batch_format="pyarrow",
         concurrency=(1, concurrency),  # autoscale: a full-size pool can starve upstream reads
-    )
+    ).materialize()
+
+    n_docs = sigs.count()
+    sig_ref = None
+    carry_signature = n_docs * num_perm * 8 > broadcast_limit_bytes
+    if not carry_signature:
+        id_parts, sig_parts = [], []
+        for b in sigs.select_columns([id_col, "signature"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            id_parts.append(b[id_col].to_numpy(zero_copy_only=False))
+            sig_parts.append(
+                np.frombuffer(b"".join(b["signature"].to_pylist()), dtype=np.uint64
+                              ).reshape(-1, num_perm)
+            )
+        all_ids = np.concatenate(id_parts)
+        mat = np.concatenate(sig_parts)
+        order = np.argsort(all_ids)
+        sig_ref = ray.put((all_ids[order], np.ascontiguousarray(mat[order])))
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        """(id, band_0..band_{B-1}, sig) → (band, key, id, sig) rows —
+        """(id, band_0..band_{B-1}, sig) → (band, key, id[, sig]) rows —
         ONE shuffle over all bands instead of B pipeline executions."""
         n = len(batch)
         keys = np.concatenate(
@@ -244,14 +281,14 @@ def minhash_lsh_pairs(
         )
         band_ids = np.repeat(np.arange(bands, dtype=np.int16), n)
         idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands), pa.int64())
-        return pa.table(
-            {
-                "band": pa.array(band_ids, pa.int16()),
-                "key": pa.array(keys, pa.int64()),
-                id_col: batch[id_col].take(idx),
-                "signature": batch["signature"].take(idx),
-            }
-        )
+        cols = {
+            "band": pa.array(band_ids, pa.int16()),
+            "key": pa.array(keys, pa.int64()),
+            id_col: batch[id_col].take(idx),
+        }
+        if carry_signature:
+            cols["signature"] = batch["signature"].take(idx)
+        return pa.table(cols)
 
     allp = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
@@ -262,6 +299,7 @@ def minhash_lsh_pairs(
                 "id_col": id_col,
                 "threshold": threshold,
                 "num_perm": num_perm,
+                "sig_ref": sig_ref,
             },
             batch_format="pyarrow",
         )

@@ -266,11 +266,21 @@ def hot_cell_histogram(points: ray.data.Dataset, top_k: int = 64,
     in the sense that thresholds should be set per-sample. Result is tiny
     (≤ top_k rows).
     """
-    counts = (
-        points.limit(sample_rows).groupby("cell").count().to_pandas()
-    )
-    counts = counts.sort_values("count()", ascending=False).head(top_k)
-    return dict(zip(counts["cell"].astype(int), counts["count()"].astype(int)))
+    def partial(batch: pa.Table) -> pa.Table:
+        cells, counts = np.unique(
+            batch["cell"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"cell": pa.array(cells, pa.int64()), "n": pa.array(counts, pa.int64())}
+        )
+
+    acc: dict[int, int] = {}
+    for row in points.limit(sample_rows).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all():
+        acc[row["cell"]] = acc.get(row["cell"], 0) + row["n"]
+    top = sorted(acc.items(), key=lambda kv: -kv[1])[:top_k]
+    return dict(top)
 
 
 _BROADCAST_CACHE: dict = {}
@@ -339,11 +349,30 @@ def _join_cell_group(group: pa.Table, polys_ref, predicate: str,
     return _emit_pairs(pts, polyset, pt_idx, it_idx).select(out_schema().names)
 
 
+def choose_join_cell_res(bounds: np.ndarray, target_cells: float = 4.0,
+                         max_res: int = DEFAULT_CELL_RES) -> int:
+    """Cell resolution matched to the polygon sizes: the median polygon
+    should span ~``target_cells`` cells per axis, so replication stays
+    small and groups stay coarse enough to amortize per-group cost.
+    (The reference picks partition envelopes from a sample for the same
+    reason, RelationUtils.scala:107-158.)"""
+    bounds = np.asarray(bounds, dtype=np.float64).reshape(-1, 4)
+    if len(bounds) == 0:
+        return max_res
+    w = np.maximum(bounds[:, 2] - bounds[:, 0], 1e-9)
+    h = np.maximum(bounds[:, 3] - bounds[:, 1], 1e-9)
+    per_poly = np.floor(
+        np.log2(target_cells * np.minimum(360.0 / w, 180.0 / h))
+    )
+    res = int(np.median(per_poly))
+    return max(0, min(res, max_res))
+
+
 def pip_join_shuffle(
     points: ray.data.Dataset,
     polygons: pa.Table,
     predicate: str = "intersects",
-    cell_res: int = DEFAULT_CELL_RES,
+    cell_res: int | None = None,
     n_salt: int = 8,
     hot_threshold: int = 200_000,
     max_cover: int = 1024,
@@ -353,12 +382,14 @@ def pip_join_shuffle(
 ) -> ray.data.Dataset:
     """Shuffle PIP join keyed by quadtree cell, with hot-cell salting.
 
-    ``points`` must carry ``lon``, ``lat`` and a ``cell`` column at
-    ``cell_res`` (from :class:`~geomesa_ray.stages.encode.EncodeKeys`), or
-    at least ``lon``/``lat`` (the cell is derived). Polygon geometries are
-    broadcast (``ray.put``) so the shuffle moves only (cell, salt, role,
-    poly_idx) int rows for the polygon side; each (point, polygon) output
-    pair is emitted exactly once (see module doc).
+    ``points`` must carry ``lon``/``lat``. The shuffle cell resolution is
+    chosen from the polygon size distribution when ``cell_res`` is None
+    (coarse cells for big polygons keep replication AND group counts
+    bounded); pass an explicit ``cell_res`` to reuse a precomputed ``cell``
+    column from EncodeKeys. Polygon geometries are broadcast (``ray.put``)
+    so the shuffle moves only (cell, salt, role, poly_idx) int rows for
+    the polygon side; each (point, polygon) output pair is emitted exactly
+    once (see module doc).
 
     ``point_cols`` projects the point side BEFORE the shuffle (prune-early:
     the all-to-all exchange then moves only the requested columns plus
@@ -372,6 +403,9 @@ def pip_join_shuffle(
     )
     polyset = PolygonSet(polygons.drop_columns(["__poly_idx__"]), id_col=id_col, wkb_col=wkb_col)
     polys_ref = ray.put(polyset)
+    reuse_cell = cell_res is not None
+    if cell_res is None:
+        cell_res = choose_join_cell_res(polyset.bounds)
     # oversized polygons (covering > max_cover cells, e.g. whole-world) are
     # probed by every group via broadcast instead of cell replication
     overflow = tuple(
@@ -379,7 +413,7 @@ def pip_join_shuffle(
     )
 
     def _ensure_cell(batch: pa.Table) -> pa.Table:
-        if "cell" in batch.schema.names:
+        if reuse_cell and "cell" in batch.schema.names:
             return batch
         if "z2" in batch.schema.names:
             z2 = batch["z2"].to_numpy(zero_copy_only=False)
@@ -391,7 +425,10 @@ def pip_join_shuffle(
                 batch["lat"].to_numpy(zero_copy_only=False),
                 lenient=True,
             )
-        return batch.append_column("cell", pa.array(cell_of_z2(z2, cell_res), pa.int64()))
+        cells = pa.array(cell_of_z2(z2, cell_res), pa.int64())
+        if "cell" in batch.schema.names:
+            return batch.set_column(batch.schema.get_field_index("cell"), "cell", cells)
+        return batch.append_column("cell", cells)
 
     if point_cols is not None:
         needed = list(dict.fromkeys(point_cols + ["lon", "lat", "url"]))
