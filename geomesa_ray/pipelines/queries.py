@@ -343,17 +343,12 @@ def q_value_stats(sf_dir: str) -> pa.Table:
 def q_sample_per_key(sf_dir: str) -> ray.data.Dataset:
     """Deterministic every-nth-per-key sampling (FeatureSampler analog:
     keep every 5th event per event_type, ordered by event_id)."""
+    from geomesa_ray.stages.sampling import sample_per_key
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
     )
-
-    def sample(group: pa.Table) -> pa.Table:
-        ids = group["event_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        keep = order[::5]
-        return group.take(pa.array(np.sort(keep), pa.int64()))
-
-    return ds.groupby("event_type").map_groups(sample, batch_format="pyarrow")
+    return sample_per_key(ds, "event_type", 5, "event_id")
 
 
 # ---------------------------------------------------------------------------

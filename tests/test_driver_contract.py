@@ -1,0 +1,77 @@
+"""In-suite driver-contract check: a representative subset of
+``__ray_entry__.queries()`` compared row/value-identical against their
+``oracle_sql()`` via DuckDB at sf0.001 — so the north rule's verification
+command (`python -m pytest -x -q`) itself demonstrates oracle parity.
+(The grading driver runs the FULL set at sf0.01.)"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# cheap, architecture-diverse subset (scan, both joins, tiles, knn,
+# aggregate, dedup, sampling, upsert, ANN)
+SUBSET = [
+    "bbox_scan",
+    "pip_join",
+    "pip_join_shuffle",
+    "tile_agg",
+    "knn",
+    "pricing_summary",
+    "sample_per_key",
+    "exact_dedup",
+    "latest_event_per_user",
+    "ann_topk",
+    "token_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, con, name):
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    out = fn(SF)
+    if isinstance(out, rd.Dataset):
+        out = out.to_pandas()
+    elif not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    expect = con.sql(sql).df()
+    a, b = _norm(out), _norm(expect)
+    assert list(a.columns) == list(b.columns)
+    assert a.shape == b.shape
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert (pd.Series(av) == pd.Series(bv)).all(), f"column {c} differs"
+
+
+def test_entry_smoke(ray_session):
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+
+    res = entrymod.entry()
+    df = res.to_pandas() if isinstance(res, rd.Dataset) else res
+    assert len(df) >= 0
+    assert "poly_id" in df.columns
