@@ -110,22 +110,46 @@ def density(
     """Tile-aggregation pipeline: sparse partial sums per batch, then either
     a driver-side merge (grid ≤ ``reduce_max_cells`` — the reference's
     client-reducer shape, no all-to-all shuffle) or a small tile groupby."""
-    tiler = DensityTiles(envelope, width, height, weight_col, lon_col, lat_col)
-    partials = points.map_batches(
-        tiler.__call__, batch_format="pyarrow", batch_size=batch_size
-    )
     if width * height <= reduce_max_cells:
         import ray.data as rd
 
+        snap = GridSnap(envelope, width, height)
+
+        def dense_partial(batch: pa.Table) -> pa.Table:
+            """One packed dense grid + touch mask per batch — the client
+            reduce then moves ~(cells × 9) bytes per BLOCK, not per tile."""
+            x = batch[lon_col].to_numpy(zero_copy_only=False)
+            y = batch[lat_col].to_numpy(zero_copy_only=False)
+            i = snap.i(x)
+            j = snap.j(y)
+            valid = (i >= 0) & (j >= 0)
+            if weight_col is None:
+                w = np.ones(int(valid.sum()), dtype=np.float64)
+            else:
+                w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )[valid]
+            idx = i[valid] * height + j[valid]
+            g = np.zeros(width * height, dtype=np.float64)
+            t = np.zeros(width * height, dtype=bool)
+            np.add.at(g, idx, w)
+            t[idx] = True
+            return pa.table(
+                {
+                    "grid": pa.array([g.tobytes()], pa.binary()),
+                    "touched": pa.array([np.packbits(t).tobytes()], pa.binary()),
+                }
+            )
+
         grid = np.zeros(width * height, dtype=np.float64)
         touched = np.zeros(width * height, dtype=bool)
-        for b in partials.iter_batches(batch_format="pyarrow"):
-            tx = b["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ty = b["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
-            w = b["weight"].to_numpy(zero_copy_only=False)
-            idx = tx * height + ty
-            np.add.at(grid, idx, w)
-            touched[idx] = True
+        for row in points.map_batches(
+            dense_partial, batch_format="pyarrow", batch_size=batch_size
+        ).take_all():
+            grid += np.frombuffer(row["grid"], dtype=np.float64)
+            touched |= np.unpackbits(
+                np.frombuffer(row["touched"], dtype=np.uint8)
+            )[: width * height].astype(bool)
         occ = np.nonzero(touched)[0]
         merged = pa.table(
             {
@@ -135,6 +159,10 @@ def density(
             }
         )
         return rd.from_arrow(merged)
+    tiler = DensityTiles(envelope, width, height, weight_col, lon_col, lat_col)
+    partials = points.map_batches(
+        tiler.__call__, batch_format="pyarrow", batch_size=batch_size
+    )
     from ray.data.aggregate import Sum
 
     return partials.groupby(["tile_x", "tile_y"]).aggregate(
