@@ -43,6 +43,9 @@ class Query:
     interval: Optional[tuple[int, int]] = None  # epoch millis [lo, hi] inclusive
     loose: bool = False  # skip exact re-check for rectangular queries
     columns: Optional[list[str]] = None
+    sort_by: Optional[list[str]] = None  # client-sort (QueryPlanner.scala:76-79)
+    limit: Optional[int] = None  # max features (QueryPlanner.scala:81-92)
+    sample_nth: Optional[int] = None  # deterministic per-block every-nth (SamplingIterator)
 
     def effective_bbox(self):
         if self.geometry is not None:
@@ -137,6 +140,22 @@ def scan(out_dir: str, query: Query, period: TimePeriod = TimePeriod.WEEK) -> ra
     )
     if needs_exact and not query.loose:
         ds = ds.map_batches(_ResidualFilter(query.geometry), batch_format="pyarrow")
+    if query.sample_nth is not None and query.sample_nth > 1:
+        nth = query.sample_nth
+
+        def _sample(batch):
+            import numpy as _np
+            import pyarrow as _pa
+
+            keep = _np.zeros(len(batch), dtype=bool)
+            keep[::nth] = True
+            return batch.filter(_pa.array(keep))
+
+        ds = ds.map_batches(_sample, batch_format="pyarrow")
+    if query.sort_by:
+        ds = ds.sort(query.sort_by)
+    if query.limit is not None:
+        ds = ds.limit(query.limit)
     return ds
 
 

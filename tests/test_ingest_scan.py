@@ -181,3 +181,29 @@ class TestIngestScan:
         manifest = ingest_pages(pages_dir, indexed_dir, n_groups=4, target_rows_per_file=500)
         assert 2 in manifest
         assert os.path.exists(victim)
+
+
+class TestScanPostProcessing:
+    """Client sort / limit / sampling on planned scans
+    (QueryPlanner.scala:76-92 + SamplingIterator analogs)."""
+
+    def test_sort_limit_sample(self, indexed_dir, ray_session):
+        from geomesa_ray.pipelines.scan import Query, scan
+
+        base = Query(bbox=(-80.0, 30.0, 10.0, 55.0))
+        full = scan(indexed_dir, base).to_pandas()
+        assert len(full) > 20
+
+        sorted_limited = scan(
+            indexed_dir,
+            Query(bbox=base.bbox, sort_by=["warc_ts", "url"], limit=10),
+        ).to_pandas()
+        assert len(sorted_limited) == 10
+        expect = full.sort_values(["warc_ts", "url"]).head(10)
+        assert sorted_limited["url"].tolist() == expect["url"].tolist()
+
+        sampled = scan(
+            indexed_dir, Query(bbox=base.bbox, sample_nth=4)
+        ).to_pandas()
+        # per-block every-nth: between 1/4 and a bit more of the rows
+        assert 0 < len(sampled) <= len(full) // 4 + 8
