@@ -101,20 +101,39 @@ def generate_pages(n: int, seed: int = 42, start: int = 0) -> pa.Table:
         for i in idx
     ]
 
-    kind = (idx * 131) % 20  # 0-11 meta (60%), 12-16 microdata (25%), 17-18 none (10%), 19 malformed (5%)
+    # geotag format mix (Common-Crawl pages carry several conventions):
+    # 0-8 geo.position meta (45%), 9-11 ICBM meta (15%), 12-14 microdata
+    # itemprop (15%), 15 og: meta pair (5%), 16 JSON-LD GeoCoordinates (5%),
+    # 17-18 none (10%), 19 malformed (5%)
+    kind = (idx * 131) % 20
     htmls = []
     for j in range(n):
         k = kind[j]
         body = f"<p>{texts[j]}</p>"
-        if k < 12:
+        if k < 9:
             geo = f'<meta name="geo.position" content="{lat[j]:.6f};{lon[j]:.6f}">'
             h = f"<html><head>{geo}</head><body>{body}</body></html>"
-        elif k < 17:
+        elif k < 12:
+            geo = f'<meta name="ICBM" content="{lat[j]:.6f}, {lon[j]:.6f}">'
+            h = f"<html><head>{geo}</head><body>{body}</body></html>"
+        elif k < 15:
             geo = (
                 f'<span itemprop="latitude">{lat[j]:.6f}</span>'
                 f'<span itemprop="longitude">{lon[j]:.6f}</span>'
             )
             h = f"<html><head></head><body>{geo}{body}</body></html>"
+        elif k < 16:
+            geo = (
+                f'<meta property="og:latitude" content="{lat[j]:.6f}">'
+                f'<meta property="og:longitude" content="{lon[j]:.6f}">'
+            )
+            h = f"<html><head>{geo}</head><body>{body}</body></html>"
+        elif k < 17:
+            geo = (
+                '<script type="application/ld+json">{"@type":"GeoCoordinates",'
+                f'"latitude":{lat[j]:.6f},"longitude":{lon[j]:.6f}}}</script>'
+            )
+            h = f"<html><head>{geo}</head><body>{body}</body></html>"
         elif k < 19:
             h = f"<html><head></head><body>{body}</body></html>"
         else:
@@ -142,22 +161,27 @@ def expected_geo(table: pa.Table) -> pa.Table:
     import re
 
     meta = re.compile(rb'geo\.position" content="(-?\d+\.\d+);(-?\d+\.\d+)"')
+    icbm = re.compile(rb'ICBM" content="(-?\d+\.\d+), (-?\d+\.\d+)"')
     lat_r = re.compile(rb'itemprop="latitude">(-?\d+\.\d+)<')
     lon_r = re.compile(rb'itemprop="longitude">(-?\d+\.\d+)<')
+    og_lat = re.compile(rb'og:latitude" content="(-?\d+\.\d+)"')
+    og_lon = re.compile(rb'og:longitude" content="(-?\d+\.\d+)"')
+    ld_lat = re.compile(rb'"latitude":(-?\d+\.\d+)')
+    ld_lon = re.compile(rb'"longitude":(-?\d+\.\d+)')
     lats, lons = [], []
     for h in table["html"].to_pylist():
-        m = meta.search(h)
+        got = None
+        m = meta.search(h) or icbm.search(h)
         if m:
-            lats.append(float(m.group(1)))
-            lons.append(float(m.group(2)))
-            continue
-        m1, m2 = lat_r.search(h), lon_r.search(h)
-        if m1 and m2:
-            lats.append(float(m1.group(1)))
-            lons.append(float(m2.group(1)))
+            got = (float(m.group(1)), float(m.group(2)))
         else:
-            lats.append(None)
-            lons.append(None)
+            for la, lo in ((lat_r, lon_r), (og_lat, og_lon), (ld_lat, ld_lon)):
+                m1, m2 = la.search(h), lo.search(h)
+                if m1 and m2:
+                    got = (float(m1.group(1)), float(m2.group(1)))
+                    break
+        lats.append(got[0] if got else None)
+        lons.append(got[1] if got else None)
     return table.append_column("lat", pa.array(lats, pa.float64())).append_column(
         "lon", pa.array(lons, pa.float64())
     )

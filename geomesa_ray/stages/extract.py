@@ -16,8 +16,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _META_PATTERN = r'geo\.position" content="(?P<glat>-?\d+\.\d+);(?P<glon>-?\d+\.\d+)"'
+_ICBM_PATTERN = r'ICBM" content="(?P<ilat>-?\d+\.\d+), (?P<ilon>-?\d+\.\d+)"'
 _LAT_PATTERN = r'itemprop="latitude">(?P<mlat>-?\d+\.\d+)<'
 _LON_PATTERN = r'itemprop="longitude">(?P<mlon>-?\d+\.\d+)<'
+_OG_LAT_PATTERN = r'og:latitude" content="(?P<olat>-?\d+\.\d+)"'
+_OG_LON_PATTERN = r'og:longitude" content="(?P<olon>-?\d+\.\d+)"'
+_LD_LAT_PATTERN = r'"latitude":(?P<jlat>-?\d+\.\d+)'
+_LD_LON_PATTERN = r'"longitude":(?P<jlon>-?\d+\.\d+)'
 
 
 class ExtractGeo:
@@ -46,17 +51,31 @@ class ExtractGeo:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         html = pc.cast(batch["html"], pa.string())
+        # precedence: geo.position > ICBM > microdata > og: > JSON-LD —
+        # most specific/conventional first (all Arrow RE2 kernels)
         meta = pc.extract_regex(html, _META_PATTERN)
+        icbm = pc.extract_regex(html, _ICBM_PATTERN)
         mlat = pc.extract_regex(html, _LAT_PATTERN)
         mlon = pc.extract_regex(html, _LON_PATTERN)
+        oglat = pc.extract_regex(html, _OG_LAT_PATTERN)
+        oglon = pc.extract_regex(html, _OG_LON_PATTERN)
+        ldlat = pc.extract_regex(html, _LD_LAT_PATTERN)
+        ldlon = pc.extract_regex(html, _LD_LON_PATTERN)
 
-        glat = pc.struct_field(meta, "glat")
-        glon = pc.struct_field(meta, "glon")
-        ilat = pc.struct_field(mlat, "mlat")
-        ilon = pc.struct_field(mlon, "mlon")
-
-        lat_s = pc.coalesce(glat, ilat)
-        lon_s = pc.coalesce(glon, ilon)
+        lat_s = pc.coalesce(
+            pc.struct_field(meta, "glat"),
+            pc.struct_field(icbm, "ilat"),
+            pc.struct_field(mlat, "mlat"),
+            pc.struct_field(oglat, "olat"),
+            pc.struct_field(ldlat, "jlat"),
+        )
+        lon_s = pc.coalesce(
+            pc.struct_field(meta, "glon"),
+            pc.struct_field(icbm, "ilon"),
+            pc.struct_field(mlon, "mlon"),
+            pc.struct_field(oglon, "olon"),
+            pc.struct_field(ldlon, "jlon"),
+        )
         lat = pc.cast(lat_s, pa.float64())
         lon = pc.cast(lon_s, pa.float64())
 
