@@ -347,7 +347,10 @@ def dedup_keep_ids(pairs: pa.Table, all_ids: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def simhash_batch(texts: list[str], seed: int = 42) -> np.ndarray:
-    """64-bit SimHash per text from \\w+ token hashes (unweighted)."""
+    """64-bit weighted SimHash per text (Charikar): each distinct \\w+ token
+    votes with its term count, so documents sharing a vocabulary but with
+    different word multisets still separate (the unweighted variant
+    collapses same-vocab corpora into one Hamming ball)."""
     out = np.zeros(len(texts), dtype=np.uint64)
     import re
 
@@ -356,9 +359,11 @@ def simhash_batch(texts: list[str], seed: int = 42) -> np.ndarray:
         toks = tok.findall(t.lower())
         if not toks:
             continue
-        hs = hash_strings(toks, seed=seed)
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        hs = hash_strings(uniq.tolist(), seed=seed)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-        votes = 2 * bits.sum(axis=0) - len(hs)  # (64,)
+        signed = 2 * bits.astype(np.int64) - 1  # ±1 per bit
+        votes = (signed * counts[:, None]).sum(axis=0)  # (64,)
         word = np.uint64(0)
         for b in np.nonzero(votes > 0)[0]:
             word |= np.uint64(1) << np.uint64(b)
