@@ -207,3 +207,26 @@ class TestScanPostProcessing:
         ).to_pandas()
         # per-block every-nth: between 1/4 and a bit more of the rows
         assert 0 < len(sampled) <= len(full) // 4 + 8
+
+
+class TestTextInvariantEndToEnd:
+    def test_text_byte_identical_through_index_and_scan(
+        self, pages_dir, indexed_dir, ray_session
+    ):
+        """The north-rule row invariant: extracted text is byte-identical
+        per url through the FULL pipeline (ingest layout → planned scan)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from geomesa_ray.pipelines.scan import Query, scan
+
+        raw = pa.concat_tables(
+            pq.read_table(f, columns=["url", "text"])
+            for f in glob.glob(f"{pages_dir}/*.parquet")
+        )
+        truth = dict(zip(raw["url"].to_pylist(), raw["text"].to_pylist()))
+        out = scan(indexed_dir, Query(bbox=(-180, -90, 180, 90))).to_pandas()
+        assert len(out) > 0
+        for u, x in zip(out["url"], out["text"]):
+            assert x == truth[u], u
