@@ -106,55 +106,70 @@ class QualityScorer:
 
 
 class LanguageID:
-    """map_batches stage: n-gram/stopword-profile language guesser.
-
-    Scores each doc against per-language stopword sets (token hits) plus
-    Unicode-block detection for zh/ja/ru; emits ``lang_pred`` and
-    ``lang_conf``. Deterministic, dependency-free.
+    """map_batches stage: stopword-profile language guesser, fully
+    vectorized — one RE2 count kernel per language over the whole batch
+    plus Unicode-block counts for zh/ja/ru. Emits ``lang_pred`` and
+    ``lang_conf``. Deterministic, dependency-free. Per-language alternation
+    patterns compile once per actor (the stateful-setup contract).
     """
 
     def __init__(self, text_col: str = "text"):
-        self.text_col = text_col
-        self.word_re = re.compile(r"\w+")
-        self.langs = sorted(_STOPWORDS)
+        import pyarrow.compute as pc  # noqa: F401 (used in __call__)
 
-    def _unicode_vote(self, t: str) -> str | None:
-        cjk = sum(1 for c in t[:400] if "一" <= c <= "鿿")
-        kana = sum(1 for c in t[:400] if "぀" <= c <= "ヿ")
-        cyr = sum(1 for c in t[:400] if "Ѐ" <= c <= "ӿ")
-        n = max(len(t[:400]), 1)
-        if kana / n > 0.05:
-            return "ja"
-        if cjk / n > 0.15:
-            return "zh"
-        if cyr / n > 0.25:
-            return "ru"
-        return None
+        self.text_col = text_col
+        self.langs = sorted(_STOPWORDS)
+        self.patterns = {
+            lang: r"\b(" + "|".join(sorted(sw)) + r")\b"
+            for lang, sw in _STOPWORDS.items()
+        }
+        self.script_patterns = {
+            "zh": r"[一-鿿]",
+            "ja": r"[぀-ヿ]",
+            "ru": r"[Ѐ-ӿ]",
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        preds, confs = [], []
-        for t in texts:
-            t = t or ""
-            uv = self._unicode_vote(t)
-            if uv:
-                preds.append(uv)
-                confs.append(1.0)
-                continue
-            toks = [w.lower() for w in self.word_re.findall(t)[:200]]
-            if not toks:
-                preds.append("und")
-                confs.append(0.0)
-                continue
-            scores = {
-                lang: sum(1 for w in toks if w in sw) / len(toks)
-                for lang, sw in _STOPWORDS.items()
-            }
-            best = max(self.langs, key=lambda l: scores[l])
-            preds.append(best if scores[best] > 0.02 else "und")
-            confs.append(scores[best])
+        import pyarrow.compute as pc
+
+        texts = pc.utf8_lower(batch[self.text_col])
+        n_tokens = np.maximum(
+            pc.count_substring_regex(texts, TOKEN_RE).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        n_chars = np.maximum(
+            pc.utf8_length(batch[self.text_col]).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+
+        scores = np.stack(
+            [
+                pc.count_substring_regex(texts, self.patterns[lang])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                / n_tokens
+                for lang in self.langs
+            ],
+            axis=1,
+        )  # (n, L)
+        script = {
+            name: pc.count_substring_regex(batch[self.text_col], pat)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            / n_chars
+            for name, pat in self.script_patterns.items()
+        }
+
+        best_i = np.argmax(scores, axis=1)
+        best_score = scores[np.arange(len(scores)), best_i]
+        preds = np.where(
+            best_score > 0.02, np.asarray(self.langs, dtype=object)[best_i], "und"
+        ).astype(object)
+        confs = best_score.copy()
+        # script votes override stopword profiles (checked most-specific first)
+        for name, thresh in (("ja", 0.05), ("zh", 0.15), ("ru", 0.25)):
+            hit = script[name] > thresh
+            preds[hit] = name
+            confs[hit] = 1.0
         return batch.append_column(
-            "lang_pred", pa.array(preds, pa.string())
+            "lang_pred", pa.array(preds.tolist(), pa.string())
         ).append_column("lang_conf", pa.array(confs, pa.float64()))
 
 
