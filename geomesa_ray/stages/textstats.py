@@ -49,37 +49,34 @@ class QualityScorer:
     """
 
     def __init__(self, text_col: str = "text"):
+        import pyarrow.compute as _pc  # noqa: F401
+
         self.text_col = text_col
-        self.word_re = re.compile(r"\w+")
-        self.all_stop = set().union(*_STOPWORDS.values())
+        all_stop = sorted(set().union(*_STOPWORDS.values()))
+        self.stop_pattern = r"\b(" + "|".join(all_stop) + r")\b"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n = len(texts)
-        n_chars = np.empty(n, np.int64)
-        n_tokens = np.empty(n, np.int64)
-        mean_tok = np.zeros(n, np.float64)
-        alpha = np.zeros(n, np.float64)
-        digit = np.zeros(n, np.float64)
-        punct = np.zeros(n, np.float64)
-        upper = np.zeros(n, np.float64)
-        stop = np.zeros(n, np.float64)
-        for i, t in enumerate(texts):
-            t = t or ""
-            n_chars[i] = len(t)
-            toks = self.word_re.findall(t)
-            n_tokens[i] = len(toks)
-            if t:
-                arr = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
-                la = len(arr)
-                if la:
-                    alpha[i] = (((arr >= 65) & (arr <= 90)) | ((arr >= 97) & (arr <= 122))).mean()
-                    digit[i] = ((arr >= 48) & (arr <= 57)).mean()
-                    upper[i] = ((arr >= 65) & (arr <= 90)).mean()
-                    punct[i] = np.isin(arr, np.frombuffer(b".,;:!?'\"()-", dtype=np.uint8)).mean()
-            if toks:
-                mean_tok[i] = sum(len(w) for w in toks) / len(toks)
-                stop[i] = sum(1 for w in toks if w.lower() in self.all_stop) / len(toks)
+        col = batch[self.text_col]
+
+        def cnt(pattern, source=None):
+            return (
+                pc.count_substring_regex(source if source is not None else col, pattern)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        chars_nz = np.maximum(n_chars, 1).astype(np.float64)
+        n_tokens_f = cnt(TOKEN_RE)
+        n_tokens = n_tokens_f.astype(np.int64)
+        toks_nz = np.maximum(n_tokens_f, 1.0)
+        word_chars = cnt(r"\w")
+        mean_tok = np.where(n_tokens_f > 0, word_chars / toks_nz, 0.0)
+        alpha = cnt(r"[A-Za-z]") / chars_nz
+        digit = cnt(r"[0-9]") / chars_nz
+        upper = cnt(r"[A-Z]") / chars_nz
+        punct = cnt(r"""[.,;:!?'"()\-]""") / chars_nz
+        stop = cnt(self.stop_pattern, pc.utf8_lower(col)) / toks_nz
         # composite: reward stopword presence + sane token lengths; penalize
         # digit/punct/upper-heavy text (C4/Gopher-style heuristics)
         score = (
