@@ -67,7 +67,14 @@ def _consume(result) -> int:
 
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
-    from geomesa_ray.pipelines.queries import QUERIES
+    import ray.data
+
+    from geomesa_ray.pipelines.queries import QUERIES, events_points
+
+    # warm-up: start the worker pool and touch the inputs so the timed
+    # queries measure steady state, not process spawn + cold page cache
+    events_points(sf_dir).count()
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
