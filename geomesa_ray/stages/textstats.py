@@ -202,9 +202,31 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
     return out
 
 
+def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """O(n) sliding-window minimum (van Herk / Gil-Werman): block-wise
+    forward and backward running minima combined per window."""
+    n = len(h)
+    nwin = n - w + 1
+    if nwin <= 0:
+        return np.empty(0, h.dtype)
+    pad = (-n) % w
+    hp = np.concatenate([h, np.full(pad, np.iinfo(h.dtype).max, h.dtype)])
+    blocks = hp.reshape(-1, w)
+    fwd = np.minimum.accumulate(blocks, axis=1).ravel()
+    bwd = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(bwd[:nwin], fwd[w - 1 : w - 1 + nwin])
+
+
 class Fingerprinter:
-    """map_batches stage: add ``fingerprint`` (uint64 hash of the winnowed
-    sketch) — cheap whole-doc copy detector."""
+    """map_batches stage: add ``fingerprint`` (uint64 digest of the winnowed
+    sketch) — cheap whole-doc copy detector.
+
+    Fully vectorized across the batch: one rolling-hash pass over the
+    concatenated byte stream (reusing the dedup shingle kernel), one global
+    sliding-window minimum, then a segmented XOR fold of the mixed sketch
+    values per document (order-independent digest; equal texts get equal
+    fingerprints, which is the contract copy-detection needs).
+    """
 
     def __init__(self, text_col: str = "text", k: int = 8, window: int = 16):
         self.text_col = text_col
@@ -212,11 +234,70 @@ class Fingerprinter:
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = []
-        for t in batch[self.text_col].to_pylist():
-            sketch = winnow_fingerprint(t or "", self.k, self.window)
-            acc = np.uint64(0xCBF29CE484222325)
-            for v in sketch:
-                acc = (acc ^ np.uint64(v)) * np.uint64(0x100000001B3)
-            fps.append(int(acc.astype(np.int64)))
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        from geomesa_ray.stages.dedup import _shingle_hashes
+
+        texts = [t or "" for t in batch[self.text_col].to_pylist()]
+        hashes, offsets = _shingle_hashes(texts, self.k)
+        n = len(texts)
+        fps = np.full(n, np.int64(np.uint64(0xCBF29CE484222325).astype(np.int64)))
+        if len(hashes):
+            w = self.window
+            counts = np.diff(offsets)
+            m = len(hashes)
+            # global sliding min, then a cumsum mask of per-doc valid window
+            # start positions (window fully inside the doc's segment)
+            if m >= w:
+                sw = _sliding_min(hashes, w)
+                delta = np.zeros(len(sw) + 1, dtype=np.int32)
+                long_docs = counts > w
+                starts_l = offsets[:-1][long_docs]
+                ends_l = (offsets[1:] - w + 1)[long_docs]
+                np.add.at(delta, starts_l, 1)
+                np.add.at(delta, ends_l, -1)
+                valid = np.cumsum(delta[:-1]) > 0
+                pos = np.nonzero(valid)[0]
+                segs_v = np.searchsorted(offsets, pos, side="right") - 1
+                mins_v = sw[pos]
+                # winnowing dedupe: keep segment-firsts and value changes
+                keep = np.empty(len(pos), dtype=bool)
+                if len(pos):
+                    keep[0] = True
+                    keep[1:] = (mins_v[1:] != mins_v[:-1]) | (
+                        segs_v[1:] != segs_v[:-1]
+                    )
+                mins_v, segs_v = mins_v[keep], segs_v[keep]
+            else:
+                mins_v = np.empty(0, np.uint64)
+                segs_v = np.empty(0, np.int64)
+            # short docs (0 < count ≤ w): single min over the whole segment
+            short = (counts > 0) & (counts <= w)
+            if short.any():
+                segs_s = np.nonzero(short)[0].astype(np.int64)
+                mins_s = np.array(
+                    [
+                        hashes[int(offsets[d]) : int(offsets[d + 1])].min()
+                        for d in segs_s
+                    ],
+                    dtype=np.uint64,
+                )
+            else:
+                mins_s = np.empty(0, np.uint64)
+                segs_s = np.empty(0, np.int64)
+            allmins = np.concatenate([mins_v, mins_s])
+            segs = np.concatenate([segs_v, segs_s])
+            order = np.argsort(segs, kind="stable")
+            allmins, segs = allmins[order], segs[order]
+            if len(allmins):
+                # splitmix-style mix, then segmented XOR fold
+                with np.errstate(over="ignore"):  # uint64 wraparound by design
+                    z = allmins * np.uint64(0x9E3779B97F4A7C15)
+                    z ^= z >> np.uint64(29)
+                    z = z * np.uint64(0xBF58476D1CE4E5B9)
+                    z ^= z >> np.uint64(32)
+                starts = np.unique(segs, return_index=True)[1]
+                folded = np.bitwise_xor.reduceat(z, starts)
+                docs = segs[starts]
+                fps[docs] = folded.astype(np.int64)
         return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
