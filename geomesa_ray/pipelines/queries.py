@@ -197,12 +197,18 @@ def _indexed_events_layout(sf_dir: str) -> str:
         os.makedirs(out, exist_ok=True)
         raw = os.path.join(out, "raw.parquet")
         # materialize the derived points (small per sf tier) with a string id
+        # and the layout's canonical timestamp column name (scan filters on
+        # warc_ts)
         parts = []
         for b in events_points(sf_dir).iter_batches(batch_format="pyarrow"):
-            parts.append(b.append_column("url", b["event_id"].cast(pa.string())))
+            b = b.append_column("url", b["event_id"].cast(pa.string()))
+            b = b.rename_columns(
+                ["warc_ts" if c == "ts" else c for c in b.schema.names]
+            )
+            parts.append(b)
         pq.write_table(pa.concat_tables(parts), raw)
         ingest_pages(
-            raw, out, extract=False, id_col="url", ts_col="ts",
+            raw, out, extract=False, id_col="url", ts_col="warc_ts",
             target_rows_per_file=20_000, n_groups=2,
         )
         with open(marker, "w") as f:
@@ -463,6 +469,38 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     )
 
 
+# binary-exact track (0.75 and 0.5 are exact doubles; timestamps integral)
+TUBE_TRACK = [
+    (i * 0.75, 47.0 + i * 0.5, 1704067200000 + i * 518400000) for i in range(6)
+]
+TUBE_BUFFER_M = 1_000_000.0
+TUBE_TIME_MS = 14 * 86_400_000
+
+
+def q_tube_select(sf_dir: str) -> pa.Table:
+    """Spatio-temporal corridor join over the indexed layout. With 6 track
+    points in 6 bins each segment holds exactly one point, so the corridor
+    predicate is SQL-expressible (per-point haversine + time window)."""
+    from geomesa_ray.pipelines.processes import tube_select
+
+    layout = _indexed_events_layout(sf_dir)
+    out = tube_select(
+        layout,
+        [t[0] for t in TUBE_TRACK],
+        [t[1] for t in TUBE_TRACK],
+        [t[2] for t in TUBE_TRACK],
+        buffer_m=TUBE_BUFFER_M,
+        time_buffer_ms=TUBE_TIME_MS,
+        max_bins=len(TUBE_TRACK),
+    ).to_pandas()
+    out = out.sort_values("event_id")
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.textstats import Fingerprinter
 
@@ -544,6 +582,7 @@ QUERIES = {
     "langid": q_langid,
     "ann_ivf_topk": q_ann_ivf,
     "fingerprints": q_fingerprints,
+    "tube_select": q_tube_select,
 }
 
 _DERIVE_SQL = """
@@ -672,6 +711,17 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
     "token_counts": """
 SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')) AS BIGINT) AS n_tokens
 FROM documents
+""",
+    "tube_select": f"""
+WITH {_DERIVE_SQL.strip()},
+track(tx, ty, tts) AS (VALUES {", ".join(f"({t[0]}, {t[1]}, {t[2]})" for t in TUBE_TRACK)})
+SELECT DISTINCT d.event_id FROM derived d JOIN track t
+  ON 2 * 6371008.7714 * ASIN(LEAST(1.0, SQRT(
+       POW(SIN(RADIANS(d.lat - t.ty) / 2), 2)
+       + COS(RADIANS(t.ty)) * COS(RADIANS(d.lat))
+         * POW(SIN(RADIANS(d.lon - t.tx) / 2), 2)
+     ))) <= {TUBE_BUFFER_M}
+ AND EPOCH_MS(d.ts) BETWEEN t.tts - {TUBE_TIME_MS} AND t.tts + {TUBE_TIME_MS}
 """,
     "ann_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
