@@ -723,6 +723,7 @@ SELECT DISTINCT d.event_id FROM derived d JOIN track t
      ))) <= {TUBE_BUFFER_M}
  AND EPOCH_MS(d.ts) BETWEEN t.tts - {TUBE_TIME_MS} AND t.tts + {TUBE_TIME_MS}
 """,
+    "langid": None,  # filled below (built from the stopword tables)
     "ann_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
@@ -733,3 +734,42 @@ FROM embeddings e, q
 ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.qe) DESC, e.vec_id LIMIT 10
 """,
 }
+
+
+def _langid_oracle_sql() -> str:
+    """Language-ID as pure SQL: the kernel's RE2 counts, ratios, argmax
+    order (first-max over sorted languages) and script-override priority
+    (ru > zh > ja, matching the kernel's last-write-wins loop) reproduced
+    exactly — DuckDB and Arrow both use RE2, so counts are identical."""
+    from geomesa_ray.stages.textstats import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    scores = [
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(sorted(_STOPWORDS[lang]))})\\b'))"
+        f" / GREATEST(len(regexp_extract_all(lower(text), '\\w+')), 1)::DOUBLE AS s_{lang}"
+        for lang in langs
+    ]
+    scripts = {"zh": "[一-鿿]", "ja": "[぀-ヿ]", "ru": "[Ѐ-ӿ]"}
+    script_exprs = [
+        f"len(regexp_extract_all(text, '{p}')) / GREATEST(length(text), 1)::DOUBLE AS sc_{n}"
+        for n, p in scripts.items()
+    ]
+    arms = []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{other}" for other in langs[i + 1 :]]
+        cond = f"s_{lang} > 0.02"
+        if rest:
+            cond = f"s_{lang} >= GREATEST({', '.join(rest)}) AND " + cond
+        arms.append(f"WHEN {cond} THEN '{lang}'")
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(scores)}, {', '.join(script_exprs)} FROM documents)
+SELECT doc_id, CASE
+  WHEN sc_ru > 0.25 THEN 'ru'
+  WHEN sc_zh > 0.15 THEN 'zh'
+  WHEN sc_ja > 0.05 THEN 'ja'
+  {' '.join(arms)}
+  ELSE 'und' END AS lang_pred
+FROM s"""
+
+
+ORACLE_SQL["langid"] = _langid_oracle_sql()
