@@ -773,3 +773,42 @@ FROM s"""
 
 
 ORACLE_SQL["langid"] = _langid_oracle_sql()
+
+
+def _quality_oracle_sql() -> str:
+    """Quality scoring as pure SQL: the kernel's RE2 counts, ratios and the
+    clip/abs score formula reproduced with identical IEEE-double op order
+    (LEAST/GREATEST = np.clip; verified bit-exact)."""
+    from geomesa_ray.stages.textstats import _STOPWORDS
+
+    all_stop = "|".join(sorted(set().union(*_STOPWORDS.values())))
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    GREATEST(length(text), 1)::DOUBLE AS chars_nz,
+    len(regexp_extract_all(text, '\\w+'))::DOUBLE AS ntok,
+    GREATEST(len(regexp_extract_all(text, '\\w+')), 1)::DOUBLE AS toks_nz,
+    len(regexp_extract_all(text, '\\w'))::DOUBLE AS wchars,
+    len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha_c,
+    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS digit_c,
+    len(regexp_extract_all(text, '[.,;:!?''"()\\-]'))::DOUBLE AS punct_c,
+    len(regexp_extract_all(lower(text), '\\b({all_stop})\\b'))::DOUBLE AS stop_c
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+    stop_c / toks_nz AS stopword_ratio,
+    CASE WHEN ntok > 0 THEN wchars / toks_nz ELSE 0.0 END AS mean_tok,
+    alpha_c / chars_nz AS alpha, digit_c / chars_nz AS digit,
+    punct_c / chars_nz AS punct
+  FROM c
+)
+SELECT doc_id, n_tokens, stopword_ratio,
+  0.35 * LEAST(GREATEST(stopword_ratio / 0.4, 0), 1)
+  + 0.25 * LEAST(GREATEST(1 - ABS(mean_tok - 4.5) / 4.5, 0), 1)
+  + 0.20 * LEAST(GREATEST(alpha / 0.7, 0), 1)
+  + 0.10 * (1 - LEAST(GREATEST(digit / 0.2, 0), 1))
+  + 0.10 * (1 - LEAST(GREATEST(punct / 0.25, 0), 1)) AS quality_score
+FROM s"""
+
+
+ORACLE_SQL["quality_scores"] = _quality_oracle_sql()
