@@ -287,3 +287,42 @@ class TestZ3SFC:
         sfc = Z3SFC(TimePeriod.WEEK)
         bins, z3 = sfc.index_from_millis(np.array([0.0]), np.array([0.0]), np.array([0]))
         assert int(bins[0]) == 0
+
+
+class TestZ3RangeVectors:
+    """Literal 3D cut/contains/overlaps vectors from the reference's
+    Z3RangeTest.scala:18-59 (bit-parity pins for the Z3 planner)."""
+
+    def test_z3_cut_out_of_range(self):
+        from geomesa_ray.curves.zorder import z3_encode
+        from geomesa_ray.curves.zranges import Z3Planner
+
+        zmin = int(z3_encode(2, 2, 0))
+        zmax = int(z3_encode(3, 6, 0))
+        zcut = int(z3_encode(5, 1, 0))
+        litmax, bigmin = Z3Planner().zdivide(zcut, zmin, zmax)
+        # cut(range, z) = [(zmin, litmax), (bigmin, zmax)]
+        assert litmax == int(z3_encode(3, 3, 0))
+        assert bigmin == int(z3_encode(2, 4, 0))
+
+    def test_z3_contains_overlaps_vectors(self):
+        from geomesa_ray.curves.zorder import z3_encode
+        from geomesa_ray.curves.zranges import Z3Planner
+
+        p = Z3Planner()
+        rng = (int(z3_encode(2, 2, 0)), int(z3_encode(3, 6, 0)))
+
+        def r(x0, y0, x1, y1):
+            return (int(z3_encode(x0, y0, 0)), int(z3_encode(x1, y1, 0)))
+
+        assert p._overlaps(rng, r(3, 0, 3, 2))
+        assert p._overlaps(rng, r(0, 0, 2, 2))
+        assert p._overlaps(rng, r(1, 6, 4, 6))
+        assert not p._overlaps(rng, r(2, 0, 3, 1))
+        assert not p._overlaps(rng, r(4, 6, 6, 7))
+
+        assert p._contains(rng, r(2, 2, 3, 3))
+        assert p._contains(rng, r(3, 5, 3, 6))
+        assert not p._contains(rng, r(2, 2, 4, 3))
+        assert not p._contains(rng, r(2, 1, 3, 3))
+        assert not p._contains(rng, r(2, 1, 3, 7))
