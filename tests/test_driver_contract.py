@@ -26,6 +26,10 @@ SUBSET = [
     "latest_event_per_user",
     "ann_topk",
     "token_counts",
+    "proximity_join",
+    "semi_join",
+    "langid",
+    "quality_scores",
 ]
 
 
