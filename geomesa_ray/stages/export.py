@@ -149,6 +149,56 @@ def write_csv(ds: ray.data.Dataset, path_dir: str) -> None:
     ds.write_csv(path_dir)
 
 
+def write_orc(ds: ray.data.Dataset, path_dir: str,
+              rows_per_file: int = 1_000_000) -> int:
+    """ORC export (reference FS-storage ORC format / exporter analog):
+    one .orc file per streamed chunk under ``path_dir``."""
+    import os
+
+    from pyarrow import orc
+
+    os.makedirs(path_dir, exist_ok=True)
+    total = 0
+    idx = 0
+    import pyarrow as _pa
+
+    buf: list[pa.Table] = []
+    buffered = 0
+
+    def flush():
+        nonlocal idx, buffered, buf
+        if not buf:
+            return
+        orc.write_table(
+            _pa.concat_tables(buf), os.path.join(path_dir, f"part-{idx:05d}.orc")
+        )
+        idx += 1
+        buf, buffered = [], 0
+
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        buf.append(batch)
+        buffered += len(batch)
+        total += len(batch)
+        if buffered >= rows_per_file:
+            flush()
+    flush()
+    return total
+
+
+def read_orc(path_dir: str) -> ray.data.Dataset:
+    """ORC source: read part files back as a Dataset."""
+    import glob
+
+    from pyarrow import orc
+
+    tables = [
+        orc.read_table(f) for f in sorted(glob.glob(f"{path_dir}/*.orc"))
+    ]
+    import pyarrow as _pa
+
+    return ray.data.from_arrow(_pa.concat_tables(tables))
+
+
 def write_geojson(ds: ray.data.Dataset, path: str, lon_col: str = "lon",
                   lat_col: str = "lat", limit_props: list[str] | None = None) -> int:
     """GeoJSON FeatureCollection export (point geometries)."""

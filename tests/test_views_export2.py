@@ -45,3 +45,27 @@ def test_dictionary_encoded_ipc(ray_session, tmp_path):
     assert pa.types.is_dictionary(got.schema.field("lang").type)
     assert got.column("lang").to_pylist() == tbl["lang"].to_pylist()
     assert got.column("n").to_pylist() == tbl["n"].to_pylist()
+
+
+def test_orc_round_trip(ray_session, tmp_path):
+    import ray.data
+
+    from geomesa_ray.stages.export import read_orc, write_orc
+
+    tbl = pa.table(
+        {
+            "k": pa.array([f"r{i}" for i in range(500)]),
+            "v": pa.array(range(500), pa.int64()),
+        }
+    )
+    d = str(tmp_path / "orc_out")
+    n = write_orc(
+        ray.data.from_arrow(tbl).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=123
+        ),
+        d,
+        rows_per_file=200,
+    )
+    assert n == 500
+    back = read_orc(d).to_pandas().sort_values("v")
+    assert back["k"].tolist() == tbl["k"].to_pylist()
