@@ -1,0 +1,121 @@
+"""Input converters: GeoJSON and delimited text → typed Datasets.
+
+Reference analogs: geomesa-convert-json (GeoJsonParsing.scala) and
+geomesa-convert-text (DelimitedTextConverter.scala) feeding the converter
+pipeline. Here parsing lands directly in Arrow; delimited ingestion can
+infer its SFT from a sample (TypeInference analog via
+:mod:`geomesa_ray.sources.sft`).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from geomesa_ray.sources.sft import infer_spec, parse_spec
+
+
+def read_geojson(path: str) -> ray.data.Dataset:
+    """FeatureCollection of Point features → Dataset with lon/lat columns
+    plus one column per property (geo-converter analog; non-point
+    geometries land as WKT in a ``geometry_wkt`` column)."""
+    from geomesa_ray.geometry.base import LineString, Point, Polygon
+    from geomesa_ray.geometry.wkt import to_wkt
+
+    with open(path) as f:
+        fc = json.load(f)
+    feats = fc.get("features", [])
+    props_keys: list[str] = []
+    for ft in feats:
+        for k in (ft.get("properties") or {}):
+            if k not in props_keys:
+                props_keys.append(k)
+    cols: dict[str, list] = {k: [] for k in props_keys}
+    lons, lats, wkts = [], [], []
+    for ft in feats:
+        geom = ft.get("geometry") or {}
+        gtype = geom.get("type")
+        coords = geom.get("coordinates")
+        if gtype == "Point" and coords:
+            lons.append(float(coords[0]))
+            lats.append(float(coords[1]))
+            wkts.append(None)
+        else:
+            lons.append(None)
+            lats.append(None)
+            if gtype == "LineString":
+                wkts.append(to_wkt(LineString(coords)))
+            elif gtype == "Polygon":
+                wkts.append(to_wkt(Polygon(coords[0], coords[1:])))
+            else:
+                wkts.append(None)
+        p = ft.get("properties") or {}
+        for k in props_keys:
+            cols[k].append(p.get(k))
+    out = {k: pa.array(v) for k, v in cols.items()}
+    out["lon"] = pa.array(lons, pa.float64())
+    out["lat"] = pa.array(lats, pa.float64())
+    if any(w is not None for w in wkts):
+        out["geometry_wkt"] = pa.array(wkts, pa.string())
+    return ray.data.from_arrow(pa.table(out))
+
+
+_CASTS = {
+    "Integer": pa.int32(),
+    "Long": pa.int64(),
+    "Double": pa.float64(),
+    "Boolean": pa.bool_(),
+    "Date": pa.timestamp("ms", tz="UTC"),
+    "String": pa.string(),
+}
+
+
+def read_delimited(
+    paths: str | list[str],
+    spec: str | None = None,
+    infer_sample: int = 100,
+    **read_csv_kwargs,
+) -> ray.data.Dataset:
+    """Delimited-text converter: CSV → Dataset typed by an SFT spec string,
+    inferred from a sample when not given (TypeInference.scala analog)."""
+    import pyarrow.compute as pc
+    import pyarrow.csv as pacsv
+
+    raw = ray.data.read_csv(
+        paths,
+        convert_options=pacsv.ConvertOptions(
+            column_types={}, strings_can_be_null=True,
+            # read everything as strings; typing is the converter's job
+        ),
+        **read_csv_kwargs,
+    )
+    if spec is None:
+        sample = raw.limit(infer_sample).to_pandas()
+        spec = infer_spec({c: [None if v is None else str(v) for v in sample[c]] for c in sample.columns})
+    schema = parse_spec(spec)
+
+    def typed(batch: pa.Table) -> pa.Table:
+        out = {}
+        for field in schema:
+            if field.name not in batch.schema.names:
+                continue
+            col = batch[field.name]
+            if pa.types.is_timestamp(field.type):
+                # parse as zoneless ISO then assume UTC (tz-aware casts
+                # require an explicit zone offset in the string)
+                naive = pc.cast(
+                    pc.cast(col, pa.string()), pa.timestamp(field.type.unit)
+                )
+                out[field.name] = (
+                    pc.assume_timezone(naive, field.type.tz)
+                    if field.type.tz
+                    else naive
+                )
+            else:
+                out[field.name] = pc.cast(col, field.type)
+        return pa.table(out)
+
+    return raw.map_batches(typed, batch_format="pyarrow"), spec

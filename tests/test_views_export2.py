@@ -69,3 +69,42 @@ def test_orc_round_trip(ray_session, tmp_path):
     assert n == 500
     back = read_orc(d).to_pandas().sort_values("v")
     assert back["k"].tolist() == tbl["k"].to_pylist()
+
+
+def test_geojson_reader_round_trip(ray_session, tmp_path):
+    import json
+
+    import ray.data
+
+    from geomesa_ray.sources.readers import read_geojson
+    from geomesa_ray.stages.export import write_geojson
+
+    tbl = pa.table(
+        {
+            "name": pa.array(["a", "b"]),
+            "lon": pa.array([1.5, -2.25], pa.float64()),
+            "lat": pa.array([3.0, 4.5], pa.float64()),
+        }
+    )
+    p = str(tmp_path / "pts.geojson")
+    write_geojson(ray.data.from_arrow(tbl), p)
+    back = read_geojson(p).to_pandas().sort_values("name")
+    assert back["lon"].tolist() == [1.5, -2.25]
+    assert back["name"].tolist() == ["a", "b"]
+
+
+def test_delimited_reader_with_inference(ray_session, tmp_path):
+    from geomesa_ray.sources.readers import read_delimited
+
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "id,score,flag,when,label\n"
+        "1,1.5,true,2020-12-31,alpha\n"
+        "2,2.25,false,2021-01-01,beta\n"
+    )
+    ds, spec = read_delimited(str(p))
+    assert spec == "id:Integer,score:Double,flag:Boolean,when:Date,label:String"
+    df = ds.to_pandas().sort_values("id")
+    assert df["score"].tolist() == [1.5, 2.25]
+    assert df["flag"].tolist() == [True, False]
+    assert str(df["when"].iloc[0])[:10] == "2020-12-31"
