@@ -97,3 +97,49 @@ def test_gridsnap_cell_contains_point(x, y):
     cx, cy = float(snap.x(np.array([i]))[0]), float(snap.y(np.array([j]))[0])
     assert abs(cx - x) <= snap.dx / 2 + 1e-9
     assert abs(cy - y) <= snap.dy / 2 + 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_match_points_equals_brute_force(seed):
+    """The grid-index candidate machinery never changes join results:
+    match_points == per-polygon brute force on random rectangles/pentagons
+    and random points."""
+    import numpy as np
+
+    from geomesa_ray.geometry.base import Polygon, box
+    from geomesa_ray.geometry.predicates import points_in_polygon
+    from geomesa_ray.geometry.wkb import to_wkb
+    import pyarrow as pa
+
+    from geomesa_ray.stages.join import PolygonSet, match_points
+
+    rng = np.random.default_rng(seed)
+    polys = []
+    for i in range(rng.integers(1, 12)):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        w, h = rng.uniform(0.01, 20), rng.uniform(0.01, 20)
+        b = box(max(cx - w, -180), max(cy - h, -90), min(cx + w, 180), min(cy + h, 90))
+        if i % 3 == 0:
+            xmin, ymin, xmax, ymax = b.bounds
+            dx = (xmax - xmin) * 0.4
+            b = Polygon([(xmin + dx, ymin), (xmax, ymin), (xmax, ymax),
+                         (xmin, ymax), (xmin, ymin + dx), (xmin + dx, ymin)])
+        polys.append(b)
+    tbl = pa.table(
+        {
+            "poly_id": pa.array([f"p{i}" for i in range(len(polys))]),
+            "geom_wkb": pa.array([to_wkb(g) for g in polys], pa.binary()),
+        }
+    )
+    polyset = PolygonSet(tbl)
+    n = int(rng.integers(1, 500))
+    px = rng.uniform(-180, 180, n)
+    py = rng.uniform(-90, 90, n)
+    pt_idx, poly_idx = match_points(polyset, px, py, "intersects")
+    got = set(zip(pt_idx.tolist(), poly_idx.tolist()))
+    expect = set()
+    for j, g in enumerate(polys):
+        for i in np.nonzero(points_in_polygon(px, py, g))[0]:
+            expect.add((int(i), j))
+    assert got == expect
