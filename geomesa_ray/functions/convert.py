@@ -95,6 +95,26 @@ def substr(col, start: int, stop: int | None = None):
 
 # --- dates (DateFunctionFactory.scala) --------------------------------------
 
+_UNIT_TO_MS_DIV = {"s": None, "ms": 1, "us": 1000, "ns": 1_000_000}
+
+
+def to_epoch_millis(col) -> "np.ndarray":
+    """Timestamp column (any unit) → int64 epoch-ms numpy array.
+
+    Casts via int64 with unit-aware scaling — never via
+    ``cast(pa.timestamp("ms"))``, which raises ArrowInvalid on us/ns data
+    with nonzero sub-ms fractions (the driver testdata is us-precision).
+    """
+    import numpy as np
+
+    raw = pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy(zero_copy_only=False)
+    unit = getattr(getattr(col, "type", None), "unit", "ms")
+    if unit == "s":
+        return raw * 1000
+    div = _UNIT_TO_MS_DIV.get(unit, 1)
+    return raw if div == 1 else raw // div
+
+
 def millis_to_date(col):
     return pc.cast(col, pa.timestamp("ms"))
 
@@ -104,7 +124,15 @@ def secs_to_date(col):
 
 
 def date_to_millis(col):
-    return pc.cast(pc.cast(col, pa.timestamp("ms")), pa.int64())
+    """Date/timestamp column of any unit → epoch millis (int64), truncating.
+
+    Null-preserving (unlike :func:`to_epoch_millis`, which fills 0 for
+    index-key encoding, Z3IndexKeySpace.scala:71-72).
+    """
+    vals = pa.array(to_epoch_millis(col), pa.int64())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.if_else(pc.is_null(col), pa.nulls(len(vals), pa.int64()), vals)
 
 
 def iso_date(col):

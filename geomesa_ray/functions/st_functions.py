@@ -422,13 +422,25 @@ def st_aggregate_distance_sphere(lons, lats) -> float:
 
 
 def st_buffer_point(lon: float, lat: float, radius_m: float, segments: int = 32) -> bytes:
-    """Geodesic point buffer (st_bufferPoint analog): polygon of
-    ``segments`` vertices at constant haversine radius."""
-    coslat = max(np.cos(np.radians(lat)), 1e-9)
-    dlat = radius_m / 111_195.0
-    dlon = radius_m / (111_195.0 * coslat)
-    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
-    coords = [(lon + dlon * np.cos(a), lat + dlat * np.sin(a)) for a in ang]
+    """Geodesic point buffer (st_bufferPoint analog,
+    GeometricProcessingFunctions.scala): polygon whose ``segments`` vertices
+    each lie at spherical great-circle distance ``radius_m`` from the center
+    (direct geodesic destination per bearing — exact on the sphere at any
+    latitude, unlike a planar cos(lat) ellipse)."""
+    from geomesa_ray.geometry.measures import MEAN_EARTH_RADIUS
+
+    lat1 = np.radians(lat)
+    lon1 = np.radians(lon)
+    delta = radius_m / MEAN_EARTH_RADIUS  # angular distance
+    theta = np.linspace(0, 2 * np.pi, segments, endpoint=False)  # bearings
+    sin_lat2 = np.sin(lat1) * np.cos(delta) + np.cos(lat1) * np.sin(delta) * np.cos(theta)
+    lat2 = np.arcsin(np.clip(sin_lat2, -1.0, 1.0))
+    lon2 = lon1 + np.arctan2(
+        np.sin(theta) * np.sin(delta) * np.cos(lat1),
+        np.cos(delta) - np.sin(lat1) * sin_lat2,
+    )
+    lon2 = (lon2 + np.pi) % (2 * np.pi) - np.pi
+    coords = list(zip(np.degrees(lon2), np.degrees(lat2)))
     coords.append(coords[0])
     return to_wkb(Polygon(coords))
 

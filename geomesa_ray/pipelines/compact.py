@@ -46,11 +46,22 @@ def compact_group(out_dir: str, group: int, target_rows_per_file: int = 1_000_00
         )
     )
     table = table.take(pa.array(order, pa.int64()))
+    # Generation-unique output names: a group compacted twice must never
+    # reuse a prior pass's file names, or os.replace would clobber live
+    # files before the old-file sweep deletes the fresh ones.
+    gen = 0
+    for f in old_files:
+        base = os.path.basename(f)
+        if base.startswith("compact-g"):
+            try:
+                gen = max(gen, int(base.split("-")[1][1:]) + 1)
+            except (IndexError, ValueError):
+                gen = max(gen, 1)
     new_files = []
     idx = 0
     for lo in range(0, len(table), target_rows_per_file):
         chunk = table.slice(lo, target_rows_per_file)
-        path = os.path.join(group_dir, f"compact-{idx:05d}.parquet.tmp")
+        path = os.path.join(group_dir, f"compact-g{gen:03d}-{idx:05d}.parquet.tmp")
         pq.write_table(chunk, path)
         new_files.append(path)
         idx += 1
@@ -59,8 +70,10 @@ def compact_group(out_dir: str, group: int, target_rows_per_file: int = 1_000_00
         final = tmp[: -len(".tmp")]
         os.replace(tmp, final)
         finals.append(final)
+    final_set = set(finals)
     for f in old_files:
-        os.remove(f)
+        if f not in final_set:
+            os.remove(f)
     updated = GroupEntry(
         group=group,
         input_files=entry.input_files,

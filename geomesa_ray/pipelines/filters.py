@@ -180,9 +180,9 @@ def evaluate(f: Filter, batch: pa.Table, lon_col="lon", lat_col="lat",
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
         return points_in_polygon(lon, lat, f.geometry)
     if isinstance(f, During):
-        ts = batch[ts_col].cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
+        from geomesa_ray.functions.convert import to_epoch_millis
+
+        ts = to_epoch_millis(batch[ts_col])
         return (ts >= f.lo_ms) & (ts < f.hi_ms)
     if isinstance(f, AttrEq):
         return pc.fill_null(pc.equal(batch[f.column], f.value), False).to_numpy(

@@ -78,17 +78,30 @@ def read_delimited(
     spec: str | None = None,
     infer_sample: int = 100,
     **read_csv_kwargs,
-) -> ray.data.Dataset:
-    """Delimited-text converter: CSV → Dataset typed by an SFT spec string,
-    inferred from a sample when not given (TypeInference.scala analog)."""
+) -> "tuple[ray.data.Dataset, str]":
+    """Delimited-text converter: CSV → (Dataset typed by an SFT spec string,
+    the spec used). The spec is inferred from a string-valued sample when not
+    given (TypeInference.scala analog); all columns are read as strings so
+    typing is decided by SFT inference alone, never Arrow's CSV guesser."""
     import pyarrow.compute as pc
     import pyarrow.csv as pacsv
+
+    # grab column names from the header so every column can be forced to
+    # string (Arrow CSV needs explicit per-name types to disable inference)
+    first = paths[0] if isinstance(paths, list) else paths
+    parse_options = read_csv_kwargs.get("parse_options")
+    with pacsv.open_csv(
+        first,
+        read_options=pacsv.ReadOptions(block_size=1 << 16),
+        parse_options=parse_options,
+    ) as reader:
+        names = reader.schema.names
 
     raw = ray.data.read_csv(
         paths,
         convert_options=pacsv.ConvertOptions(
-            column_types={}, strings_can_be_null=True,
-            # read everything as strings; typing is the converter's job
+            column_types={n: pa.string() for n in names},
+            strings_can_be_null=True,
         ),
         **read_csv_kwargs,
     )

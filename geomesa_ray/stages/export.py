@@ -58,9 +58,9 @@ class BinEncode:
         track = (hash_strings(batch[self.track_col]) & np.uint64(0xFFFFFFFF)).astype(
             np.uint32
         )
-        ts_ms = batch[self.ts_col].cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
+        from geomesa_ray.functions.convert import to_epoch_millis
+
+        ts_ms = to_epoch_millis(batch[self.ts_col])
         secs = (ts_ms // 1000).astype(np.int64)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False).astype(np.float32)
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False).astype(np.float32)

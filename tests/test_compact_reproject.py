@@ -37,6 +37,26 @@ def test_compaction_preserves_scans(ray_session, tmp_path):
     assert compact(str(idx), target_rows_per_file=10_000) == []
 
 
+def test_recompacting_multifile_groups_preserves_data(ray_session, tmp_path):
+    """Regression: a second compaction pass over a group whose first pass
+    produced 2+ files must not clobber/delete live data (generation-unique
+    compact file names)."""
+    raw, idx = tmp_path / "raw", tmp_path / "idx"
+    raw.mkdir()
+    write_pages_parquet(str(raw), 3000, seed=99, shard_rows=500)
+    ingest_pages(str(raw), str(idx), n_groups=1, target_rows_per_file=200)
+    q = Query(bbox=(-180, -90, 180, 90))
+    before = sorted(scan(str(idx), q).to_pandas()["url"])
+    # first pass: small target → several compact-* files per group
+    assert compact(str(idx), target_rows_per_file=700) == [0]
+    mid = sorted(scan(str(idx), q).to_pandas()["url"])
+    assert mid == before
+    # second pass over the multi-file compacted group must keep all rows
+    assert compact(str(idx), target_rows_per_file=10_000) == [0]
+    after = sorted(scan(str(idx), q).to_pandas()["url"])
+    assert after == before
+
+
 def test_reprojection_roundtrip():
     lon = np.array([-74.0, 0.0, 139.69, 180.0])
     lat = np.array([40.7, 0.0, 35.69, 80.0])
