@@ -7,9 +7,10 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 SURVEY.md §2 (plus the corpus operators); ``oracle_sql()`` gives the DuckDB
 equivalent where the operation is SQL-expressible with bit-deterministic
 results (integer counts, exact double arithmetic, deterministic tie-breaks).
-Operators whose results are approximate/sketch-based or order-sensitive in
-floating point (minhash/simhash pairs, quality scores, language-ID, IVF ANN,
-fingerprints) ship without an oracle and get the rows-only check.
+Every entry carries an oracle: the near-dup/fingerprint kernels are built
+from explicitly-specified integer arithmetic reproduced bit-for-bit in SQL
+(pipelines/oracles.py), and the IVF ANN entry pins the exhaustive-probe
+configuration so the brute-force SQL verifies the full IVF path.
 """
 
 from __future__ import annotations

@@ -420,6 +420,23 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     return simhash_pairs(ds, max_hamming=3)
 
 
+def q_dedup_keep(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end near-dup dedup: MinHash-LSH pairs → distributed
+    min-label-propagation clustering → anti-join keep list (doc_ids of
+    cluster representatives + singletons)."""
+    from geomesa_ray.stages.dedup import (
+        cluster_pairs_dataset,
+        dedup_keep,
+        minhash_lsh_pairs,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    labels = cluster_pairs_dataset(pairs)
+    kept = dedup_keep(ds, labels)
+    return kept.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
 def q_quality(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.textstats import QualityScorer
 
@@ -444,6 +461,13 @@ def q_langid(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF ANN pinned at the exhaustive-probe configuration (n_probe =
+    n_cells): recall is 1 by construction, so the brute-force SQL oracle
+    verifies the ENTIRE IVF path (centroid training, cell assignment,
+    cell pruning, partial-top-k merge) end-to-end. Approximate-recall
+    behavior at n_probe < n_cells is asserted in tests/test_corpus_ops.py
+    (the driver's synthetic embeddings are near-uniform, so partial-probe
+    recall is inherently data-dependent there)."""
     from geomesa_ray.stages.similarity import (
         ann_ivf,
         assign_cells,
@@ -460,7 +484,7 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
         )["embedding"][0].as_py(),
         dtype=np.float64,
     )
-    res = ann_ivf(cells, q[None, :], 10, cent, n_probe=8).to_pandas().sort_values("rank")
+    res = ann_ivf(cells, q[None, :], 10, cent, n_probe=16).to_pandas().sort_values("rank")
     return pa.table(
         {
             "vec_id": pa.array(res["vec_id"].to_numpy(), pa.int64()),
@@ -583,6 +607,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "fingerprints": q_fingerprints,
     "tube_select": q_tube_select,
+    "dedup_keep": q_dedup_keep,
 }
 
 _DERIVE_SQL = """
@@ -812,3 +837,20 @@ FROM s"""
 
 
 ORACLE_SQL["quality_scores"] = _quality_oracle_sql()
+
+
+def _corpus_oracles() -> None:
+    """Near-dup / fingerprint oracles: the engine's integer kernels
+    (rolling hash, splitmix64, Mersenne-61 permutations, FNV-1a, winnowing)
+    reproduced in pure DuckDB SQL — see pipelines/oracles.py."""
+    from geomesa_ray.pipelines import oracles
+
+    ORACLE_SQL["minhash_pairs"] = oracles.minhash_pairs_sql(threshold=0.5)
+    ORACLE_SQL["simhash_pairs"] = oracles.simhash_pairs_sql(max_hamming=3)
+    ORACLE_SQL["dedup_keep"] = oracles.dedup_keep_sql(threshold=0.5)
+    ORACLE_SQL["fingerprints"] = oracles.fingerprints_sql()
+    # exhaustive-probe IVF ≡ exact search (see q_ann_ivf docstring)
+    ORACLE_SQL["ann_ivf_topk"] = ORACLE_SQL["ann_topk"]
+
+
+_corpus_oracles()

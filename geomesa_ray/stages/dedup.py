@@ -3,18 +3,34 @@
 These are first-class engine operators (not in the geo reference, which has
 no general dedup — its join-duplication TODO is RelationUtils.scala:37):
 
-* :func:`exact_dedup` — hash-partition by content key, keep the min-id row
-  per distinct value (collision-safe: groups by 64-bit hash, compares the
-  actual value inside the group).
+* :func:`exact_dedup` — hash-bucketed dedup: per-batch vectorized
+  pre-dedup (combiner), shuffle by ``hash % n_buckets`` (O(buckets) group
+  calls, not O(distinct keys)), vectorized first-per-key inside each
+  bucket via polars' Rust kernels. Collision-safe: the kept row per key is
+  decided on the actual key value, the hash only routes the shuffle.
 * MinHash + LSH — shingle → minhash signature (vectorized rolling-hash +
   per-permutation segment-min) → banded LSH buckets → candidate pairs
-  verified by signature Jaccard. Near-dup pairs come back deterministic.
-* SimHash — 64-bit weighted token fingerprint; near-dups = small Hamming
-  distance, bucketed by 16-bit bands.
+  verified by signature Jaccard. Pairs come back as a DATASET (never
+  driver-materialized) deduplicated across bands by a distributed groupby.
+* SimHash — 64-bit weighted token fingerprint (RE2 ``\\w+`` tokens,
+  seedless FNV-1a token hash — both chosen so the arithmetic is
+  bit-reproducible in SQL); near-dups = small Hamming distance, bucketed
+  by 16-bit bands.
 * n-gram Jaccard — exact pairwise verify kernel.
-* union-find clustering of the (small) verified pair set → keep list.
+* :func:`cluster_pairs_dataset` — distributed connected components over
+  the pair Dataset (iterated min-label propagation via hash joins);
+  :func:`dedup_keep` filters a corpus to cluster representatives with an
+  anti-join. Driver-side :func:`cluster_pairs` remains for small pair sets.
 
 All bucketing shuffles move (key, id) ints, never the text payload.
+Oversized LSH buckets (> ``max_bucket_rows``) are NOT silently dropped:
+they switch from all-pairs (quadratic) to an O(n log n) connectivity-
+preserving pass — every row is verified against the bucket's min-id
+anchor, and the misses are sorted by signature and verified against their
+sorted neighbor (catching duplicate subgroups that differ from the
+anchor) — and each such bucket additionally emits a ``left_id = -1``
+marker row carrying the bucket size, which the pipeline functions count
+and surface via their ``stats`` argument.
 """
 
 from __future__ import annotations
@@ -27,40 +43,93 @@ import ray.data
 from geomesa_ray.stages.encode import hash_strings
 
 _MERSENNE = (1 << 61) - 1
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+# rows above which an LSH bucket switches to the anchor-star pass
+DEFAULT_MAX_BUCKET_ROWS = 10_000
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count of a uint64 array."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
+        axis=1, dtype=np.int32
+    )
+
+
+def fnv1a_utf8(arr, max_bytes: int = 64) -> np.ndarray:
+    """Vectorized FNV-1a (64-bit) over each string's first ``max_bytes``
+    utf-8 bytes. Column-at-a-time over the Arrow string buffer — one numpy
+    pass per byte position, not per string. The algorithm (offset basis,
+    prime, byte order) is standard FNV-1a so a SQL oracle can reproduce it
+    with ``list_reduce`` over the byte list.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(arr, pa.string())
+    arr = arr.cast(pa.string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    starts = offs[:-1]
+    lens = np.minimum(offs[1:] - starts, max_bytes)
+    h = np.full(len(arr), _FNV_OFFSET, dtype=np.uint64)
+    if len(arr) == 0:
+        return h
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash design
+        for j in range(int(lens.max(initial=0))):
+            m = lens > j
+            h[m] = (h[m] ^ data[starts[m] + j].astype(np.uint64)) * _FNV_PRIME
+    return h
 
 
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def _dedup_group(group: pa.Table, key_col: str, id_col: str) -> pa.Table:
-    """Within one hash bucket: keep the min-id row per distinct key value."""
-    import pandas as pd
+def _first_per_key(table: pa.Table, key_col: str, id_col: str) -> pa.Table:
+    """Vectorized min-``id_col`` row per distinct ``key_col`` (polars Rust
+    kernels — no per-key Python calls)."""
+    import polars as pl
 
-    ids = group[id_col].to_numpy(zero_copy_only=False)
-    keys = group[key_col].to_pylist()
-    best: dict = {}
-    for pos, (k, i) in enumerate(zip(keys, ids.tolist())):
-        cur = best.get(k)
-        if cur is None or i < ids[cur]:
-            best[k] = pos
-    take = sorted(best.values())
-    return group.take(pa.array(take, pa.int64())).drop_columns(["__key_hash__"])
+    out = (
+        pl.from_arrow(table)
+        .sort([key_col, id_col])
+        .unique(subset=[key_col], keep="first", maintain_order=True)
+        .to_arrow()
+    )
+    return out.cast(table.schema)
 
 
 def exact_dedup(ds: ray.data.Dataset, key_col: str = "text",
-                id_col: str = "doc_id") -> ray.data.Dataset:
-    """Exact dedup: one row (min ``id_col``) per distinct ``key_col`` value."""
+                id_col: str = "doc_id", n_buckets: int = 256) -> ray.data.Dataset:
+    """Exact dedup: one row (min ``id_col``) per distinct ``key_col`` value.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    Scale shape: each input batch is pre-deduped locally (combiner) before
+    the shuffle, rows are routed by ``hash(key) % n_buckets`` so the
+    groupby makes O(n_buckets) group calls — never one per distinct key —
+    and the per-bucket dedup is a vectorized sort + unique. ``n_buckets``
+    should scale with cluster size (it bounds reduce-side parallelism).
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        batch = _first_per_key(batch, key_col, id_col)
         h = hash_strings(batch[key_col]).astype(np.int64)
-        return batch.append_column("__key_hash__", pa.array(h, pa.int64()))
+        return batch.append_column(
+            "__bucket__", pa.array(h % n_buckets, pa.int64())
+        )
+
+    def bucket_dedup(group: pa.Table, key_col: str, id_col: str) -> pa.Table:
+        return _first_per_key(group, key_col, id_col).drop_columns(["__bucket__"])
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__key_hash__")
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("__bucket__")
         .map_groups(
-            _dedup_group,
+            bucket_dedup,
             fn_kwargs={"key_col": key_col, "id_col": id_col},
             batch_format="pyarrow",
         )
@@ -108,10 +177,11 @@ def _shingle_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
     else:
         out = np.empty(0, np.uint64)
     # finalize: avalanche mix (splitmix64) for uniformity
-    z = out + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    z = z ^ (z >> np.uint64(31))
+    with np.errstate(over="ignore"):
+        z = out + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
     return z, offsets
 
 
@@ -134,6 +204,15 @@ def minhash_signature_batch(texts: list[str], num_perm: int = 128,
         mins = np.minimum.reduceat(hp, starts)
         sig[nonempty, p] = mins
     return sig
+
+
+def minhash_perm_params(num_perm: int = 128, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) permutation parameters — exposed so the SQL oracle can
+    inline the identical constants."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    return a, b
 
 
 class MinHasher:
@@ -172,23 +251,62 @@ class MinHasher:
         return pa.table(out)
 
 
+_PAIR_SCHEMA = pa.schema(
+    [("left_id", pa.int64()), ("right_id", pa.int64()), ("est_jaccard", pa.float64())]
+)
+
+
+def _pair_table(li, ri, js) -> pa.Table:
+    return pa.table(
+        {
+            "left_id": pa.array(li, pa.int64()),
+            "right_id": pa.array(ri, pa.int64()),
+            "est_jaccard": pa.array(js, pa.float64()),
+        }
+    )
+
+
+def _mega_bucket_pass(ids: np.ndarray, sigs: np.ndarray, threshold: float):
+    """Connectivity-preserving O(n log n) pass for an oversized bucket:
+    anchor-star (all vs min-id row) + sorted-signature adjacency for the
+    anchor misses. Returns (li, ri, js) lists."""
+    li, ri, js = [], [], []
+    anchor = int(np.argmin(ids))
+    eq = (sigs == sigs[anchor]).mean(axis=1)
+    hit = eq >= threshold
+    hit[anchor] = False
+    for h in np.nonzero(hit)[0].tolist():
+        a, b = ids[anchor], ids[h]
+        li.append(min(a, b)); ri.append(max(a, b)); js.append(eq[h])
+    # misses: sort by signature bytes, verify sorted neighbors (catches
+    # duplicate subgroups that differ from the anchor)
+    miss = np.nonzero(~hit)[0]
+    miss = miss[miss != anchor]
+    if len(miss) >= 2:
+        sub = sigs[miss]
+        order = np.lexsort(tuple(sub[:, c] for c in range(sub.shape[1] - 1, -1, -1)))
+        m_ids, m_sigs = ids[miss][order], sub[order]
+        eqn = (m_sigs[1:] == m_sigs[:-1]).mean(axis=1)
+        for i in np.nonzero(eqn >= threshold)[0].tolist():
+            a, b = m_ids[i], m_ids[i + 1]
+            li.append(min(a, b)); ri.append(max(a, b)); js.append(eqn[i])
+    return li, ri, js
+
+
 def _bucket_pairs(group: pa.Table, id_col: str, threshold: float,
-                  num_perm: int, sig_ref=None) -> pa.Table:
+                  num_perm: int, sig_ref=None,
+                  max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS) -> pa.Table:
     """All id pairs in one LSH bucket whose signature-Jaccard ≥ threshold.
 
     Signatures come either from the shuffled rows (``signature`` column) or
     from a broadcast (sorted_ids, sig_matrix) pair when ``sig_ref`` is set
-    (the shuffle then carries only ints)."""
+    (the shuffle then carries only ints). Buckets above ``max_bucket_rows``
+    take the anchor-star pass and emit a ``left_id = -1`` marker row whose
+    ``right_id`` is the bucket size (surfaced by the pipeline — never a
+    silent drop)."""
     ids = group[id_col].to_numpy(zero_copy_only=False)
-    empty = pa.table(
-        {
-            "left_id": pa.array([], pa.int64()),
-            "right_id": pa.array([], pa.int64()),
-            "est_jaccard": pa.array([], pa.float64()),
-        }
-    )
-    if len(ids) < 2 or len(ids) > 10_000:  # degenerate mega-bucket guard
-        return empty
+    if len(ids) < 2:
+        return _pair_table([], [], [])
     if sig_ref is not None:
         import ray as _ray
 
@@ -201,6 +319,10 @@ def _bucket_pairs(group: pa.Table, id_col: str, threshold: float,
         sigs = np.stack(
             [np.frombuffer(s, dtype=np.uint64) for s in group["signature"].to_pylist()]
         )
+    if len(ids) > max_bucket_rows:
+        li, ri, js = _mega_bucket_pass(ids, sigs, threshold)
+        li.append(-1); ri.append(len(ids)); js.append(0.0)  # marker row
+        return _pair_table(li, ri, js)
     order = np.argsort(ids, kind="stable")
     ids, sigs = ids[order], sigs[order]
     li, ri, js = [], [], []
@@ -211,14 +333,38 @@ def _bucket_pairs(group: pa.Table, id_col: str, threshold: float,
             li.append(ids[i])
             ri.append(ids[i + 1 + h])
             js.append(eq[h])
-    if not li:
-        return empty
-    return pa.table(
-        {
-            "left_id": pa.array(li, pa.int64()),
-            "right_id": pa.array(ri, pa.int64()),
-            "est_jaccard": pa.array(js, pa.float64()),
-        }
+    return _pair_table(li, ri, js)
+
+
+def _finalize_pairs(allp: ray.data.Dataset, value_col: str, agg: str,
+                    stats: dict | None) -> ray.data.Dataset:
+    """Shared pair-pipeline tail: split out mega-bucket marker rows, dedup
+    pairs seen in multiple bands with a distributed groupby, restore column
+    names, sort. Everything stays a Dataset — nothing lands on the driver."""
+    allp = allp.materialize()
+    if stats is not None:
+        markers = allp.map_batches(
+            lambda b: b.filter(pc.less(b["left_id"], 0)), batch_format="pyarrow"
+        ).materialize()
+        stats["mega_buckets"] = markers.count()
+        stats["mega_bucket_rows"] = int(
+            markers.sum("right_id") or 0
+        ) if stats["mega_buckets"] else 0
+    pairs = allp.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["left_id"], 0)),
+        batch_format="pyarrow",
+    )
+    grouped = pairs.groupby(["left_id", "right_id"])
+    agged = grouped.max(value_col) if agg == "max" else grouped.min(value_col)
+    agg_name = f"{agg}({value_col})"
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [value_col if c == agg_name else c for c in batch.schema.names]
+        )
+
+    return agged.map_batches(rename, batch_format="pyarrow").sort(
+        ["left_id", "right_id"]
     )
 
 
@@ -232,15 +378,21 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     concurrency: int = 4,
     broadcast_limit_bytes: int = 512 * 1024 * 1024,
-) -> pa.Table:
-    """Near-duplicate candidate pairs via MinHash-LSH, verified by
-    signature Jaccard ≥ ``threshold``. Returns a deduplicated driver-side
-    pair table sorted by (left_id, right_id).
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+    stats: dict | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs via MinHash-LSH, verified by signature Jaccard
+    ≥ ``threshold``. Returns a DATASET of (left_id, right_id, est_jaccard)
+    sorted by (left_id, right_id) — the pair set never lands on the driver
+    (feed it to :func:`cluster_pairs_dataset` / :func:`dedup_keep`, or
+    ``write_parquet`` it).
 
     When the signature matrix fits ``broadcast_limit_bytes`` it is
     broadcast once and the band shuffle carries ONLY (band, key, id) ints
     (~16× less exchange volume); above the cap, signatures ride the
-    shuffle rows instead."""
+    shuffle rows instead. Pass a dict as ``stats`` to receive
+    ``mega_buckets`` / ``mega_bucket_rows`` counts (oversized buckets use
+    the anchor-star pass — see module docstring)."""
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={
@@ -300,24 +452,152 @@ def minhash_lsh_pairs(
                 "threshold": threshold,
                 "num_perm": num_perm,
                 "sig_ref": sig_ref,
+                "max_bucket_rows": max_bucket_rows,
             },
             batch_format="pyarrow",
         )
     )
-    df = allp.to_pandas()
-    if len(df) == 0:
-        return pa.Table.from_pandas(df, preserve_index=False)
-    # dedup pairs found in multiple bands (keep max estimate, then sort)
-    df = df.groupby(["left_id", "right_id"], as_index=False)["est_jaccard"].max()
-    df = df.sort_values(["left_id", "right_id"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _finalize_pairs(allp, "est_jaccard", "max", stats)
+
+
+# ---------------------------------------------------------------------------
+# distributed clustering over a pair Dataset
+# ---------------------------------------------------------------------------
+
+def _drop_empty_blocks(ds: ray.data.Dataset, fallback_schema: pa.Schema) -> ray.data.Dataset:
+    """Rebuild a dataset without zero-row blocks.
+
+    Ray's hash-shuffle (groupby), sort and repartition stages can emit
+    zero-row blocks with an EMPTY schema; ``map_batches`` skips empty
+    blocks so they survive every downstream stage, and the join
+    aggregator then fails to type them (ArrowInvalid: no match for
+    FieldRef on the join key). This pass is metadata-only on the driver —
+    block payloads never leave the object store."""
+    ds = ds.materialize()
+    refs = [
+        ref
+        for bund in ds.iter_internal_ref_bundles()
+        for ref, meta in bund.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        return ray.data.from_arrow(fallback_schema.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def cluster_pairs_dataset(pairs: ray.data.Dataset, *, num_partitions: int = 16,
+                          max_rounds: int = 25) -> ray.data.Dataset:
+    """Connected components over a (left_id, right_id) pair Dataset →
+    Dataset of (node, label) with label = min id of the node's component.
+
+    Iterated min-label propagation: each round hash-joins the static edge
+    list with the current labels and takes the per-node min — an all-Dataset
+    loop (shuffle moves int pairs only). Near-dup components are shallow,
+    so convergence is 2–4 rounds; the label sum is monotonically
+    non-increasing and the loop stops at its fixpoint.
+    """
+    def sym(batch: pa.Table) -> pa.Table:
+        l = batch["left_id"].combine_chunks() if isinstance(batch["left_id"], pa.ChunkedArray) else batch["left_id"]
+        r = batch["right_id"].combine_chunks() if isinstance(batch["right_id"], pa.ChunkedArray) else batch["right_id"]
+        ln = l.to_numpy(zero_copy_only=False)
+        rn = r.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([ln, rn]), pa.int64()),
+                "nbr": pa.array(np.concatenate([rn, ln]), pa.int64()),
+            }
+        )
+
+    edges = _drop_empty_blocks(
+        pairs.select_columns(["left_id", "right_id"]).map_batches(
+            sym, batch_format="pyarrow"
+        ),
+        pa.schema([("node", pa.int64()), ("nbr", pa.int64())]),
+    )
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+        )
+
+    def initial_label(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        nbr = batch["min(nbr)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch["node"],
+                "label": pa.array(np.minimum(node, nbr), pa.int64()),
+            }
+        )
+
+    labels = _drop_empty_blocks(
+        edges.groupby("node").min("nbr")
+        .map_batches(initial_label, batch_format="pyarrow"),
+        _LABEL_SCHEMA,
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        prop = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions, on=("node",)
+        ).map_batches(
+            lambda b: pa.table({"node": b["nbr"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = _drop_empty_blocks(
+            labels.union(prop)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda b: b.rename_columns(
+                    ["node", "label"]
+                ),
+                batch_format="pyarrow",
+            ),
+            _LABEL_SCHEMA,
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_keep(docs: ray.data.Dataset, labels: ray.data.Dataset,
+               id_col: str = "doc_id", num_partitions: int = 16) -> ray.data.Dataset:
+    """Filter ``docs`` to near-dup cluster representatives: drop every row
+    whose id carries a label smaller than itself (anti-join — distributed,
+    no driver-side id set)."""
+    # _drop_empty_blocks: Ray's join broadcasts each side's schema with the
+    # FIRST shuffled block only; a zero-row first block loses the broadcast
+    # and untyped empty partitions then fail the Arrow join. drops is small
+    # (int ids), so the cleanup materialize is cheap; the docs side streams
+    # from its reader and never leads with an empty block.
+    drops = _drop_empty_blocks(
+        labels.map_batches(
+            lambda b: b.filter(pc.less(b["label"], b["node"])).select(["node"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("node", pa.int64())]),
+    )
+    if drops.count() == 0:
+        return docs  # left_anti with an empty right side is the identity
+    return docs.join(
+        drops,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        right_on=("node",),
+    )
 
 
 def cluster_pairs(pairs: pa.Table, all_ids=None) -> dict[int, int]:
     """Union-find over a verified pair set → {id: cluster_representative}.
 
-    The pair set is small (near-dup pairs, not the corpus); runs driver-side
-    like the reference's client-side reducers.
+    Driver-side convenience for SMALL pair tables (tests, interactive use);
+    the scale path is :func:`cluster_pairs_dataset`.
     """
     parent: dict[int, int] = {}
 
@@ -336,7 +616,8 @@ def cluster_pairs(pairs: pa.Table, all_ids=None) -> dict[int, int]:
 
 
 def dedup_keep_ids(pairs: pa.Table, all_ids: np.ndarray) -> np.ndarray:
-    """Ids to KEEP: cluster representative = min id; singletons kept."""
+    """Ids to KEEP: cluster representative = min id; singletons kept.
+    Driver-side convenience for small pair tables."""
     cl = cluster_pairs(pairs)
     drop = {x for x, rep in cl.items() if rep != x}
     return np.array(sorted(set(all_ids.tolist()) - drop), dtype=np.int64)
@@ -346,28 +627,57 @@ def dedup_keep_ids(pairs: pa.Table, all_ids: np.ndarray) -> np.ndarray:
 # simhash
 # ---------------------------------------------------------------------------
 
-def simhash_batch(texts: list[str], seed: int = 42) -> np.ndarray:
-    """64-bit weighted SimHash per text (Charikar): each distinct \\w+ token
-    votes with its term count, so documents sharing a vocabulary but with
-    different word multisets still separate (the unweighted variant
-    collapses same-vocab corpora into one Hamming ball)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    import re
+def simhash_batch(texts, seed: int = 42) -> np.ndarray:
+    """64-bit weighted SimHash per text (Charikar): every RE2 ``\\w+``
+    token occurrence of the lowercased text votes ±1 per bit of its
+    64-bit FNV-1a hash; bit b of the result is set iff the vote sum is
+    positive. (Occurrence-summed votes ≡ the count-weighted formulation.)
 
-    tok = re.compile(r"\w+")
-    for i, t in enumerate(texts):
-        toks = tok.findall(t.lower())
-        if not toks:
-            continue
-        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        hs = hash_strings(uniq.tolist(), seed=seed)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-        signed = 2 * bits.astype(np.int64) - 1  # ±1 per bit
-        votes = (signed * counts[:, None]).sum(axis=0)  # (64,)
-        word = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            word |= np.uint64(1) << np.uint64(b)
-        out[i] = word
+    Fully vectorized: RE2 split + FNV both run column-at-a-time; the vote
+    reduction is a segmented ``np.add.reduceat`` chunked to bound memory.
+    Tokenizer (RE2 ASCII ``\\w``) and hash (seedless FNV-1a over ≤64
+    bytes) are chosen to be bit-reproducible in the DuckDB oracle;
+    ``seed`` is retained for signature compatibility but unused.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(texts, pa.string())
+    arr = arr.cast(pa.string())
+    n_docs = len(arr)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs == 0:
+        return out
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"\W+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    counts = np.asarray(toks.value_lengths(), dtype=np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    tok_len = np.asarray(pc.binary_length(flat), dtype=np.int64)
+    keep = tok_len > 0  # split on \W+ yields boundary empties; drop them
+    h = fnv1a_utf8(flat)[keep]
+    doc_of = doc_of[keep]
+    if len(h) == 0:
+        return out
+    bitsum = np.zeros((n_docs, 64), dtype=np.int64)
+    n_tok = np.bincount(doc_of, minlength=n_docs)
+    shift = np.arange(64, dtype=np.uint64)
+    chunk = 1 << 18
+    for lo in range(0, len(h), chunk):
+        hc = h[lo : lo + chunk]
+        dc = doc_of[lo : lo + chunk]
+        bits = ((hc[:, None] >> shift[None, :]) & np.uint64(1)).astype(np.int64)
+        # tokens are doc-ordered: segmented sum within the chunk
+        seg = np.nonzero(np.diff(dc, prepend=dc[0] - 1))[0]
+        partial = np.add.reduceat(bits, seg, axis=0)
+        bitsum[dc[seg]] += partial
+    votes_pos = (2 * bitsum) > n_tok[:, None]  # vote sum > 0
+    out = (votes_pos.astype(np.uint64) << shift[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
     return out
 
 
@@ -380,7 +690,7 @@ class SimHasher:
         self.seed = seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = simhash_batch(batch[self.text_col].to_pylist(), self.seed)
+        sh = simhash_batch(batch[self.text_col], self.seed)
         out = {
             self.id_col: batch[self.id_col],
             "simhash": pa.array(sh.astype(np.int64), pa.int64()),
@@ -393,43 +703,63 @@ class SimHasher:
         return pa.table(out)
 
 
-def _simhash_bucket_pairs(group: pa.Table, id_col: str, max_hamming: int) -> pa.Table:
+def _simhash_bucket_pairs(group: pa.Table, id_col: str, max_hamming: int,
+                          max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS) -> pa.Table:
+    def out_table(li, ri, hd):
+        return pa.table(
+            {
+                "left_id": pa.array(li, pa.int64()),
+                "right_id": pa.array(ri, pa.int64()),
+                "hamming": pa.array(hd, pa.int32()),
+            }
+        )
+
     ids = group[id_col].to_numpy(zero_copy_only=False)
-    empty = pa.table(
-        {
-            "left_id": pa.array([], pa.int64()),
-            "right_id": pa.array([], pa.int64()),
-            "hamming": pa.array([], pa.int32()),
-        }
-    )
-    if len(ids) < 2 or len(ids) > 10_000:
-        return empty
+    if len(ids) < 2:
+        return out_table([], [], [])
     sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    if len(ids) > max_bucket_rows:
+        # anchor-star + sorted-neighbor pass, plus a marker row (see module
+        # docstring — oversized buckets are surfaced, never dropped)
+        li, ri, hd = [], [], []
+        anchor = int(np.argmin(ids))
+        dist = popcount64(sh ^ sh[anchor])
+        hit = dist <= max_hamming
+        hit[anchor] = False
+        for i in np.nonzero(hit)[0].tolist():
+            a, b = ids[anchor], ids[i]
+            li.append(min(a, b)); ri.append(max(a, b)); hd.append(int(dist[i]))
+        miss = np.nonzero(~hit)[0]
+        miss = miss[miss != anchor]
+        if len(miss) >= 2:
+            order = np.argsort(sh[miss], kind="stable")
+            m_ids, m_sh = ids[miss][order], sh[miss][order]
+            dn = popcount64(m_sh[1:] ^ m_sh[:-1])
+            for i in np.nonzero(dn <= max_hamming)[0].tolist():
+                a, b = m_ids[i], m_ids[i + 1]
+                li.append(min(a, b)); ri.append(max(a, b)); hd.append(int(dn[i]))
+        li.append(-1); ri.append(len(ids)); hd.append(0)
+        return out_table(li, ri, hd)
     order = np.argsort(ids, kind="stable")
     ids, sh = ids[order], sh[order]
     li, ri, hd = [], [], []
     for i in range(len(ids) - 1):
-        x = sh[i + 1 :] ^ sh[i]
-        dist = np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
+        dist = popcount64(sh[i + 1 :] ^ sh[i])
         hit = np.nonzero(dist <= max_hamming)[0]
         for h in hit.tolist():
-            li.append(ids[i]); ri.append(ids[i + 1 + h]); hd.append(dist[h])
-    if not li:
-        return empty
-    return pa.table(
-        {
-            "left_id": pa.array(li, pa.int64()),
-            "right_id": pa.array(ri, pa.int64()),
-            "hamming": pa.array(hd, pa.int32()),
-        }
-    )
+            li.append(ids[i]); ri.append(ids[i + 1 + h]); hd.append(int(dist[h]))
+    return out_table(li, ri, hd)
 
 
 def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  concurrency: int = 4) -> pa.Table:
+                  concurrency: int = 4,
+                  max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
+                  stats: dict | None = None) -> ray.data.Dataset:
     """Near-dup pairs with Hamming(simhash) ≤ k, bucketed by 16-bit bands
-    (any pair within Hamming 3 shares at least one of 4 bands exactly)."""
+    (any pair within Hamming 3 shares at least one of 4 bands exactly).
+    Returns a Dataset of (left_id, right_id, hamming) sorted by pair —
+    never driver-materialized; ``stats`` surfaces mega-bucket counts."""
     hashed = ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
@@ -457,16 +787,12 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
         .groupby(["band", "key"])
         .map_groups(
             _simhash_bucket_pairs,
-            fn_kwargs={"id_col": id_col, "max_hamming": max_hamming},
+            fn_kwargs={"id_col": id_col, "max_hamming": max_hamming,
+                       "max_bucket_rows": max_bucket_rows},
             batch_format="pyarrow",
         )
     )
-    df = allp.to_pandas()
-    if len(df) == 0:
-        return pa.Table.from_pandas(df, preserve_index=False)
-    df = df.groupby(["left_id", "right_id"], as_index=False)["hamming"].min()
-    df = df.sort_values(["left_id", "right_id"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _finalize_pairs(allp, "hamming", "min", stats)
 
 
 # ---------------------------------------------------------------------------

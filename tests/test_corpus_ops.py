@@ -82,7 +82,12 @@ def test_minhash_lsh_pairs(ray_session, documents):
     ds = ray.data.from_arrow(corpus).map_batches(
         lambda b: b, batch_format="pyarrow", batch_size=17
     )
-    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    stats = {}
+    pairs = pa.Table.from_pandas(
+        minhash_lsh_pairs(ds, threshold=0.5, stats=stats).to_pandas(),
+        preserve_index=False,
+    )
+    assert stats["mega_buckets"] == 0
     got = set(zip(pairs["left_id"].to_pylist(), pairs["right_id"].to_pylist()))
     # every planted pair must be found (their true jaccard is high)
     texts = dict(zip(corpus["doc_id"].to_pylist(), corpus["text"].to_pylist()))
@@ -103,10 +108,127 @@ def test_simhash_pairs(ray_session, documents):
 
     corpus = _near_dup_corpus(documents)
     ds = ray.data.from_arrow(corpus)
-    pairs = simhash_pairs(ds, max_hamming=6)
-    got = set(zip(pairs["left_id"].to_pylist(), pairs["right_id"].to_pylist()))
+    pairs = simhash_pairs(ds, max_hamming=6).to_pandas()
+    got = set(zip(pairs["left_id"].tolist(), pairs["right_id"].tolist()))
     found = sum((j, 1000 + j) in got for j in range(10))
     assert found >= 7  # simhash is approximate; most planted pairs found
+
+
+def test_distributed_clustering_matches_union_find(ray_session, documents):
+    """cluster_pairs_dataset / dedup_keep (distributed min-label
+    propagation + anti-join) agree with the driver-side union-find."""
+    import ray.data
+    from geomesa_ray.stages.dedup import (
+        cluster_pairs,
+        cluster_pairs_dataset,
+        dedup_keep,
+        dedup_keep_ids,
+        minhash_lsh_pairs,
+    )
+
+    corpus = _near_dup_corpus(documents)
+    ds = ray.data.from_arrow(corpus)
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    ptbl = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+    labels = cluster_pairs_dataset(pairs)
+    got = dict(
+        zip(
+            labels.to_pandas()["node"].tolist(),
+            labels.to_pandas()["label"].tolist(),
+        )
+    )
+    expect = cluster_pairs(ptbl)
+    assert got == expect
+    kept = sorted(dedup_keep(ds, labels).to_pandas()["doc_id"])
+    assert kept == dedup_keep_ids(ptbl, corpus["doc_id"].to_numpy()).tolist()
+
+
+def test_chain_clustering_multi_round(ray_session):
+    """A long chain forces several label-propagation rounds (depth > 1)."""
+    import ray.data
+    from geomesa_ray.stages.dedup import cluster_pairs_dataset
+
+    # chain 9-8-7-...-0 plus a separate triangle 20-21-22
+    li = list(range(1, 10)) + [20, 21, 20]
+    ri = list(range(0, 9)) + [21, 22, 22]
+    pairs = pa.table(
+        {
+            "left_id": pa.array(li, pa.int64()),
+            "right_id": pa.array(ri, pa.int64()),
+        }
+    )
+    labels = cluster_pairs_dataset(ray.data.from_arrow(pairs)).to_pandas()
+    lab = dict(zip(labels["node"], labels["label"]))
+    assert all(lab[i] == 0 for i in range(10))
+    assert all(lab[i] == 20 for i in (20, 21, 22))
+
+
+def test_mega_bucket_not_silently_dropped(ray_session):
+    """Degenerate corpus (every doc identical → one LSH bucket in every
+    band, larger than max_bucket_rows): pairs must still connect every doc
+    to the min-id anchor and the mega-bucket count must be surfaced."""
+    import ray.data
+    from geomesa_ray.stages.dedup import (
+        cluster_pairs_dataset,
+        dedup_keep,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    n = 120
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["all documents share this exact text body " * 4] * n),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    stats = {}
+    pairs = minhash_lsh_pairs(
+        ds, threshold=0.5, max_bucket_rows=50, stats=stats
+    )
+    assert stats["mega_buckets"] >= 1
+    assert stats["mega_bucket_rows"] >= n
+    labels = cluster_pairs_dataset(pairs)
+    kept = sorted(dedup_keep(ds, labels).to_pandas()["doc_id"])
+    assert kept == [0]  # connectivity preserved: one representative survives
+    sstats = {}
+    spairs = simhash_pairs(ds, max_hamming=3, max_bucket_rows=50, stats=sstats)
+    assert sstats["mega_buckets"] >= 1
+    sdf = spairs.to_pandas()
+    # anchor-star pairs connect everything to doc 0
+    assert set(sdf[sdf["left_id"] == 0]["right_id"]) == set(range(1, n))
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN recall
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_partial_probe_recall(ray_session, embeddings):
+    """Approximate-probe IVF must recover most of the exact top-k and
+    converge to exact at exhaustive probe (the driver correctness entry
+    pins n_probe = n_cells; this covers the approximate regime)."""
+    import ray.data
+    from geomesa_ray.stages.similarity import (
+        ann_brute,
+        ann_ivf,
+        assign_cells,
+        train_centroids,
+    )
+
+    ds = ray.data.from_arrow(embeddings)
+    q = np.asarray(embeddings["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    exact = set(
+        ann_brute(ds, q, 10).to_pandas()["vec_id"]
+    )
+    cent = train_centroids(ds, n_cells=8, sample_rows=2000)
+    cells = assign_cells(ds, cent).materialize()
+    rec4 = len(set(ann_ivf(cells, q, 10, cent, n_probe=4).to_pandas()["vec_id"]) & exact) / 10
+    rec8 = len(set(ann_ivf(cells, q, 10, cent, n_probe=8).to_pandas()["vec_id"]) & exact) / 10
+    assert rec4 >= 0.3  # partial probe finds a meaningful fraction
+    assert rec8 == 1.0  # exhaustive probe is exact by construction
+    assert rec8 >= rec4
 
 
 # ---------------------------------------------------------------------------
