@@ -96,6 +96,23 @@ class DensityTiles:
         )
 
 
+def _merge_dense_partials(batch: pa.Table, cells: int) -> pa.Table:
+    """Merge N packed dense-grid partial rows into one (tree-reduce step)."""
+    grids = np.frombuffer(
+        b"".join(batch["grid"].to_pylist()), dtype=np.float64
+    ).reshape(-1, cells)
+    g = grids.sum(axis=0)
+    t = np.zeros(cells, dtype=bool)
+    for tb in batch["touched"].to_pylist():
+        t |= np.unpackbits(np.frombuffer(tb, dtype=np.uint8))[:cells].astype(bool)
+    return pa.table(
+        {
+            "grid": pa.array([g.tobytes()], pa.binary()),
+            "touched": pa.array([np.packbits(t).tobytes()], pa.binary()),
+        }
+    )
+
+
 def density(
     points: ray.data.Dataset,
     envelope=WORLD,
@@ -106,18 +123,30 @@ def density(
     lon_col: str = "lon",
     lat_col: str = "lat",
     reduce_max_cells: int = 1_048_576,
+    max_driver_bytes: int = 256 << 20,
 ) -> ray.data.Dataset:
     """Tile-aggregation pipeline: sparse partial sums per batch, then either
-    a driver-side merge (grid ≤ ``reduce_max_cells`` — the reference's
-    client-reducer shape, no all-to-all shuffle) or a small tile groupby."""
-    if width * height <= reduce_max_cells:
+    a dense-grid tree reduce (grid ≤ ``reduce_max_cells`` — the reference's
+    client-reducer semantics, no all-to-all shuffle) or a sparse tile
+    groupby.
+
+    The dense arm is bounded at every level: each input batch emits one
+    packed ~(cells × 9)-byte grid partial; partial rows are then merged in
+    distributed tree rounds of ``fanin`` grids per task until the total
+    partial volume fits ``max_driver_bytes``, and only that bounded
+    remainder streams to the driver. At 10^12 rows / 10^7 block partials
+    the tree is 3-4 rounds; the driver never sees more than
+    ``max_driver_bytes`` regardless of input size (SCALE.md §density).
+    """
+    cells = width * height
+    if cells <= reduce_max_cells:
         import ray.data as rd
 
         snap = GridSnap(envelope, width, height)
 
         def dense_partial(batch: pa.Table) -> pa.Table:
-            """One packed dense grid + touch mask per batch — the client
-            reduce then moves ~(cells × 9) bytes per BLOCK, not per tile."""
+            """One packed dense grid + touch mask per batch — the reduce
+            then moves ~(cells × 9) bytes per BLOCK, not per tile."""
             x = batch[lon_col].to_numpy(zero_copy_only=False)
             y = batch[lat_col].to_numpy(zero_copy_only=False)
             i = snap.i(x)
@@ -130,8 +159,8 @@ def density(
                     np.float64
                 )[valid]
             idx = i[valid] * height + j[valid]
-            g = np.zeros(width * height, dtype=np.float64)
-            t = np.zeros(width * height, dtype=bool)
+            g = np.zeros(cells, dtype=np.float64)
+            t = np.zeros(cells, dtype=bool)
             np.add.at(g, idx, w)
             t[idx] = True
             return pa.table(
@@ -141,15 +170,27 @@ def density(
                 }
             )
 
-        grid = np.zeros(width * height, dtype=np.float64)
-        touched = np.zeros(width * height, dtype=bool)
-        for row in points.map_batches(
+        grid_bytes = cells * 8 + (cells + 7) // 8
+        # fanin: grids merged per tree task — bounded by a ~512 MB task heap
+        fanin = int(max(2, min(64, (512 << 20) // grid_bytes)))
+        partials = points.map_batches(
             dense_partial, batch_format="pyarrow", batch_size=batch_size
-        ).take_all():
-            grid += np.frombuffer(row["grid"], dtype=np.float64)
+        ).materialize()
+        while partials.count() * grid_bytes > max_driver_bytes:
+            partials = partials.map_batches(
+                _merge_dense_partials,
+                fn_kwargs={"cells": cells},
+                batch_format="pyarrow",
+                batch_size=fanin,
+            ).materialize()
+        grid = np.zeros(cells, dtype=np.float64)
+        touched = np.zeros(cells, dtype=bool)
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            merged_b = _merge_dense_partials(b, cells)
+            grid += np.frombuffer(merged_b["grid"][0].as_py(), dtype=np.float64)
             touched |= np.unpackbits(
-                np.frombuffer(row["touched"], dtype=np.uint8)
-            )[: width * height].astype(bool)
+                np.frombuffer(merged_b["touched"][0].as_py(), dtype=np.uint8)
+            )[:cells].astype(bool)
         occ = np.nonzero(touched)[0]
         merged = pa.table(
             {

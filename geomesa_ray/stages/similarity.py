@@ -178,9 +178,16 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int | None = None,
-) -> pa.Table:
+    max_bucket_rows: int = 10_000,
+    stats: dict | None = None,
+) -> ray.data.Dataset:
     """Embedding near-dup pairs: random-hyperplane bucket + exact cosine
-    verify inside each bucket. Returns (left_id, right_id, cosine) sorted."""
+    verify inside each bucket. Returns a DATASET of (left_id, right_id,
+    cosine) sorted by pair — never driver-materialized. Buckets above
+    ``max_bucket_rows`` take an O(n) anchor-star pass (all rows verified
+    against the min-id row) instead of the quadratic all-pairs, emit a
+    ``left_id = -1`` marker, and are surfaced via ``stats`` (same contract
+    as the MinHash/SimHash pair pipelines — no silent drops)."""
     if dim is None:
         first = vectors.take(1)[0][emb_col]
         dim = len(first)
@@ -202,41 +209,44 @@ def lsh_cosine_pairs(
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "left_id": pa.array([], pa.int64()),
-                "right_id": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
-        if len(group) < 2 or len(group) > 10_000:
-            return empty
+        def out(li, ri, cs):
+            return pa.table(
+                {
+                    "left_id": pa.array(li, pa.int64()),
+                    "right_id": pa.array(ri, pa.int64()),
+                    "cosine": pa.array(cs, pa.float64()),
+                }
+            )
+
+        if len(group) < 2:
+            return out([], [], [])
         ids = group[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_emb_matrix(group, emb_col))
+        if len(ids) > max_bucket_rows:
+            anchor = int(np.argmin(ids))
+            sims = m @ m[anchor]
+            hit = sims >= threshold
+            hit[anchor] = False
+            li, ri, cs = [], [], []
+            for i in np.nonzero(hit)[0].tolist():
+                a, b = ids[anchor], ids[i]
+                li.append(min(a, b)); ri.append(max(a, b)); cs.append(sims[i])
+            li.append(-1); ri.append(len(ids)); cs.append(0.0)  # marker row
+            return out(li, ri, cs)
         order = np.argsort(ids, kind="stable")
         ids, m = ids[order], m[order]
         sims = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)
         hit = sims[iu, ju] >= threshold
         if not hit.any():
-            return empty
-        return pa.table(
-            {
-                "left_id": pa.array(ids[iu[hit]], pa.int64()),
-                "right_id": pa.array(ids[ju[hit]], pa.int64()),
-                "cosine": pa.array(sims[iu[hit], ju[hit]], pa.float64()),
-            }
-        )
+            return out([], [], [])
+        return out(ids[iu[hit]], ids[ju[hit]], sims[iu[hit], ju[hit]])
 
     pairs = (
         vectors.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    df = pairs.to_pandas()
-    if len(df) == 0:
-        return pa.Table.from_pandas(df, preserve_index=False)
-    df = df.drop_duplicates(["left_id", "right_id"]).sort_values(
-        ["left_id", "right_id"]
-    ).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    from geomesa_ray.stages.dedup import _finalize_pairs
+
+    return _finalize_pairs(pairs, "cosine", "max", stats)

@@ -378,8 +378,12 @@ def test_lsh_cosine_pairs(ray_session, embeddings):
         pa.array(embeddings["vec_id"].to_numpy().max() + 1 + np.arange(5), pa.int64()),
     )
     full = pa.concat_tables([embeddings, dup])
-    pairs = lsh_cosine_pairs(ray.data.from_arrow(full), threshold=0.99)
-    got = set(zip(pairs["left_id"].to_pylist(), pairs["right_id"].to_pylist()))
+    stats = {}
+    pairs = lsh_cosine_pairs(
+        ray.data.from_arrow(full), threshold=0.99, stats=stats
+    ).to_pandas()
+    assert stats["mega_buckets"] == 0
+    got = set(zip(pairs["left_id"].tolist(), pairs["right_id"].tolist()))
     base = embeddings["vec_id"].to_numpy().max() + 1
     for j in range(5):
         assert (j, base + j) in got

@@ -80,6 +80,20 @@ def test_density_pipeline_vs_oracle(ray_session, geo_table):
     # decode round-trip: weights preserved, coordinates are cell centers
     dec = decode(pa.Table.from_pandas(tbl[["tile_x", "tile_y", "weight"]]))
     assert float(pa.compute.sum(dec["weight"]).as_py()) == sum(expect.values())
+    # tree-reduce arm: force multiple merge rounds (tiny driver budget) and
+    # the sparse-groupby arm; both must agree with the oracle
+    tree = density(
+        ds, envelope=(-180, -90, 180, 90), width=256, height=256,
+        max_driver_bytes=2 * (256 * 256 * 9),  # ≤2 partials reach the driver
+    ).to_pandas()
+    got_tree = {(int(r.tile_x), int(r.tile_y)): r.weight for r in tree.itertuples()}
+    assert got_tree == expect
+    sparse = density(
+        ds, envelope=(-180, -90, 180, 90), width=256, height=256,
+        reduce_max_cells=0,  # force the groupby arm
+    ).to_pandas()
+    got_sparse = {(int(r.tile_x), int(r.tile_y)): r.weight for r in sparse.itertuples()}
+    assert got_sparse == expect
 
 
 # ---------------------------------------------------------------------------
