@@ -61,6 +61,75 @@ def events_points(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
+def events_extents(sf_dir: str) -> ray.data.Dataset:
+    """events → deterministic extent rows (event_id, ts, xmin, ymin, xmax,
+    ymax): rectangles centered on the derived points with event_id-derived
+    half-sizes, clamped to world bounds. Every op (integer mod, /100.0,
+    ±, max/min) is mirrored verbatim in the oracle SQL so the doubles are
+    bit-identical."""
+    ds = events_points(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        w = ((eid * 131) % 200) / 100.0  # half-width 0..1.99°
+        h = ((eid * 173) % 100) / 100.0  # half-height 0..0.99°
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "xmin": pa.array(np.maximum(lon - w, -180.0), pa.float64()),
+                "ymin": pa.array(np.maximum(lat - h, -90.0), pa.float64()),
+                "xmax": pa.array(np.minimum(lon + w, 180.0), pa.float64()),
+                "ymax": pa.array(np.minimum(lat + h, 90.0), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def _xz_extents_layout(sf_dir: str) -> str:
+    """Cached XZ2/XZ3-keyed layout of the derived extents (resumable
+    ingest, xz2-sorted group files + manifest key stats)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/geomesa_ray_xz_idx_{key}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        from geomesa_ray.pipelines.xzindex import ingest_extents
+
+        os.makedirs(out, exist_ok=True)
+        raw = os.path.join(out, "raw.parquet")
+        parts = [b for b in events_extents(sf_dir).iter_batches(batch_format="pyarrow")]
+        pq.write_table(pa.concat_tables(parts), raw)
+        ingest_extents(
+            raw, out, ts_col="ts", n_groups=2, target_rows_per_file=20_000
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+XZ_BBOX = (-10.0, 30.0, 25.0, 55.0)
+
+
+def q_xz_bbox_scan(sf_dir: str) -> pa.Table:
+    """Non-point (extent) bbox scan over the XZ-indexed layout: planner
+    ranges → manifest file pruning → coarse xz2 range membership → exact
+    envelope-intersects residual."""
+    from geomesa_ray.pipelines.xzindex import xz_scan
+
+    layout = _xz_extents_layout(sf_dir)
+    out = xz_scan(layout, bbox=XZ_BBOX, columns=["event_id"]).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return pa.table({"event_id": pa.array(out["event_id"].to_numpy(), pa.int64())})
+
+
 def polygons_table() -> pa.Table:
     return pa.table(
         {
@@ -608,6 +677,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "tube_select": q_tube_select,
     "dedup_keep": q_dedup_keep,
+    "xz_bbox_scan": q_xz_bbox_scan,
 }
 
 _DERIVE_SQL = """
@@ -747,6 +817,21 @@ SELECT DISTINCT d.event_id FROM derived d JOIN track t
          * POW(SIN(RADIANS(d.lon - t.tx) / 2), 2)
      ))) <= {TUBE_BUFFER_M}
  AND EPOCH_MS(d.ts) BETWEEN t.tts - {TUBE_TIME_MS} AND t.tts + {TUBE_TIME_MS}
+""",
+    "xz_bbox_scan": f"""
+WITH {_DERIVE_SQL.strip()},
+ext AS (
+  SELECT event_id,
+         GREATEST(lon - ((event_id * 131) % 200) / 100.0, -180.0) AS xmin,
+         GREATEST(lat - ((event_id * 173) % 100) / 100.0, -90.0)  AS ymin,
+         LEAST(lon + ((event_id * 131) % 200) / 100.0, 180.0)     AS xmax,
+         LEAST(lat + ((event_id * 173) % 100) / 100.0, 90.0)      AS ymax
+  FROM derived
+)
+SELECT event_id FROM ext
+WHERE xmin <= {XZ_BBOX[2]} AND xmax >= {XZ_BBOX[0]}
+  AND ymin <= {XZ_BBOX[3]} AND ymax >= {XZ_BBOX[1]}
+ORDER BY event_id
 """,
     "langid": None,  # filled below (built from the stopword tables)
     "ann_topk": """
