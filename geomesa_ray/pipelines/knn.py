@@ -28,7 +28,7 @@ import ray.data
 
 from geomesa_ray.curves.binnedtime import TimePeriod
 from geomesa_ray.geometry.measures import haversine_m
-from geomesa_ray.pipelines.scan import Query, scan
+from geomesa_ray.pipelines.scan import Query, plan_files
 
 _M_PER_DEG_LAT = 111_195.0  # mean earth radius * pi / 180
 
@@ -129,6 +129,16 @@ def _window(qx: float, qy: float, radius_m: float) -> list[tuple[float, float, f
     return [(lo, ymin, hi, ymax)]
 
 
+def _plan_round_files(out_dir: str, boxes, period: TimePeriod) -> list[str]:
+    """Union of the PER-WINDOW planned file lists — each query window
+    prunes independently, so two antipodal queries read only the files
+    near each point, never a world-spanning union bbox band."""
+    files: set[str] = set()
+    for b in boxes:
+        files.update(plan_files(out_dir, Query(bbox=b, loose=True), period=period))
+    return sorted(files)
+
+
 def knn_search(
     out_dir: str,
     query_lon,
@@ -138,14 +148,21 @@ def knn_search(
     max_radius_m: float = 2.1e7,  # > half the earth circumference: full fallback
     id_col: str = "url",
     period: TimePeriod = TimePeriod.WEEK,
+    stats: dict | None = None,
 ) -> pa.Table:
     """Indexed kNN over an ingested z-ordered layout via radius doubling.
 
-    Per round, ONE planned scan over the union of all unresolved query
-    windows feeds :func:`knn_brute`'s combiner; a query is resolved once its
-    k-th neighbor lies within the scan radius (correctness guarantee of the
-    expanding window: any unseen point is farther than the window edge).
+    Per round, the file lists planned for each unresolved query window are
+    merged and read ONCE (column-pruned, with an OR-of-windows push-down
+    filter); the combined candidate stream feeds :func:`knn_brute`'s
+    combiner. A query is resolved once its k-th neighbor lies within the
+    scan radius (correctness guarantee of the expanding window: any unseen
+    point is farther than the window edge; extra candidates from other
+    queries' windows can only be farther and never change the result).
+    Pass a dict as ``stats`` to receive ``files_per_round``.
     """
+    import pyarrow.dataset as pads
+
     qx = np.asarray(query_lon, dtype=np.float64)
     qy = np.asarray(query_lat, dtype=np.float64)
     nq = len(qx)
@@ -155,18 +172,30 @@ def knn_search(
 
     while not resolved.all():
         active = np.nonzero(~resolved)[0]
-        # scan the union of all active windows (each side of any antimeridian
-        # split scanned once); per-query exactness comes from the distance
-        # check below, so over-covering is safe
         boxes = [b for i in active for b in _window(qx[i], qy[i], radius[i])]
-        xmin = min(b[0] for b in boxes)
-        ymin = min(b[1] for b in boxes)
-        xmax = max(b[2] for b in boxes)
-        ymax = max(b[3] for b in boxes)
-        ds = scan(out_dir, Query(bbox=(xmin, ymin, xmax, ymax), loose=True), period=period)
-        got = knn_brute(
-            ds, qx[active], qy[active], k, id_col=id_col
-        ).to_pandas()
+        files = _plan_round_files(out_dir, boxes, period)
+        if stats is not None:
+            stats.setdefault("files_per_round", []).append(len(files))
+        if files:
+            expr = None
+            for xmin, ymin, xmax, ymax in boxes:
+                e = (
+                    (pads.field("lon") >= xmin)
+                    & (pads.field("lon") <= xmax)
+                    & (pads.field("lat") >= ymin)
+                    & (pads.field("lat") <= ymax)
+                )
+                expr = e if expr is None else (expr | e)
+            ds = ray.data.read_parquet(
+                files, columns=[id_col, "lon", "lat"], filter=expr
+            )
+            got = knn_brute(
+                ds, qx[active], qy[active], k, id_col=id_col
+            ).to_pandas()
+        else:
+            import pandas as pd
+
+            got = pd.DataFrame()
         empty_round = len(got) == 0 or "query_idx" not in got.columns
         for pos, i in enumerate(active.tolist()):
             mine = got[got["query_idx"] == pos] if not empty_round else got

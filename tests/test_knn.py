@@ -89,3 +89,46 @@ def test_knn_search_matches_brute(ray_session, indexed_dir):
         b = brute[brute["query_idx"] == qi].sort_values("rank")["dist_m"].to_numpy()
         assert len(a) == k
         assert np.allclose(a, b)
+
+
+def test_knn_search_antipodal_windows_prune_independently(ray_session, indexed_dir):
+    """Two antipodal query points: per-window file planning must NOT scan a
+    world-spanning union-bbox band. Each round's merged file list stays
+    bounded by the per-query windows, and results still match brute force."""
+    import glob
+
+    import ray.data
+
+    qx = [2.35, -177.65]  # Paris and its antipode longitude
+    qy = [48.85, -48.85]
+    k = 3
+    stats = {}
+    idx = knn_search(
+        indexed_dir, qx, qy, k, start_radius_m=50_000, stats=stats
+    ).to_pandas()
+    data_files = sorted(glob.glob(f"{indexed_dir}/group=*/*.parquet"))
+    # regression check: per-window planning must beat (or match) planning
+    # the union bbox of both antipodal windows, which spans the world band
+    from geomesa_ray.pipelines.knn import _plan_round_files, _window
+    from geomesa_ray.pipelines.scan import Query, plan_files
+
+    boxes = _window(qx[0], qy[0], 50_000) + _window(qx[1], qy[1], 50_000)
+    per_window = _plan_round_files(indexed_dir, boxes, "week")
+    union_bbox = (
+        min(b[0] for b in boxes),
+        min(b[1] for b in boxes),
+        max(b[2] for b in boxes),
+        max(b[3] for b in boxes),
+    )
+    union_files = plan_files(indexed_dir, Query(bbox=union_bbox, loose=True))
+    assert len(per_window) <= len(union_files)
+    # rounds were recorded and never exceed the layout size
+    assert stats["files_per_round"] and all(
+        n <= len(data_files) for n in stats["files_per_round"]
+    )
+    full = ray.data.read_parquet(data_files)
+    brute = knn_brute(full, qx, qy, k).to_pandas()
+    for qi in range(2):
+        a = idx[idx["query_idx"] == qi].sort_values("rank")["dist_m"].to_numpy()
+        b = brute[brute["query_idx"] == qi].sort_values("rank")["dist_m"].to_numpy()
+        assert len(a) == k and np.allclose(a, b)
