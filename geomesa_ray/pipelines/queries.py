@@ -489,6 +489,49 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     return simhash_pairs(ds, max_hamming=3)
 
 
+def q_tile_agg_lines(sf_dir: str) -> ray.data.Dataset:
+    """Non-point density rasterization (RenderingGrid semantics): each
+    event derives a deterministic axis-aligned LineString (horizontal for
+    even ids, vertical for odd), rasterized onto the 256×256 world grid by
+    the general Bresenham/clip rasterizer; the oracle mirrors the snap
+    arithmetic with a cell-range unnest (axis-aligned Bresenham = a
+    contiguous run, exactly SQL-expressible)."""
+    from geomesa_ray.geometry.base import LineString
+    from geomesa_ray.geometry.wkb import to_wkb
+    from geomesa_ray.stages.density import density
+
+    ds = events_points(sf_dir)
+
+    def mk_lines(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        hlen = ((eid * 37) % 500) / 100.0
+        vlen = ((eid * 53) % 300) / 100.0
+        x1 = np.minimum(lon + hlen, 180.0)
+        y1 = np.minimum(lat + vlen, 90.0)
+        wkbs = []
+        for k in range(len(eid)):
+            if eid[k] % 2 == 0:
+                wkbs.append(to_wkb(LineString([(lon[k], lat[k]), (x1[k], lat[k])])))
+            else:
+                wkbs.append(to_wkb(LineString([(lon[k], lat[k]), (lon[k], y1[k])])))
+        return pa.table({"geom_wkb": pa.array(wkbs, pa.binary())})
+
+    lines = ds.map_batches(mk_lines, batch_format="pyarrow")
+    tiles = density(lines, geom_col="geom_wkb")
+    return tiles.map_batches(
+        lambda b: pa.table(
+            {
+                "tile_x": b["tile_x"].cast(pa.int64()),
+                "tile_y": b["tile_y"].cast(pa.int64()),
+                "weight": b["weight"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_dedup_keep(sf_dir: str) -> ray.data.Dataset:
     """End-to-end near-dup dedup: MinHash-LSH pairs → distributed
     min-label-propagation clustering → anti-join keep list (doc_ids of
@@ -678,6 +721,7 @@ QUERIES = {
     "tube_select": q_tube_select,
     "dedup_keep": q_dedup_keep,
     "xz_bbox_scan": q_xz_bbox_scan,
+    "tile_agg_lines": q_tile_agg_lines,
 }
 
 _DERIVE_SQL = """
@@ -817,6 +861,32 @@ SELECT DISTINCT d.event_id FROM derived d JOIN track t
          * POW(SIN(RADIANS(d.lon - t.tx) / 2), 2)
      ))) <= {TUBE_BUFFER_M}
  AND EPOCH_MS(d.ts) BETWEEN t.tts - {TUBE_TIME_MS} AND t.tts + {TUBE_TIME_MS}
+""",
+    "tile_agg_lines": f"""
+WITH {_DERIVE_SQL.strip()},
+seg AS (
+  SELECT event_id, lon, lat,
+         LEAST(lon + ((event_id * 37) % 500) / 100.0, 180.0) AS x1,
+         LEAST(lat + ((event_id * 53) % 300) / 100.0, 90.0)  AS y1
+  FROM derived
+),
+hc AS (
+  SELECT unnest(range(i0, i1 + 1)) AS tile_x, j AS tile_y FROM (
+    SELECT CAST(LEAST(FLOOR((lon - (-180.0)) / 1.40625), 255) AS BIGINT) AS i0,
+           CAST(LEAST(FLOOR((x1 - (-180.0)) / 1.40625), 255) AS BIGINT) AS i1,
+           CAST(LEAST(FLOOR((lat - (-90.0)) / 0.703125), 255) AS BIGINT) AS j
+    FROM seg WHERE event_id % 2 = 0)
+),
+vc AS (
+  SELECT i AS tile_x, unnest(range(j0, j1 + 1)) AS tile_y FROM (
+    SELECT CAST(LEAST(FLOOR((lon - (-180.0)) / 1.40625), 255) AS BIGINT) AS i,
+           CAST(LEAST(FLOOR((lat - (-90.0)) / 0.703125), 255) AS BIGINT) AS j0,
+           CAST(LEAST(FLOOR((y1 - (-90.0)) / 0.703125), 255) AS BIGINT) AS j1
+    FROM seg WHERE event_id % 2 = 1)
+)
+SELECT tile_x, tile_y, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM (SELECT * FROM hc UNION ALL SELECT * FROM vc)
+GROUP BY 1, 2
 """,
     "xz_bbox_scan": f"""
 WITH {_DERIVE_SQL.strip()},

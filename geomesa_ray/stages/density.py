@@ -96,6 +96,183 @@ class DensityTiles:
         )
 
 
+def _bresenham_cells(i0: int, j0: int, i1: int, j1: int):
+    """Inclusive-endpoint Bresenham pixel walk (GridSnap.bresenhamLine
+    semantics, GridSnap.scala:94-126, with both endpoints painted),
+    vectorized per segment: the k-th step's minor coordinate is
+    floor(k·dminor/dmajor + 1/2), identical to the reference's
+    error-accumulator rounding."""
+    di, dj = abs(i1 - i0), abs(j1 - j0)
+    si = 1 if i1 >= i0 else -1
+    sj = 1 if j1 >= j0 else -1
+    if di == 0 and dj == 0:
+        return np.array([i0]), np.array([j0])
+    if di >= dj:
+        k = np.arange(di + 1, dtype=np.int64)
+        return i0 + si * k, j0 + sj * ((2 * k * dj + di) // (2 * di))
+    k = np.arange(dj + 1, dtype=np.int64)
+    return i0 + si * ((2 * k * di + dj) // (2 * dj)), j0 + sj * k
+
+
+def _clip_segment(x0, y0, x1, y1, env):
+    """Liang-Barsky segment/rect clip; returns clipped coords or None."""
+    xmin, ymin, xmax, ymax = env
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x0 - xmin),
+        (dx, xmax - x0),
+        (-dy, y0 - ymin),
+        (dy, ymax - y0),
+    ):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return None
+            if r > t0:
+                t0 = r
+        else:
+            if r < t0:
+                return None
+            if r < t1:
+                t1 = r
+    return x0 + t0 * dx, y0 + t0 * dy, x0 + t1 * dx, y0 + t1 * dy
+
+
+def _line_cells(snap: GridSnap, coords: np.ndarray):
+    """Distinct grid cells touched by a line path (per-segment clip + snap
+    + Bresenham; RenderingGrid.render(LineString) semantics with a
+    distinct-cells-per-geometry contract)."""
+    env = (snap.xmin, snap.ymin, snap.xmax, snap.ymax)
+    keys = []
+    for s in range(len(coords) - 1):
+        clipped = _clip_segment(
+            coords[s, 0], coords[s, 1], coords[s + 1, 0], coords[s + 1, 1], env
+        )
+        if clipped is None:
+            continue
+        cx0, cy0, cx1, cy1 = clipped
+        i0, j0 = int(snap.i(cx0)), int(snap.j(cy0))
+        i1, j1 = int(snap.i(cx1)), int(snap.j(cy1))
+        if min(i0, j0, i1, j1) < 0:
+            continue
+        ii, jj = _bresenham_cells(i0, j0, i1, j1)
+        keys.append(ii * np.int64(snap.height) + jj)
+    if len(coords) == 1:  # degenerate single-vertex path
+        i0, j0 = int(snap.i(coords[0, 0])), int(snap.j(coords[0, 1]))
+        if i0 >= 0 and j0 >= 0:
+            keys.append(np.array([i0 * snap.height + j0], dtype=np.int64))
+    if not keys:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(keys))
+
+
+def _polygon_cells(snap: GridSnap, poly) -> np.ndarray:
+    """Distinct grid cells covered by a polygon: scanline fill over the
+    cell CENTERS of the clipped bbox (even-odd, holes respected via
+    points_in_polygon) plus the Bresenham outline of every ring — thin
+    polygons still rasterize (RenderingGrid.render(Polygon):164-229
+    semantics with a center-in fill rule)."""
+    from geomesa_ray.geometry.predicates import points_in_polygon
+
+    xmin, ymin, xmax, ymax = poly.bounds
+    xmin, xmax = max(xmin, snap.xmin), min(xmax, snap.xmax)
+    ymin, ymax = max(ymin, snap.ymin), min(ymax, snap.ymax)
+    if xmin > xmax or ymin > ymax:
+        return np.empty(0, np.int64)
+    i0, i1 = int(snap.i(xmin)), int(snap.i(xmax))
+    j0, j1 = int(snap.j(ymin)), int(snap.j(ymax))
+    ii = np.arange(i0, i1 + 1, dtype=np.int64)
+    jj = np.arange(j0, j1 + 1, dtype=np.int64)
+    cx = snap.x(ii)
+    cy = snap.y(jj)
+    gx, gy = np.meshgrid(cx, cy, indexing="ij")
+    inside = points_in_polygon(gx.ravel(), gy.ravel(), poly)
+    gi, gj = np.meshgrid(ii, jj, indexing="ij")
+    keys = [gi.ravel()[inside] * np.int64(snap.height) + gj.ravel()[inside]]
+    for ring in poly.rings:
+        keys.append(_line_cells(snap, ring))
+    return np.unique(np.concatenate(keys))
+
+
+class RasterizeTiles:
+    """map_batches stage: geometry rows (WKB column) → sparse per-batch
+    tile partials, rasterizing lines (Bresenham) and polygons (scanline +
+    outline) onto the grid like the reference's RenderingGrid
+    (RenderingGrid.scala:72-244). Each geometry part contributes its
+    weight once per distinct cell it touches."""
+
+    def __init__(self, envelope=WORLD, width: int = DEFAULT_WIDTH,
+                 height: int = DEFAULT_HEIGHT, geom_col: str = "geom_wkb",
+                 weight_col: str | None = None):
+        self.snap = GridSnap(envelope, width, height)
+        self.geom_col = geom_col
+        self.weight_col = weight_col
+
+    def _cells(self, geom) -> np.ndarray:
+        from geomesa_ray.geometry.base import (
+            GeometryCollection,
+            LineString,
+            MultiLineString,
+            MultiPoint,
+            MultiPolygon,
+            Point,
+            Polygon,
+        )
+
+        if isinstance(geom, Point):
+            i, j = int(self.snap.i(geom.x)), int(self.snap.j(geom.y))
+            if i < 0 or j < 0:
+                return np.empty(0, np.int64)
+            return np.array([i * self.snap.height + j], dtype=np.int64)
+        if isinstance(geom, LineString):
+            return _line_cells(self.snap, geom.coords)
+        if isinstance(geom, Polygon):
+            return _polygon_cells(self.snap, geom)
+        if isinstance(geom, (MultiPoint, MultiLineString, MultiPolygon, GeometryCollection)):
+            parts = [self._cells(g) for g in geom.parts]
+            return np.concatenate(parts) if parts else np.empty(0, np.int64)
+        raise TypeError(f"cannot rasterize {type(geom).__name__}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from geomesa_ray.geometry.wkb import from_wkb
+
+        if self.weight_col is None:
+            w = np.ones(len(batch), dtype=np.float64)
+        else:
+            w = batch[self.weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        all_keys, all_w = [], []
+        for wkb, wt in zip(batch[self.geom_col].to_pylist(), w):
+            cells = self._cells(from_wkb(wkb))
+            if len(cells):
+                all_keys.append(cells)
+                all_w.append(np.full(len(cells), wt))
+        if not all_keys:
+            return pa.table(
+                {
+                    "tile_x": pa.array([], pa.int32()),
+                    "tile_y": pa.array([], pa.int32()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            )
+        key = np.concatenate(all_keys)
+        wv = np.concatenate(all_w)
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, wv)
+        return pa.table(
+            {
+                "tile_x": pa.array((uniq // self.snap.height).astype(np.int32), pa.int32()),
+                "tile_y": pa.array((uniq % self.snap.height).astype(np.int32), pa.int32()),
+                "weight": pa.array(sums, pa.float64()),
+            }
+        )
+
+
 def _merge_dense_partials(batch: pa.Table, cells: int) -> pa.Table:
     """Merge N packed dense-grid partial rows into one (tree-reduce step)."""
     grids = np.frombuffer(
@@ -124,6 +301,7 @@ def density(
     lat_col: str = "lat",
     reduce_max_cells: int = 1_048_576,
     max_driver_bytes: int = 256 << 20,
+    geom_col: str | None = None,
 ) -> ray.data.Dataset:
     """Tile-aggregation pipeline: sparse partial sums per batch, then either
     a dense-grid tree reduce (grid ≤ ``reduce_max_cells`` — the reference's
@@ -139,6 +317,19 @@ def density(
     ``max_driver_bytes`` regardless of input size (SCALE.md §density).
     """
     cells = width * height
+    if geom_col is not None:
+        # non-point rasterization (lines/polygons): sparse partials per
+        # batch through RasterizeTiles, merged by the tile groupby
+        from ray.data.aggregate import Sum
+
+        partials = points.map_batches(
+            RasterizeTiles(envelope, width, height, geom_col, weight_col).__call__,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        return partials.groupby(["tile_x", "tile_y"]).aggregate(
+            Sum("weight", alias_name="weight")
+        )
     if cells <= reduce_max_cells:
         import ray.data as rd
 

@@ -97,6 +97,117 @@ def test_density_pipeline_vs_oracle(ray_session, geo_table):
 
 
 # ---------------------------------------------------------------------------
+# line / polygon rasterization (RenderingGrid semantics)
+# ---------------------------------------------------------------------------
+
+
+def _raster_cells(geom_wkb, envelope=(-180, -90, 180, 90), w=256, h=256):
+    from geomesa_ray.stages.density import RasterizeTiles
+
+    t = RasterizeTiles(envelope, w, h)(
+        pa.table({"geom_wkb": pa.array([geom_wkb], pa.binary())})
+    )
+    return set(zip(t["tile_x"].to_pylist(), t["tile_y"].to_pylist()))
+
+
+def test_rasterize_axis_aligned_lines():
+    from geomesa_ray.geometry.base import LineString
+    from geomesa_ray.geometry.wkb import to_wkb
+    from geomesa_ray.stages.density import GridSnap
+
+    snap = GridSnap((-180, -90, 180, 90), 256, 256)
+    # horizontal: contiguous i run at one j
+    got = _raster_cells(to_wkb(LineString([(0.0, 10.0), (10.0, 10.0)])))
+    i0, i1 = int(snap.i(0.0)), int(snap.i(10.0))
+    j = int(snap.j(10.0))
+    assert got == {(i, j) for i in range(i0, i1 + 1)}
+    # vertical
+    got = _raster_cells(to_wkb(LineString([(5.0, -3.0), (5.0, 4.0)])))
+    i = int(snap.i(5.0))
+    j0, j1 = int(snap.j(-3.0)), int(snap.j(4.0))
+    assert got == {(i, j) for j in range(j0, j1 + 1)}
+
+
+def test_rasterize_diagonal_line_properties():
+    """General Bresenham: cells form a connected chain near the segment,
+    both endpoints painted, count == major-axis span + 1."""
+    from geomesa_ray.geometry.base import LineString
+    from geomesa_ray.geometry.wkb import to_wkb
+    from geomesa_ray.stages.density import GridSnap
+
+    snap = GridSnap((-180, -90, 180, 90), 256, 256)
+    x0, y0, x1, y1 = -7.3, -2.1, 22.9, 17.8
+    got = _raster_cells(to_wkb(LineString([(x0, y0), (x1, y1)])))
+    i0, j0 = int(snap.i(x0)), int(snap.j(y0))
+    i1, j1 = int(snap.i(x1)), int(snap.j(y1))
+    assert (i0, j0) in got and (i1, j1) in got
+    assert len(got) == max(abs(i1 - i0), abs(j1 - j0)) + 1
+    # connectivity: sorted by i, consecutive cells are 8-adjacent
+    cells = sorted(got)
+    for a, b in zip(cells, cells[1:]):
+        assert abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1
+
+
+def test_rasterize_line_clips_to_envelope():
+    from geomesa_ray.geometry.base import LineString
+    from geomesa_ray.geometry.wkb import to_wkb
+
+    # segment mostly outside the world: only the inside part rasterizes
+    got = _raster_cells(to_wkb(LineString([(179.0, 0.0), (250.0, 0.0)])))
+    assert got and all(x <= 255 for x, _ in got)
+
+
+def test_rasterize_polygon_fill_and_holes():
+    from geomesa_ray.geometry.base import Polygon
+    from geomesa_ray.geometry.wkb import to_wkb
+    from geomesa_ray.stages.density import GridSnap
+
+    snap = GridSnap((-180, -90, 180, 90), 256, 256)
+    # rectangle: every cell whose center is inside + outline
+    rect = Polygon([(0.0, 0.0), (14.0, 0.0), (14.0, 7.0), (0.0, 7.0)])
+    got = _raster_cells(to_wkb(rect))
+    i0, i1 = int(snap.i(0.0)), int(snap.i(14.0))
+    j0, j1 = int(snap.j(0.0)), int(snap.j(7.0))
+    assert got == {(i, j) for i in range(i0, i1 + 1) for j in range(j0, j1 + 1)}
+    # hole: center cells of the hole are excluded (outline cells remain)
+    holed = Polygon(
+        [(0.0, 0.0), (14.0, 0.0), (14.0, 7.0), (0.0, 7.0)],
+        holes=[[(4.0, 2.0), (10.0, 2.0), (10.0, 5.0), (4.0, 5.0)]],
+    )
+    goth = _raster_cells(to_wkb(holed))
+    mid = (int(snap.i(7.0)), int(snap.j(3.5)))
+    assert mid in got and mid not in goth
+    # thin sliver polygon (sub-cell height) still rasterizes via outline
+    sliver = Polygon([(20.0, 20.0), (30.0, 20.0), (30.0, 20.01), (20.0, 20.01)])
+    assert _raster_cells(to_wkb(sliver))
+
+
+def test_rasterize_weight_column(ray_session):
+    import ray.data
+
+    from geomesa_ray.geometry.base import LineString
+    from geomesa_ray.geometry.wkb import to_wkb
+    from geomesa_ray.stages.density import density
+
+    tbl = pa.table(
+        {
+            "geom_wkb": pa.array(
+                [
+                    to_wkb(LineString([(0.0, 10.0), (3.0, 10.0)])),
+                    to_wkb(LineString([(0.0, 10.0), (3.0, 10.0)])),
+                ],
+                pa.binary(),
+            ),
+            "w": pa.array([2.0, 3.0], pa.float64()),
+        }
+    )
+    out = density(
+        ray.data.from_arrow(tbl), geom_col="geom_wkb", weight_col="w"
+    ).to_pandas()
+    assert (out["weight"] == 5.0).all()  # both lines cover the same cells
+
+
+# ---------------------------------------------------------------------------
 # stats sketches
 # ---------------------------------------------------------------------------
 
