@@ -346,6 +346,51 @@ def st_relate_bool(a_col, b: Geometry | bytes, pattern: str) -> pa.Array:
     )
 
 
+def _overlay_binary(a_col, b, op) -> pa.Array:
+    """Shared wrapper for the overlay ops: geometry column × (column or
+    single WKB/Geometry) → WKB column (null for empty results)."""
+    from geomesa_ray.geometry.overlay import polygon_difference, polygon_intersection
+
+    fn = polygon_intersection if op == "intersection" else polygon_difference
+    geoms_a = geoms_from_wkb(a_col)
+    if isinstance(b, (bytes, bytearray)):
+        geoms_b = [from_wkb(bytes(b))] * len(geoms_a)
+    elif isinstance(b, Geometry):
+        geoms_b = [b] * len(geoms_a)
+    else:
+        geoms_b = geoms_from_wkb(b)
+    out = []
+    for g, h in zip(geoms_a, geoms_b):
+        if g is None or h is None:
+            out.append(None)
+            continue
+        r = fn(g, h)
+        out.append(to_wkb(r) if r is not None else None)
+    return pa.array(out, pa.binary())
+
+
+def st_intersection(a_col, b) -> pa.Array:
+    """Polygon overlay intersection (SpatialRelationFunctions.scala:57
+    analog; see geometry/overlay.py for the clipping algorithms)."""
+    return _overlay_binary(a_col, b, "intersection")
+
+
+def st_difference(a_col, b) -> pa.Array:
+    """Polygon overlay difference (SpatialRelationFunctions.scala:83)."""
+    return _overlay_binary(a_col, b, "difference")
+
+
+def st_make_valid(col) -> pa.Array:
+    """Deterministic validity repair (GeometricProcessingFunctions.scala:72
+    analog; see overlay.make_valid for scope)."""
+    from geomesa_ray.geometry.overlay import make_valid
+
+    out = []
+    for g in geoms_from_wkb(col):
+        out.append(to_wkb(make_valid(g)) if g is not None else None)
+    return pa.array(out, pa.binary())
+
+
 def st_area(col) -> pa.Array:
     return pa.array(
         [measures.area(g) if g is not None else None for g in geoms_from_wkb(col)],

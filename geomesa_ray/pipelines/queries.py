@@ -116,6 +116,48 @@ def _xz_extents_layout(sf_dir: str) -> str:
 
 
 XZ_BBOX = (-10.0, 30.0, 25.0, 55.0)
+CLIP_RECT = (-10.0, 30.0, 25.0, 55.0)
+
+
+def q_clip_area(sf_dir: str) -> ray.data.Dataset:
+    """Overlay intersection end-to-end: each event's derived extent
+    rectangle is clipped by a fixed rectangle via st_intersection and the
+    clipped area emitted per event (0.0 when disjoint). Area is computed
+    from the intersection's bounds as w*h so the float ops (max, min,
+    −, ×) mirror the oracle's GREATEST/LEAST arithmetic bit-for-bit."""
+    from geomesa_ray.functions.st_functions import st_intersection
+    from geomesa_ray.geometry.base import Polygon
+    from geomesa_ray.geometry.wkb import from_wkb, to_wkb
+
+    cx0, cy0, cx1, cy1 = CLIP_RECT
+    clip_wkb = to_wkb(
+        Polygon([(cx0, cy0), (cx1, cy0), (cx1, cy1), (cx0, cy1)])
+    )
+    ds = events_extents(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x0 = batch["xmin"].to_numpy(zero_copy_only=False)
+        y0 = batch["ymin"].to_numpy(zero_copy_only=False)
+        x1 = batch["xmax"].to_numpy(zero_copy_only=False)
+        y1 = batch["ymax"].to_numpy(zero_copy_only=False)
+        wkbs = [
+            to_wkb(Polygon([(a, b), (c, b), (c, d), (a, d)]))
+            for a, b, c, d in zip(x0, y0, x1, y1)
+        ]
+        inter = st_intersection(pa.array(wkbs, pa.binary()), clip_wkb)
+        areas = np.zeros(len(batch), dtype=np.float64)
+        for k, w in enumerate(inter.to_pylist()):
+            if w is not None:
+                ix0, iy0, ix1, iy1 = from_wkb(w).bounds
+                areas[k] = (ix1 - ix0) * (iy1 - iy0)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "clip_area": pa.array(areas, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def q_xz_bbox_scan(sf_dir: str) -> pa.Table:
@@ -722,6 +764,7 @@ QUERIES = {
     "dedup_keep": q_dedup_keep,
     "xz_bbox_scan": q_xz_bbox_scan,
     "tile_agg_lines": q_tile_agg_lines,
+    "clip_area": q_clip_area,
 }
 
 _DERIVE_SQL = """
@@ -861,6 +904,24 @@ SELECT DISTINCT d.event_id FROM derived d JOIN track t
          * POW(SIN(RADIANS(d.lon - t.tx) / 2), 2)
      ))) <= {TUBE_BUFFER_M}
  AND EPOCH_MS(d.ts) BETWEEN t.tts - {TUBE_TIME_MS} AND t.tts + {TUBE_TIME_MS}
+""",
+    "clip_area": f"""
+WITH {_DERIVE_SQL.strip()},
+ext AS (
+  SELECT event_id,
+         GREATEST(lon - ((event_id * 131) % 200) / 100.0, -180.0) AS xmin,
+         GREATEST(lat - ((event_id * 173) % 100) / 100.0, -90.0)  AS ymin,
+         LEAST(lon + ((event_id * 131) % 200) / 100.0, 180.0)     AS xmax,
+         LEAST(lat + ((event_id * 173) % 100) / 100.0, 90.0)      AS ymax
+  FROM derived
+)
+SELECT event_id,
+       CASE WHEN LEAST(xmax, {CLIP_RECT[2]}) > GREATEST(xmin, {CLIP_RECT[0]})
+             AND LEAST(ymax, {CLIP_RECT[3]}) > GREATEST(ymin, {CLIP_RECT[1]})
+            THEN (LEAST(xmax, {CLIP_RECT[2]}) - GREATEST(xmin, {CLIP_RECT[0]}))
+               * (LEAST(ymax, {CLIP_RECT[3]}) - GREATEST(ymin, {CLIP_RECT[1]}))
+            ELSE 0.0 END AS clip_area
+FROM ext
 """,
     "tile_agg_lines": f"""
 WITH {_DERIVE_SQL.strip()},

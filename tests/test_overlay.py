@@ -1,0 +1,131 @@
+"""Overlay ops (st_intersection / st_difference / st_makeValid) vs a
+point-grid membership oracle and hand-checked fixtures (reference test
+patterns: SparkSQLSpatialRelationshipsTest, GeometricProcessingFunctions)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.functions.st_functions import (
+    st_difference,
+    st_intersection,
+    st_make_valid,
+)
+from geomesa_ray.geometry.base import MultiPolygon, Polygon
+from geomesa_ray.geometry.measures import _ring_area, area
+from geomesa_ray.geometry.overlay import (
+    is_axis_rect,
+    is_convex,
+    make_valid,
+    polygon_difference,
+    polygon_intersection,
+)
+from geomesa_ray.geometry.predicates import points_in_polygon
+from geomesa_ray.geometry.wkb import from_wkb, to_wkb
+
+
+def grid_areas(a, b, n=600):
+    """Independent oracle: point-grid membership areas of a∩b and a−b."""
+    xmin = min(a.bounds[0], b.bounds[0])
+    xmax = max(a.bounds[2], b.bounds[2])
+    ymin = min(a.bounds[1], b.bounds[1])
+    ymax = max(a.bounds[3], b.bounds[3])
+    xs = np.linspace(xmin, xmax, n)
+    ys = np.linspace(ymin, ymax, n)
+    gx, gy = np.meshgrid(xs, ys)
+    ina = points_in_polygon(gx.ravel(), gy.ravel(), a)
+    inb = points_in_polygon(gx.ravel(), gy.ravel(), b)
+    cell = ((xmax - xmin) / (n - 1)) * ((ymax - ymin) / (n - 1))
+    return (ina & inb).sum() * cell, (ina & ~inb).sum() * cell
+
+
+RECT_A = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+RECT_B = Polygon([(5, 5), (15, 5), (15, 15), (5, 15)])
+CONCAVE = Polygon([(0, 0), (10, 0), (10, 10), (5, 3), (0, 10)])
+CONCAVE2 = Polygon([(1, -2), (11, -2), (11, 12), (6, 5), (1, 12)])
+TRI_A = Polygon([(0, 0), (8, 0), (4, 9)])
+TRI_B = Polygon([(2, 3), (10, 3), (6, 11)])
+
+
+def test_rect_rect_exact():
+    i = polygon_intersection(RECT_A, RECT_B)
+    assert is_axis_rect(i) and i.bounds == (5.0, 5.0, 10.0, 10.0)
+    assert area(i) == 25.0
+    d = polygon_difference(RECT_A, RECT_B)
+    assert area(d) == 75.0
+    # disjoint / touching
+    assert polygon_intersection(RECT_A, Polygon([(20, 0), (30, 0), (30, 5), (20, 5)])) is None
+    assert polygon_intersection(RECT_A, Polygon([(10, 0), (20, 0), (20, 5), (10, 5)])) is None
+
+
+def test_rect_difference_hole_and_decomposition():
+    inner = Polygon([(2, 2), (4, 2), (4, 4), (2, 4)])
+    d = polygon_difference(RECT_A, inner)
+    assert isinstance(d, Polygon) and len(d.holes) == 1
+    assert area(d) == 96.0
+    # clip overlapping one edge → L-shape decomposed into rectangles
+    edge = Polygon([(8, 2), (12, 2), (12, 4), (8, 4)])
+    d2 = polygon_difference(RECT_A, edge)
+    assert abs(area(d2) - (100.0 - 4.0)) < 1e-12
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [
+        (CONCAVE, CONCAVE2),
+        (CONCAVE2, CONCAVE),
+        (TRI_A, TRI_B),
+        (CONCAVE, RECT_B),
+    ],
+)
+def test_general_overlay_vs_grid_oracle(a, b):
+    gi, gd = grid_areas(a, b)
+    i = polygon_intersection(a, b)
+    d = polygon_difference(a, b)
+    tol = 0.02 * max(gi, gd, 1.0)
+    assert abs((area(i) if i else 0.0) - gi) < tol
+    assert abs((area(d) if d else 0.0) - gd) < tol
+
+
+def test_containment_cases():
+    small = Polygon([(2, 2), (4, 2), (4, 4), (2, 4)])
+    tri_small = Polygon([(3.0, 2.0), (5.0, 2.0), (4.0, 3.5)])
+    # triangle fully inside concave subject: intersection = triangle
+    assert abs(area(polygon_intersection(CONCAVE, tri_small)) - area(tri_small)) < 1e-9
+    # subject inside clip: intersection = subject, difference empty
+    big = Polygon([(-5, -5), (20, -5), (20, 20), (-5, 20)])
+    assert area(polygon_intersection(CONCAVE, big)) == pytest.approx(area(CONCAVE))
+    assert polygon_difference(small, RECT_A) is None
+
+
+def test_st_wrappers_roundtrip():
+    col = pa.array([to_wkb(RECT_A), to_wkb(CONCAVE), None], pa.binary())
+    inter = st_intersection(col, to_wkb(RECT_B))
+    assert inter[2].as_py() is None
+    assert area(from_wkb(inter[0].as_py())) == 25.0
+    diff = st_difference(col, to_wkb(RECT_B))
+    assert area(from_wkb(diff[0].as_py())) == 75.0
+
+
+def test_make_valid():
+    # unclosed, duplicated vertices, CW shell → closed, deduped, CCW
+    bad = Polygon.__new__(Polygon)
+    bad.shell = np.array([(0, 0), (0, 10), (10, 10), (10, 10), (10, 0), (0, 0)], float)
+    bad.holes = [np.array([(2, 2), (2, 4), (4, 4), (4, 2), (2, 2)], float)[::-1]]
+    fixed = make_valid(bad)
+    assert _ring_area(fixed.shell) > 0  # CCW shell
+    assert _ring_area(fixed.holes[0]) < 0  # CW hole
+    assert len(fixed.shell) == 5
+    # self-crossing bowtie is rejected loudly, not silently "repaired"
+    bow = Polygon([(0, 0), (10, 10), (10, 0), (0, 10)])
+    with pytest.raises(ValueError):
+        make_valid(bow)
+    # wrapper
+    out = st_make_valid(pa.array([to_wkb(RECT_A)], pa.binary()))
+    assert from_wkb(out[0].as_py()).bounds == RECT_A.bounds
+
+
+def test_convexity_helper():
+    assert is_convex(RECT_A.shell)
+    assert is_convex(TRI_A.shell)
+    assert not is_convex(CONCAVE.shell)
