@@ -346,6 +346,47 @@ def st_relate_bool(a_col, b: Geometry | bytes, pattern: str) -> pa.Array:
     )
 
 
+def st_transform(col, src: str, dst: str) -> pa.Array:
+    """Reproject geometries between CRSes (st_transform analog,
+    GeometricDistanceFunctions.scala:21-41): EPSG:4326 / 3857 / all UTM
+    zones, composed through 4326 (geometry/reproject.py)."""
+    from geomesa_ray.geometry.base import (
+        GeometryCollection,
+        LineString,
+        MultiLineString,
+        MultiPoint,
+        MultiPolygon,
+        Point,
+        Polygon,
+    )
+    from geomesa_ray.geometry.reproject import transform_fn
+
+    fn = transform_fn(src, dst)
+
+    def tr(g):
+        if isinstance(g, Point):
+            x, y = fn(np.array([g.x]), np.array([g.y]))
+            return Point(float(x[0]), float(y[0]))
+        if isinstance(g, LineString):
+            x, y = fn(g.coords[:, 0], g.coords[:, 1])
+            return LineString(np.column_stack([x, y]))
+        if isinstance(g, Polygon):
+            sx, sy = fn(g.shell[:, 0], g.shell[:, 1])
+            holes = []
+            for h in g.holes:
+                hx, hy = fn(h[:, 0], h[:, 1])
+                holes.append(np.column_stack([hx, hy]))
+            return Polygon(np.column_stack([sx, sy]), holes=holes)
+        if isinstance(g, (MultiPoint, MultiLineString, MultiPolygon, GeometryCollection)):
+            return type(g)([tr(p) for p in g.parts])
+        raise TypeError(type(g).__name__)
+
+    out = []
+    for g in geoms_from_wkb(col):
+        out.append(to_wkb(tr(g)) if g is not None else None)
+    return pa.array(out, pa.binary())
+
+
 def _overlay_binary(a_col, b, op) -> pa.Array:
     """Shared wrapper for the overlay ops: geometry column × (column or
     single WKB/Geometry) → WKB column (null for empty results)."""

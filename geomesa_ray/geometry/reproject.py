@@ -1,9 +1,15 @@
 """Coordinate reprojection (index/utils/Reprojection.scala analog).
 
-Supports the projections expressible in closed form without a CRS library
-(none is available in this environment): EPSG:4326 (lon/lat) ↔ EPSG:3857
-(spherical Web Mercator). Other CRS codes raise ``NotImplementedError``,
-making the extension point explicit.
+Implemented without a CRS library (none is available in this environment):
+
+* EPSG:4326 (lon/lat) ↔ EPSG:3857 (spherical Web Mercator), closed form;
+* EPSG:4326 ↔ every UTM zone (EPSG:32601-32660 north, 32701-32760 south)
+  via the ellipsoidal Transverse Mercator in Krüger's n-series to 6th
+  order (Karney 2011 formulation — sub-millimeter within a zone);
+* any supported pair, composed through EPSG:4326.
+
+Unknown CRS codes raise ``NotImplementedError``, keeping the extension
+point explicit.
 """
 
 from __future__ import annotations
@@ -13,6 +19,113 @@ import pyarrow as pa
 
 _R = 6378137.0  # WGS84 semi-major axis (Web Mercator sphere radius)
 _MAX_LAT = 85.06  # Web Mercator latitude cutoff
+
+# --- ellipsoidal Transverse Mercator (Krüger series, WGS84) -----------------
+
+_A_WGS = 6378137.0
+_F_WGS = 1.0 / 298.257223563
+_N = _F_WGS / (2.0 - _F_WGS)
+_A_BAR = _A_WGS / (1 + _N) * (1 + _N**2 / 4 + _N**4 / 64 + _N**6 / 256)
+_K0 = 0.9996
+
+_ALPHA = np.array([
+    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180
+    - 127 * _N**5 / 288 + 7891 * _N**6 / 37800,
+    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440 + 281 * _N**5 / 630
+    - 1983433 * _N**6 / 1935360,
+    61 * _N**3 / 240 - 103 * _N**4 / 140 + 15061 * _N**5 / 26880
+    + 167603 * _N**6 / 181440,
+    49561 * _N**4 / 161280 - 179 * _N**5 / 168 + 6601661 * _N**6 / 7257600,
+    34729 * _N**5 / 80640 - 3418889 * _N**6 / 1995840,
+    212378941 * _N**6 / 319334400,
+])
+
+_BETA = np.array([
+    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360
+    - 81 * _N**5 / 512 + 96199 * _N**6 / 604800,
+    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440 + 46 * _N**5 / 105
+    - 1118711 * _N**6 / 3870720,
+    17 * _N**3 / 480 - 37 * _N**4 / 840 - 209 * _N**5 / 4480
+    + 5569 * _N**6 / 90720,
+    4397 * _N**4 / 161280 - 11 * _N**5 / 504 - 830251 * _N**6 / 7257600,
+    4583 * _N**5 / 161280 - 108847 * _N**6 / 3991680,
+    20648693 * _N**6 / 638668800,
+])
+
+# geographic latitude from conformal latitude (series in n)
+_DELTA = np.array([
+    2 * _N - 2 * _N**2 / 3 - 2 * _N**3 + 116 * _N**4 / 45 + 26 * _N**5 / 45
+    - 2854 * _N**6 / 675,
+    7 * _N**2 / 3 - 8 * _N**3 / 5 - 227 * _N**4 / 45 + 2704 * _N**5 / 315
+    + 2323 * _N**6 / 945,
+    56 * _N**3 / 15 - 136 * _N**4 / 35 - 1262 * _N**5 / 105
+    + 73814 * _N**6 / 2835,
+    4279 * _N**4 / 630 - 332 * _N**5 / 35 - 399572 * _N**6 / 14175,
+    4174 * _N**5 / 315 - 144838 * _N**6 / 6237,
+    601676 * _N**6 / 22275,
+])
+
+
+def lonlat_to_utm(lon, lat, zone: int, south: bool) -> tuple[np.ndarray, np.ndarray]:
+    """WGS84 lon/lat → UTM easting/northing (Krüger n-series forward)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon0 = np.radians(6.0 * zone - 183.0)
+    lam = np.radians(lon) - lon0
+    phi = np.radians(lat)
+    s2n = 2 * np.sqrt(_N) / (1 + _N)
+    t = np.sinh(np.arctanh(np.sin(phi)) - s2n * np.arctanh(s2n * np.sin(phi)))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    j = np.arange(1, 7, dtype=np.float64)
+    xi = xi_p + np.sum(
+        _ALPHA * np.sin(2 * j * xi_p[..., None]) * np.cosh(2 * j * eta_p[..., None]),
+        axis=-1,
+    )
+    eta = eta_p + np.sum(
+        _ALPHA * np.cos(2 * j * xi_p[..., None]) * np.sinh(2 * j * eta_p[..., None]),
+        axis=-1,
+    )
+    e = 500_000.0 + _K0 * _A_BAR * eta
+    n = _K0 * _A_BAR * xi + (10_000_000.0 if south else 0.0)
+    return e, n
+
+
+def utm_to_lonlat(e, n, zone: int, south: bool) -> tuple[np.ndarray, np.ndarray]:
+    """UTM easting/northing → WGS84 lon/lat (Krüger n-series inverse)."""
+    e = np.asarray(e, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    xi = (n - (10_000_000.0 if south else 0.0)) / (_K0 * _A_BAR)
+    eta = (e - 500_000.0) / (_K0 * _A_BAR)
+    j = np.arange(1, 7, dtype=np.float64)
+    xi_p = xi - np.sum(
+        _BETA * np.sin(2 * j * xi[..., None]) * np.cosh(2 * j * eta[..., None]),
+        axis=-1,
+    )
+    eta_p = eta - np.sum(
+        _BETA * np.cos(2 * j * xi[..., None]) * np.sinh(2 * j * eta[..., None]),
+        axis=-1,
+    )
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi + np.sum(_DELTA * np.sin(2 * j * chi[..., None]), axis=-1)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    lon0 = 6.0 * zone - 183.0
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def _parse_utm(code: str):
+    """EPSG:326xx/327xx → (zone, south) or None."""
+    if not code.startswith("EPSG:"):
+        return None
+    try:
+        num = int(code[5:])
+    except ValueError:
+        return None
+    if 32601 <= num <= 32660:
+        return num - 32600, False
+    if 32701 <= num <= 32760:
+        return num - 32700, True
+    return None
 
 
 def lonlat_to_webmercator(lon, lat) -> tuple[np.ndarray, np.ndarray]:
@@ -31,24 +144,55 @@ def webmercator_to_lonlat(x, y) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
-_TRANSFORMS = {
-    ("EPSG:4326", "EPSG:3857"): lonlat_to_webmercator,
-    ("EPSG:3857", "EPSG:4326"): webmercator_to_lonlat,
-}
+def _to_4326(code: str):
+    """Transform fn <code> → 4326, or None for identity / unknown."""
+    if code == "EPSG:4326":
+        return None
+    if code == "EPSG:3857":
+        return webmercator_to_lonlat
+    utm = _parse_utm(code)
+    if utm is not None:
+        zone, south = utm
+        return lambda x, y: utm_to_lonlat(x, y, zone, south)
+    raise NotImplementedError(f"unsupported CRS {code}")
+
+
+def _from_4326(code: str):
+    if code == "EPSG:4326":
+        return None
+    if code == "EPSG:3857":
+        return lonlat_to_webmercator
+    utm = _parse_utm(code)
+    if utm is not None:
+        zone, south = utm
+        return lambda lon, lat: lonlat_to_utm(lon, lat, zone, south)
+    raise NotImplementedError(f"unsupported CRS {code}")
+
+
+def transform_fn(src: str, dst: str):
+    """(x, y) arrays → (x', y') arrays for any supported CRS pair
+    (composed through EPSG:4326)."""
+    src, dst = src.upper(), dst.upper()
+    inv = _to_4326(src)
+    fwd = _from_4326(dst)
+    if inv is None and fwd is None:
+        return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
+    if inv is None:
+        return fwd
+    if fwd is None:
+        return inv
+    return lambda x, y: fwd(*inv(x, y))
 
 
 class Reproject:
     """map_batches stage: transform (x_col, y_col) between CRSes, writing
-    ``out_x``/``out_y`` columns (defaults overwrite in place)."""
+    ``out_x``/``out_y`` columns (defaults overwrite in place). Supported:
+    EPSG:4326, EPSG:3857, all UTM zones EPSG:326xx/327xx, and any pair of
+    those (composed through 4326)."""
 
     def __init__(self, src: str, dst: str, x_col: str = "lon", y_col: str = "lat",
                  out_x: str | None = None, out_y: str | None = None):
-        key = (src.upper(), dst.upper())
-        if key not in _TRANSFORMS:
-            raise NotImplementedError(
-                f"unsupported CRS pair {key}; available: {sorted(_TRANSFORMS)}"
-            )
-        self.fn = _TRANSFORMS[key]
+        self.fn = transform_fn(src, dst)
         self.x_col = x_col
         self.y_col = y_col
         self.out_x = out_x or x_col

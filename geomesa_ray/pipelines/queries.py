@@ -574,6 +574,45 @@ def q_tile_agg_lines(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_avro_events_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Avro converter round-trip: events are exported to Avro container
+    files (from-scratch writer, deflate codec), re-ingested through the
+    from-scratch Avro reader, and aggregated — proving the full Avro
+    conversion path against the parquet-derived oracle."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geomesa_ray.sources.avro import read_avro, write_avro_file
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/geomesa_ray_avro_{key}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        )
+        shard = 4096
+        for i in range(0, len(tbl), shard):
+            write_avro_file(
+                tbl.slice(i, shard),
+                os.path.join(out, f"part-{i // shard:04d}.avro"),
+                codec="deflate",
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    ds = read_avro(out)
+    agg = ds.groupby("event_type").count()
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"event_type": b["event_type"], "n": b["count()"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_dedup_keep(sf_dir: str) -> ray.data.Dataset:
     """End-to-end near-dup dedup: MinHash-LSH pairs → distributed
     min-label-propagation clustering → anti-join keep list (doc_ids of
@@ -765,6 +804,7 @@ QUERIES = {
     "xz_bbox_scan": q_xz_bbox_scan,
     "tile_agg_lines": q_tile_agg_lines,
     "clip_area": q_clip_area,
+    "avro_events_by_type": q_avro_events_by_type,
 }
 
 _DERIVE_SQL = """
@@ -904,6 +944,9 @@ SELECT DISTINCT d.event_id FROM derived d JOIN track t
          * POW(SIN(RADIANS(d.lon - t.tx) / 2), 2)
      ))) <= {TUBE_BUFFER_M}
  AND EPOCH_MS(d.ts) BETWEEN t.tts - {TUBE_TIME_MS} AND t.tts + {TUBE_TIME_MS}
+""",
+    "avro_events_by_type": """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 """,
     "clip_area": f"""
 WITH {_DERIVE_SQL.strip()},

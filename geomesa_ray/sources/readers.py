@@ -132,3 +132,64 @@ def read_delimited(
         return pa.table(out)
 
     return raw.map_batches(typed, batch_format="pyarrow"), spec
+
+
+def read_fixed_width(
+    paths: str | list[str],
+    fields: list[tuple[str, int, int]],
+    spec: str | None = None,
+    skip_lines: int = 0,
+) -> "tuple[ray.data.Dataset, str]":
+    """Fixed-width text converter (geomesa-convert-fixedwidth analog):
+    ``fields`` is [(name, start, width), ...] with 0-based character
+    offsets; slicing is a vectorized Arrow kernel per column. Values are
+    whitespace-trimmed strings typed by the SFT ``spec`` (inferred from a
+    sample when not given, like :func:`read_delimited`). Returns
+    (Dataset, spec)."""
+    import pyarrow.compute as pc
+
+    raw = ray.data.read_text(paths)
+    if skip_lines:
+        # deterministic per-file header skip would need file offsets;
+        # read_text already splits lines, so drop the first N GLOBAL rows
+        # only when reading a single file (multi-file callers pre-strip)
+        if isinstance(paths, list) and len(paths) > 1:
+            raise ValueError("skip_lines requires a single input file")
+        raw = ray.data.from_items(raw.take_all()[skip_lines:])
+
+    def slice_cols(batch: pa.Table) -> pa.Table:
+        line = batch["text"]
+        out = {}
+        for name, start, width in fields:
+            col = pc.utf8_trim_whitespace(
+                pc.utf8_slice_codeunits(line, start, start + width)
+            )
+            out[name] = pc.if_else(pc.equal(col, ""), pa.nulls(len(col), pa.string()), col)
+        return pa.table(out)
+
+    sliced = raw.map_batches(slice_cols, batch_format="pyarrow")
+    if spec is None:
+        sample = sliced.limit(100).to_pandas()
+        spec = infer_spec(
+            {c: [None if v is None else str(v) for v in sample[c]] for c in sample.columns}
+        )
+    schema = parse_spec(spec)
+
+    def typed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = {}
+        for field in schema:
+            if field.name not in batch.schema.names:
+                continue
+            col = batch[field.name]
+            if pa.types.is_timestamp(field.type):
+                naive = pc.cast(col, pa.timestamp(field.type.unit))
+                out[field.name] = (
+                    pc.assume_timezone(naive, field.type.tz) if field.type.tz else naive
+                )
+            else:
+                out[field.name] = pc.cast(col, field.type)
+        return pa.table(out)
+
+    return sliced.map_batches(typed, batch_format="pyarrow"), spec

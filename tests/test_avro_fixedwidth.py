@@ -1,0 +1,87 @@
+"""Avro container reader/writer (from-scratch spec implementation) and
+fixed-width text converter (geomesa-convert-avro / -fixedwidth analogs)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.sources.avro import read_avro, read_avro_file, write_avro_file
+
+
+def _sample_table(n=500):
+    rng = np.random.default_rng(3)
+    return pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "name": pa.array([f"row-{i}" if i % 7 else None for i in range(n)], pa.string()),
+            "score": pa.array(rng.standard_normal(n), pa.float64()),
+            "flag": pa.array((np.arange(n) % 3 == 0), pa.bool_()),
+            "payload": pa.array([bytes([i % 256, 255 - i % 256]) for i in range(n)], pa.binary()),
+            "ts": pa.array(
+                (1704067200_000_000 + np.arange(n) * 1_000_003).astype("int64"),
+                pa.timestamp("us"),
+            ),
+            "small": pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+        }
+    )
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_roundtrip(tmp_path, codec):
+    tbl = _sample_table()
+    path = str(tmp_path / f"t_{codec}.avro")
+    assert write_avro_file(tbl, path, codec=codec) == len(tbl)
+    back = read_avro_file(path)
+    assert back.schema.names == tbl.schema.names
+    for c in tbl.schema.names:
+        assert back[c].to_pylist() == tbl[c].to_pylist(), c
+
+
+def test_avro_negative_and_large_varints(tmp_path):
+    tbl = pa.table(
+        {
+            "v": pa.array(
+                [0, -1, 1, -2, 63, 64, -64, -65, 2**40, -(2**40), 2**62, -(2**62)],
+                pa.int64(),
+            )
+        }
+    )
+    path = str(tmp_path / "v.avro")
+    write_avro_file(tbl, path)
+    assert read_avro_file(path)["v"].to_pylist() == tbl["v"].to_pylist()
+
+
+def test_read_avro_dataset_multi_file(ray_session, tmp_path):
+    tbl = _sample_table(300)
+    for i in range(3):
+        write_avro_file(tbl.slice(i * 100, 100), str(tmp_path / f"p{i}.avro"),
+                        codec="deflate")
+    ds = read_avro(str(tmp_path))
+    out = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(out) == 300
+    assert out["id"].tolist() == list(range(300))
+    assert out["name"].iloc[8] == "row-8"
+    assert out["name"].iloc[7] is None or out["name"].isna().iloc[7]
+
+
+def test_read_fixed_width(ray_session, tmp_path):
+    lines = [
+        "alice   25 3.50x",
+        "bob     31 1.25 ",
+        "carol    7 9.00x",
+    ]
+    p = tmp_path / "fw.txt"
+    p.write_text("\n".join(lines) + "\n")
+    from geomesa_ray.sources.readers import read_fixed_width
+
+    ds, spec = read_fixed_width(
+        str(p),
+        fields=[("name", 0, 8), ("age", 8, 3), ("score", 11, 4), ("tag", 15, 1)],
+    )
+    df = ds.to_pandas().sort_values("name").reset_index(drop=True)
+    assert df["name"].tolist() == ["alice", "bob", "carol"]
+    assert df["age"].tolist() == [25, 31, 7]
+    assert df["score"].tolist() == [3.5, 1.25, 9.0]
+    # blank-padded field → null
+    assert df["tag"].tolist()[1] is None or df["tag"].isna().iloc[1]
+    assert "name" in spec and "age" in spec

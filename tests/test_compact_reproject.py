@@ -73,6 +73,63 @@ def test_reprojection_roundtrip():
         Reproject("EPSG:4326", "EPSG:2154")
 
 
+def test_utm_transverse_mercator():
+    from geomesa_ray.geometry.reproject import (
+        lonlat_to_utm,
+        transform_fn,
+        utm_to_lonlat,
+    )
+
+    # central meridian of zone 31N (3°E) at the equator → false easting only
+    e, n = lonlat_to_utm(np.array([3.0]), np.array([0.0]), 31, False)
+    assert abs(e[0] - 500_000.0) < 1e-6 and abs(n[0]) < 1e-6
+    # meridian-arc anchor: 45°N on the central meridian; the WGS84 arc
+    # length to 45° is 4984944.378 m (published), scaled by k0
+    e2, n2 = lonlat_to_utm(np.array([3.0]), np.array([45.0]), 31, False)
+    assert abs(n2[0] - 0.9996 * 4984944.378) < 0.01
+    # round-trip precision across the zone band, both hemispheres
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(0.5, 5.5, 500)
+    lat = rng.uniform(-80.0, 84.0, 500)
+    for south in (False, True):
+        E, N = lonlat_to_utm(lon, lat, 31, south)
+        lon2, lat2 = utm_to_lonlat(E, N, 31, south)
+        np.testing.assert_allclose(lon2, lon, atol=1e-11)
+        np.testing.assert_allclose(lat2, lat, atol=1e-11)
+    # composed pair: 3857 → UTM equals 4326 → UTM
+    f = transform_fn("EPSG:3857", "EPSG:32631")
+    from geomesa_ray.geometry.reproject import lonlat_to_webmercator
+
+    mx, my = lonlat_to_webmercator(np.array([2.2945]), np.array([48.8584]))
+    ec, nc = f(mx, my)
+    ed, nd = lonlat_to_utm(np.array([2.2945]), np.array([48.8584]), 31, False)
+    assert abs(ec[0] - ed[0]) < 1e-6 and abs(nc[0] - nd[0]) < 1e-6
+
+
+def test_st_transform_geometry():
+    import pyarrow as pa
+
+    from geomesa_ray.functions.st_functions import st_transform
+    from geomesa_ray.geometry.base import LineString, Point, Polygon
+    from geomesa_ray.geometry.reproject import lonlat_to_utm
+    from geomesa_ray.geometry.wkb import from_wkb, to_wkb
+
+    pt = Point(2.2945, 48.8584)
+    line = LineString([(2.0, 48.0), (3.0, 49.0)])
+    poly = Polygon([(2.0, 48.0), (3.0, 48.0), (3.0, 49.0), (2.0, 49.0)])
+    col = pa.array([to_wkb(pt), to_wkb(line), to_wkb(poly)], pa.binary())
+    out = st_transform(col, "EPSG:4326", "EPSG:32631")
+    tp = from_wkb(out[0].as_py())
+    e, n = lonlat_to_utm(np.array([pt.x]), np.array([pt.y]), 31, False)
+    assert abs(tp.x - e[0]) < 1e-9 and abs(tp.y - n[0]) < 1e-9
+    tpoly = from_wkb(out[2].as_py())
+    assert tpoly.bounds[0] > 100_000  # meters now, not degrees
+    # round-trip back to 4326
+    back = st_transform(out, "EPSG:32631", "EPSG:4326")
+    bl = from_wkb(back[1].as_py())
+    np.testing.assert_allclose(bl.coords, line.coords, atol=1e-9)
+
+
 def test_extract_error_modes():
     pages = generate_pages(500, seed=123)
     skip = ExtractGeo(error_mode="skip")
