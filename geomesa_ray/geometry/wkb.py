@@ -106,3 +106,58 @@ def _read_coords(buf: memoryview, pos: int, endian: str):
     pos += 4
     arr = np.frombuffer(buf, dtype=endian + "f8", count=2 * n, offset=pos).reshape(n, 2)
     return arr.copy(), pos + 16 * n
+
+
+def segment_wkbs(x0, y0, x1, y1):
+    """Vectorized batch constructor: N two-point LineString WKBs as one
+    Arrow binary array (single buffer build — no per-row Python objects).
+    Identical bytes to ``to_wkb(LineString([(x0,y0),(x1,y1)]))``."""
+    import pyarrow as pa
+
+    n = len(x0)
+    rec = np.zeros(
+        n,
+        dtype=[("bo", "u1"), ("typ", "<u4"), ("npt", "<u4"),
+               ("ax", "<f8"), ("ay", "<f8"), ("bx", "<f8"), ("by", "<f8")],
+    )
+    rec["bo"] = 1
+    rec["typ"] = _LINESTRING
+    rec["npt"] = 2
+    rec["ax"], rec["ay"], rec["bx"], rec["by"] = x0, y0, x1, y1
+    data = rec.tobytes()
+    width = rec.dtype.itemsize
+    offsets = np.arange(0, (n + 1) * width, width, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+    )
+
+
+def rect_wkbs(xmin, ymin, xmax, ymax):
+    """Vectorized batch constructor: N axis-rectangle Polygon WKBs (closed
+    5-vertex shell, CCW from (xmin,ymin)) as one Arrow binary array.
+    Identical bytes to ``to_wkb(Polygon([...]))`` for the same ring."""
+    import pyarrow as pa
+
+    n = len(xmin)
+    rec = np.zeros(
+        n,
+        dtype=[("bo", "u1"), ("typ", "<u4"), ("nring", "<u4"), ("npt", "<u4"),
+               ("x0", "<f8"), ("y0", "<f8"), ("x1", "<f8"), ("y1", "<f8"),
+               ("x2", "<f8"), ("y2", "<f8"), ("x3", "<f8"), ("y3", "<f8"),
+               ("x4", "<f8"), ("y4", "<f8")],
+    )
+    rec["bo"] = 1
+    rec["typ"] = _POLYGON
+    rec["nring"] = 1
+    rec["npt"] = 5
+    rec["x0"], rec["y0"] = xmin, ymin
+    rec["x1"], rec["y1"] = xmax, ymin
+    rec["x2"], rec["y2"] = xmax, ymax
+    rec["x3"], rec["y3"] = xmin, ymax
+    rec["x4"], rec["y4"] = xmin, ymin
+    data = rec.tobytes()
+    width = rec.dtype.itemsize
+    offsets = np.arange(0, (n + 1) * width, width, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+    )

@@ -127,7 +127,7 @@ def q_clip_area(sf_dir: str) -> ray.data.Dataset:
     −, ×) mirror the oracle's GREATEST/LEAST arithmetic bit-for-bit."""
     from geomesa_ray.functions.st_functions import st_intersection
     from geomesa_ray.geometry.base import Polygon
-    from geomesa_ray.geometry.wkb import from_wkb, to_wkb
+    from geomesa_ray.geometry.wkb import from_wkb, rect_wkbs, to_wkb
 
     cx0, cy0, cx1, cy1 = CLIP_RECT
     clip_wkb = to_wkb(
@@ -140,11 +140,7 @@ def q_clip_area(sf_dir: str) -> ray.data.Dataset:
         y0 = batch["ymin"].to_numpy(zero_copy_only=False)
         x1 = batch["xmax"].to_numpy(zero_copy_only=False)
         y1 = batch["ymax"].to_numpy(zero_copy_only=False)
-        wkbs = [
-            to_wkb(Polygon([(a, b), (c, b), (c, d), (a, d)]))
-            for a, b, c, d in zip(x0, y0, x1, y1)
-        ]
-        inter = st_intersection(pa.array(wkbs, pa.binary()), clip_wkb)
+        inter = st_intersection(rect_wkbs(x0, y0, x1, y1), clip_wkb)
         areas = np.zeros(len(batch), dtype=np.float64)
         for k, w in enumerate(inter.to_pylist()):
             if w is not None:
@@ -538,8 +534,7 @@ def q_tile_agg_lines(sf_dir: str) -> ray.data.Dataset:
     the general Bresenham/clip rasterizer; the oracle mirrors the snap
     arithmetic with a cell-range unnest (axis-aligned Bresenham = a
     contiguous run, exactly SQL-expressible)."""
-    from geomesa_ray.geometry.base import LineString
-    from geomesa_ray.geometry.wkb import to_wkb
+    from geomesa_ray.geometry.wkb import segment_wkbs
     from geomesa_ray.stages.density import density
 
     ds = events_points(sf_dir)
@@ -552,13 +547,10 @@ def q_tile_agg_lines(sf_dir: str) -> ray.data.Dataset:
         vlen = ((eid * 53) % 300) / 100.0
         x1 = np.minimum(lon + hlen, 180.0)
         y1 = np.minimum(lat + vlen, 90.0)
-        wkbs = []
-        for k in range(len(eid)):
-            if eid[k] % 2 == 0:
-                wkbs.append(to_wkb(LineString([(lon[k], lat[k]), (x1[k], lat[k])])))
-            else:
-                wkbs.append(to_wkb(LineString([(lon[k], lat[k]), (lon[k], y1[k])])))
-        return pa.table({"geom_wkb": pa.array(wkbs, pa.binary())})
+        even = eid % 2 == 0
+        end_x = np.where(even, x1, lon)
+        end_y = np.where(even, lat, y1)
+        return pa.table({"geom_wkb": segment_wkbs(lon, lat, end_x, end_y)})
 
     lines = ds.map_batches(mk_lines, batch_format="pyarrow")
     tiles = density(lines, geom_col="geom_wkb")

@@ -293,39 +293,19 @@ def _mega_bucket_pass(ids: np.ndarray, sigs: np.ndarray, threshold: float):
     return li, ri, js
 
 
-def _bucket_pairs(group: pa.Table, id_col: str, threshold: float,
-                  num_perm: int, sig_ref=None,
-                  max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS) -> pa.Table:
-    """All id pairs in one LSH bucket whose signature-Jaccard ≥ threshold.
-
-    Signatures come either from the shuffled rows (``signature`` column) or
-    from a broadcast (sorted_ids, sig_matrix) pair when ``sig_ref`` is set
-    (the shuffle then carries only ints). Buckets above ``max_bucket_rows``
-    take the anchor-star pass and emit a ``left_id = -1`` marker row whose
-    ``right_id`` is the bucket size (surfaced by the pipeline — never a
-    silent drop)."""
-    ids = group[id_col].to_numpy(zero_copy_only=False)
-    if len(ids) < 2:
-        return _pair_table([], [], [])
-    if sig_ref is not None:
-        import ray as _ray
-
-        sorted_ids, sig_matrix = (
-            _ray.get(sig_ref) if isinstance(sig_ref, _ray.ObjectRef) else sig_ref
-        )
-        pos = np.searchsorted(sorted_ids, ids)
-        sigs = sig_matrix[pos]
-    else:
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in group["signature"].to_pylist()]
-        )
+def _pairs_for_bucket(ids: np.ndarray, sigs: np.ndarray, threshold: float,
+                      max_bucket_rows: int, li: list, ri: list, js: list) -> None:
+    """Append the verified pairs of ONE LSH bucket to (li, ri, js).
+    Buckets above ``max_bucket_rows`` take the anchor-star pass and emit a
+    ``left_id = -1`` marker row whose ``right_id`` is the bucket size
+    (surfaced by the pipeline — never a silent drop)."""
     if len(ids) > max_bucket_rows:
-        li, ri, js = _mega_bucket_pass(ids, sigs, threshold)
+        mli, mri, mjs = _mega_bucket_pass(ids, sigs, threshold)
+        li.extend(mli); ri.extend(mri); js.extend(mjs)
         li.append(-1); ri.append(len(ids)); js.append(0.0)  # marker row
-        return _pair_table(li, ri, js)
+        return
     order = np.argsort(ids, kind="stable")
     ids, sigs = ids[order], sigs[order]
-    li, ri, js = [], [], []
     for i in range(len(ids) - 1):
         eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
         hit = np.nonzero(eq >= threshold)[0]
@@ -333,6 +313,53 @@ def _bucket_pairs(group: pa.Table, id_col: str, threshold: float,
             li.append(ids[i])
             ri.append(ids[i + 1 + h])
             js.append(eq[h])
+
+
+def _shard_bucket_pairs(group: pa.Table, id_col: str, threshold: float,
+                        num_perm: int, sig_ref=None,
+                        max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS) -> pa.Table:
+    """Pairs for ALL (band, key) buckets hashed into one shard: the rows
+    are sorted by (band, key) vectorized, singleton buckets (the vast
+    majority) are dropped in one mask, and only multi-row buckets run the
+    per-bucket kernel — O(shards) group calls, never one per distinct key
+    (the shape the exact_dedup rework uses; a per-bucket map_groups costs
+    ~100 µs × #buckets of pure call overhead).
+
+    Signatures come either from the shuffled rows (``signature`` column) or
+    from a broadcast (sorted_ids, sig_matrix) pair when ``sig_ref`` is set
+    (the shuffle then carries only ints)."""
+    ids_all = group[id_col].to_numpy(zero_copy_only=False)
+    if len(ids_all) < 2:
+        return _pair_table([], [], [])
+    band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = group["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((key, band))
+    band, key, ids_all = band[order], key[order], ids_all[order]
+    starts = np.nonzero(
+        np.concatenate([[True], (band[1:] != band[:-1]) | (key[1:] != key[:-1])])
+    )[0]
+    ends = np.concatenate([starts[1:], [len(ids_all)]])
+    multi = ends - starts >= 2
+    if not multi.any():
+        return _pair_table([], [], [])
+    if sig_ref is not None:
+        import ray as _ray
+
+        sorted_ids, sig_matrix = (
+            _ray.get(sig_ref) if isinstance(sig_ref, _ray.ObjectRef) else sig_ref
+        )
+        def sig_of(idx):
+            return sig_matrix[np.searchsorted(sorted_ids, ids_all[idx])]
+    else:
+        blobs = group["signature"].to_pylist()
+        blobs = [blobs[i] for i in order]
+        def sig_of(idx):
+            return np.stack([np.frombuffer(blobs[i], dtype=np.uint64) for i in idx])
+    li: list = []; ri: list = []; js: list = []
+    for s, e in zip(starts[multi], ends[multi]):
+        idx = np.arange(s, e)
+        _pairs_for_bucket(ids_all[s:e], sig_of(idx), threshold,
+                          max_bucket_rows, li, ri, js)
     return _pair_table(li, ri, js)
 
 
@@ -340,9 +367,11 @@ def _finalize_pairs(allp: ray.data.Dataset, value_col: str, agg: str,
                     stats: dict | None) -> ray.data.Dataset:
     """Shared pair-pipeline tail: split out mega-bucket marker rows, dedup
     pairs seen in multiple bands with a distributed groupby, restore column
-    names, sort. Everything stays a Dataset — nothing lands on the driver."""
-    allp = allp.materialize()
+    names, sort. Everything stays a Dataset — nothing lands on the driver.
+    The materialize barrier is paid only when ``stats`` is requested (the
+    marker count needs a second pass over the pair stream)."""
     if stats is not None:
+        allp = allp.materialize()
         markers = allp.map_batches(
             lambda b: b.filter(pc.less(b["left_id"], 0)), batch_format="pyarrow"
         ).materialize()
@@ -354,18 +383,54 @@ def _finalize_pairs(allp: ray.data.Dataset, value_col: str, agg: str,
         lambda b: b.filter(pc.greater_equal(b["left_id"], 0)),
         batch_format="pyarrow",
     )
-    grouped = pairs.groupby(["left_id", "right_id"])
-    agged = grouped.max(value_col) if agg == "max" else grouped.min(value_col)
-    agg_name = f"{agg}({value_col})"
+    reduce_fn = np.maximum.reduceat if agg == "max" else np.minimum.reduceat
+    val_type = pa.float64() if value_col in ("est_jaccard", "cosine") else pa.int32()
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            [value_col if c == agg_name else c for c in batch.schema.names]
+    def merge(batch: pa.Table) -> pa.Table:
+        """Vectorized per-batch pair dedup: sort by (left, right), segment
+        reduce the value — one tree-merge step (no Ray sort aggregate)."""
+        l = batch["left_id"].to_numpy(zero_copy_only=False)
+        r = batch["right_id"].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if len(l) == 0:
+            return batch
+        order = np.lexsort((r, l))
+        l, r, v = l[order], r[order], v[order]
+        starts = np.nonzero(
+            np.concatenate([[True], (l[1:] != l[:-1]) | (r[1:] != r[:-1])])
+        )[0]
+        return pa.table(
+            {
+                "left_id": pa.array(l[starts], pa.int64()),
+                "right_id": pa.array(r[starts], pa.int64()),
+                value_col: pa.array(reduce_fn(v, starts), val_type),
+            }
         )
 
-    return agged.map_batches(rename, batch_format="pyarrow").sort(
-        ["left_id", "right_id"]
-    )
+    # tree-merge: the pair set is ≪ corpus-sized; a few vectorized rounds
+    # beat Ray's sort-based aggregate (multi-second fixed cost) and the
+    # result stays exact because the LAST round sees one block
+    ds = pairs.map_batches(
+        merge, batch_format="pyarrow", batch_size=4_000_000
+    ).materialize()
+    rounds = 0
+    while ds.num_blocks() > 1 and rounds < 10:
+        ds = ds.repartition(max(1, ds.num_blocks() // 8)).map_batches(
+            merge, batch_format="pyarrow", batch_size=4_000_000
+        ).materialize()
+        rounds += 1
+    if ds.num_blocks() > 1:
+        # gigantic pair set: exact fallback through the shuffle aggregate
+        grouped = ds.groupby(["left_id", "right_id"])
+        agged = grouped.max(value_col) if agg == "max" else grouped.min(value_col)
+        agg_name = f"{agg}({value_col})"
+        return agged.map_batches(
+            lambda b: b.rename_columns(
+                [value_col if c == agg_name else c for c in b.schema.names]
+            ).sort_by([("left_id", "ascending"), ("right_id", "ascending")]),
+            batch_format="pyarrow",
+        )
+    return ds
 
 
 def minhash_lsh_pairs(
@@ -424,16 +489,26 @@ def minhash_lsh_pairs(
         order = np.argsort(all_ids)
         sig_ref = ray.put((all_ids[order], np.ascontiguousarray(mat[order])))
 
+    n_shards = 64
+
     def explode_bands(batch: pa.Table) -> pa.Table:
-        """(id, band_0..band_{B-1}, sig) → (band, key, id[, sig]) rows —
-        ONE shuffle over all bands instead of B pipeline executions."""
+        """(id, band_0..band_{B-1}, sig) → (shard, band, key, id[, sig])
+        rows — ONE shuffle over all bands instead of B pipeline
+        executions; ``shard`` routes equal (band, key) buckets together
+        with O(n_shards) reduce-side group calls."""
         n = len(batch)
         keys = np.concatenate(
             [batch[f"band_{b}"].to_numpy(zero_copy_only=False) for b in range(bands)]
         )
         band_ids = np.repeat(np.arange(bands, dtype=np.int16), n)
         idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands), pa.int64())
+        with np.errstate(over="ignore"):
+            shard = (
+                (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + band_ids.astype(np.uint64)) >> np.uint64(32)
+            ) % np.uint64(n_shards)
         cols = {
+            "__shard__": pa.array(shard.astype(np.int32), pa.int32()),
             "band": pa.array(band_ids, pa.int16()),
             "key": pa.array(keys, pa.int64()),
             id_col: batch[id_col].take(idx),
@@ -444,9 +519,9 @@ def minhash_lsh_pairs(
 
     allp = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .groupby("__shard__")
         .map_groups(
-            _bucket_pairs,
+            _shard_bucket_pairs,
             fn_kwargs={
                 "id_col": id_col,
                 "threshold": threshold,
@@ -488,16 +563,23 @@ def _drop_empty_blocks(ds: ray.data.Dataset, fallback_schema: pa.Schema) -> ray.
 _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 
-def cluster_pairs_dataset(pairs: ray.data.Dataset, *, num_partitions: int = 16,
-                          max_rounds: int = 25) -> ray.data.Dataset:
+def cluster_pairs_dataset(pairs: ray.data.Dataset, *, num_partitions: int | None = None,
+                          max_rounds: int = 25,
+                          small_graph_rows: int = 5_000_000) -> ray.data.Dataset:
     """Connected components over a (left_id, right_id) pair Dataset →
     Dataset of (node, label) with label = min id of the node's component.
 
-    Iterated min-label propagation: each round hash-joins the static edge
-    list with the current labels and takes the per-node min — an all-Dataset
-    loop (shuffle moves int pairs only). Near-dup components are shallow,
-    so convergence is 2–4 rounds; the label sum is monotonically
-    non-increasing and the loop stops at its fixpoint.
+    Two arms, both Dataset-native:
+
+    * pair graphs ≤ ``small_graph_rows`` edges (the common case — the
+      near-dup pair set is ≪ corpus-sized) run union-find in ONE remote
+      task (O(E·α), bounded memory), avoiding the multi-second fixed cost
+      of shuffle rounds;
+    * larger graphs use iterated min-label propagation: each round
+      hash-joins the static edge list with the current labels and takes
+      the per-node min (shuffle moves int pairs only). Near-dup
+      components are shallow, so convergence is 2–4 rounds; the label sum
+      is monotonically non-increasing and the loop stops at its fixpoint.
     """
     def sym(batch: pa.Table) -> pa.Table:
         l = batch["left_id"].combine_chunks() if isinstance(batch["left_id"], pa.ChunkedArray) else batch["left_id"]
@@ -517,6 +599,44 @@ def cluster_pairs_dataset(pairs: ray.data.Dataset, *, num_partitions: int = 16,
         ),
         pa.schema([("node", pa.int64()), ("nbr", pa.int64())]),
     )
+    n_edges = edges.count()
+    if 0 < n_edges <= small_graph_rows:
+        def unionfind(batch: pa.Table) -> pa.Table:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(
+                batch["node"].to_numpy(zero_copy_only=False).tolist(),
+                batch["nbr"].to_numpy(zero_copy_only=False).tolist(),
+            ):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = sorted(parent)
+            return pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "label": pa.array([find(x) for x in nodes], pa.int64()),
+                }
+            )
+
+        return _drop_empty_blocks(
+            edges.repartition(1).map_batches(
+                unionfind, batch_format="pyarrow", batch_size=None
+            ),
+            _LABEL_SCHEMA,
+        )
+    if num_partitions is None:
+        # size the join fan-out to the graph: ~50k edges per partition,
+        # capped — tiny pair graphs would otherwise pay 16-way shuffle
+        # latency per round for empty partitions
+        num_partitions = int(min(64, max(2, n_edges // 50_000 + 1)))
     if edges.count() == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
@@ -703,25 +823,13 @@ class SimHasher:
         return pa.table(out)
 
 
-def _simhash_bucket_pairs(group: pa.Table, id_col: str, max_hamming: int,
-                          max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS) -> pa.Table:
-    def out_table(li, ri, hd):
-        return pa.table(
-            {
-                "left_id": pa.array(li, pa.int64()),
-                "right_id": pa.array(ri, pa.int64()),
-                "hamming": pa.array(hd, pa.int32()),
-            }
-        )
-
-    ids = group[id_col].to_numpy(zero_copy_only=False)
-    if len(ids) < 2:
-        return out_table([], [], [])
-    sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+def _simhash_pairs_for_bucket(ids: np.ndarray, sh: np.ndarray, max_hamming: int,
+                              max_bucket_rows: int, li: list, ri: list,
+                              hd: list) -> None:
+    """Append one bucket's Hamming-verified pairs to (li, ri, hd)."""
     if len(ids) > max_bucket_rows:
         # anchor-star + sorted-neighbor pass, plus a marker row (see module
         # docstring — oversized buckets are surfaced, never dropped)
-        li, ri, hd = [], [], []
         anchor = int(np.argmin(ids))
         dist = popcount64(sh ^ sh[anchor])
         hit = dist <= max_hamming
@@ -739,16 +847,53 @@ def _simhash_bucket_pairs(group: pa.Table, id_col: str, max_hamming: int,
                 a, b = m_ids[i], m_ids[i + 1]
                 li.append(min(a, b)); ri.append(max(a, b)); hd.append(int(dn[i]))
         li.append(-1); ri.append(len(ids)); hd.append(0)
-        return out_table(li, ri, hd)
+        return
     order = np.argsort(ids, kind="stable")
     ids, sh = ids[order], sh[order]
-    li, ri, hd = [], [], []
     for i in range(len(ids) - 1):
         dist = popcount64(sh[i + 1 :] ^ sh[i])
         hit = np.nonzero(dist <= max_hamming)[0]
         for h in hit.tolist():
             li.append(ids[i]); ri.append(ids[i + 1 + h]); hd.append(int(dist[h]))
-    return out_table(li, ri, hd)
+
+
+def _shard_simhash_pairs(group: pa.Table, id_col: str, max_hamming: int,
+                         max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS) -> pa.Table:
+    """All (band, key) buckets of one shard, vectorized segmentation +
+    per-multi-bucket kernel (same O(shards) shape as _shard_bucket_pairs)."""
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    out_empty = pa.table(
+        {
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int32()),
+        }
+    )
+    if len(ids) < 2:
+        return out_empty
+    band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = group["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.lexsort((key, band))
+    band, key, ids, sh = band[order], key[order], ids[order], sh[order]
+    starts = np.nonzero(
+        np.concatenate([[True], (band[1:] != band[:-1]) | (key[1:] != key[:-1])])
+    )[0]
+    ends = np.concatenate([starts[1:], [len(ids)]])
+    li: list = []; ri: list = []; hd: list = []
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            _simhash_pairs_for_bucket(ids[s:e], sh[s:e], max_hamming,
+                                      max_bucket_rows, li, ri, hd)
+    if not li:
+        return out_empty
+    return pa.table(
+        {
+            "left_id": pa.array(li, pa.int64()),
+            "right_id": pa.array(ri, pa.int64()),
+            "hamming": pa.array(hd, pa.int32()),
+        }
+    )
 
 
 def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
@@ -767,15 +912,24 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
         concurrency=(1, concurrency),  # autoscale: a full-size pool can starve upstream reads
     )
 
+    n_shards = 64
+
     def explode_bands(batch: pa.Table) -> pa.Table:
         n = len(batch)
         keys = np.concatenate(
             [batch[f"sband_{b}"].to_numpy(zero_copy_only=False) for b in range(4)]
         )
+        band_ids = np.repeat(np.arange(4, dtype=np.int16), n)
         idx = pa.array(np.tile(np.arange(n, dtype=np.int64), 4), pa.int64())
+        with np.errstate(over="ignore"):
+            shard = (
+                (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + band_ids.astype(np.uint64)) >> np.uint64(32)
+            ) % np.uint64(n_shards)
         return pa.table(
             {
-                "band": pa.array(np.repeat(np.arange(4, dtype=np.int16), n), pa.int16()),
+                "__shard__": pa.array(shard.astype(np.int32), pa.int32()),
+                "band": pa.array(band_ids, pa.int16()),
                 "key": pa.array(keys.astype(np.int32), pa.int32()),
                 id_col: batch[id_col].take(idx),
                 "simhash": batch["simhash"].take(idx),
@@ -784,9 +938,9 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
 
     allp = (
         hashed.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .groupby("__shard__")
         .map_groups(
-            _simhash_bucket_pairs,
+            _shard_simhash_pairs,
             fn_kwargs={"id_col": id_col, "max_hamming": max_hamming,
                        "max_bucket_rows": max_bucket_rows},
             batch_format="pyarrow",

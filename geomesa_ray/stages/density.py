@@ -199,6 +199,114 @@ def _polygon_cells(snap: GridSnap, poly) -> np.ndarray:
     return np.unique(np.concatenate(keys))
 
 
+def _parse_wkb_linestrings(blobs):
+    """Fast-path WKB parse: all little-endian LineStrings → (coords,
+    vertex offsets) or None if any blob is something else."""
+    coords_list, counts = [], []
+    for b in blobs:
+        if b is None or len(b) < 9 or b[0] != 1 or b[1:5] != b"\x02\x00\x00\x00":
+            return None
+        n = int.from_bytes(b[5:9], "little")
+        if len(b) != 9 + 16 * n or n < 1:
+            return None
+        coords_list.append(
+            np.frombuffer(b, dtype="<f8", count=2 * n, offset=9).reshape(-1, 2)
+        )
+        counts.append(n)
+    return (
+        np.concatenate(coords_list),
+        np.concatenate([[0], np.cumsum(counts)]).astype(np.int64),
+    )
+
+
+def _line_cells_batch(snap: GridSnap, coords: np.ndarray, offsets: np.ndarray):
+    """Vectorized rasterization of MANY line paths at once: one
+    Liang-Barsky clip + one Bresenham expansion over all segments of the
+    batch, then a per-geometry distinct-cell reduction. Returns (geom_idx,
+    cell_key) arrays (deduped within each geometry) — identical cells to
+    the per-geometry :func:`_line_cells` path."""
+    n_geoms = len(offsets) - 1
+    if len(coords) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # segments: consecutive vertex pairs not crossing a geometry boundary
+    last_of_geom = np.zeros(len(coords), dtype=bool)
+    last_of_geom[offsets[1:] - 1] = True
+    seg_mask = ~last_of_geom[:-1]
+    x0 = coords[:-1, 0][seg_mask]
+    y0 = coords[:-1, 1][seg_mask]
+    x1 = coords[1:, 0][seg_mask]
+    y1 = coords[1:, 1][seg_mask]
+    seg_geom = (np.searchsorted(offsets, np.nonzero(seg_mask)[0], side="right") - 1)
+    # single-vertex geometries rasterize their lone point
+    single = (offsets[1:] - offsets[:-1]) == 1
+    if single.any():
+        sx = coords[offsets[:-1][single], 0]
+        sy = coords[offsets[:-1][single], 1]
+        x0 = np.concatenate([x0, sx]); y0 = np.concatenate([y0, sy])
+        x1 = np.concatenate([x1, sx]); y1 = np.concatenate([y1, sy])
+        seg_geom = np.concatenate([seg_geom, np.nonzero(single)[0]])
+
+    # vectorized Liang-Barsky: t0 = max(0, entering), t1 = min(1, leaving)
+    dx, dy = x1 - x0, y1 - y0
+    t0 = np.zeros(len(x0))
+    t1 = np.ones(len(x0))
+    ok = np.ones(len(x0), dtype=bool)
+    for p, q in (
+        (-dx, x0 - snap.xmin),
+        (dx, snap.xmax - x0),
+        (-dy, y0 - snap.ymin),
+        (dy, snap.ymax - y0),
+    ):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(p != 0, q / np.where(p == 0, 1.0, p), 0.0)
+        ok &= ~((p == 0) & (q < 0))
+        t0 = np.where((p < 0), np.maximum(t0, r), t0)
+        t1 = np.where((p > 0), np.minimum(t1, r), t1)
+    ok &= t0 <= t1
+    if not ok.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    cx0 = (x0 + t0 * dx)[ok]
+    cy0 = (y0 + t0 * dy)[ok]
+    cx1 = (x0 + t1 * dx)[ok]
+    cy1 = (y0 + t1 * dy)[ok]
+    seg_geom = seg_geom[ok]
+    i0, j0 = snap.i(cx0), snap.j(cy0)
+    i1, j1 = snap.i(cx1), snap.j(cy1)
+    good = (i0 >= 0) & (j0 >= 0) & (i1 >= 0) & (j1 >= 0)
+    i0, j0, i1, j1, seg_geom = i0[good], j0[good], i1[good], j1[good], seg_geom[good]
+    if len(i0) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    di = np.abs(i1 - i0)
+    dj = np.abs(j1 - j0)
+    si = np.where(i1 >= i0, 1, -1)
+    sj = np.where(j1 >= j0, 1, -1)
+    major = np.maximum(di, dj)
+    counts = major + 1
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    total = int(starts[-1])
+    seg_of = np.repeat(np.arange(len(i0)), counts)
+    k = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], counts)
+    di_s, dj_s = di[seg_of], dj[seg_of]
+    imaj = di_s >= dj_s
+    den = np.where(imaj, np.maximum(di_s, 1), np.maximum(dj_s, 1))
+    minor_step = (2 * k * np.where(imaj, dj_s, di_s) + den) // (2 * den)
+    ii = np.where(
+        imaj, i0[seg_of] + si[seg_of] * k, i0[seg_of] + si[seg_of] * minor_step
+    )
+    jj = np.where(
+        imaj, j0[seg_of] + sj[seg_of] * minor_step, j0[seg_of] + sj[seg_of] * k
+    )
+    gid = seg_geom[seg_of]
+    cell = ii * np.int64(snap.height) + jj
+    # distinct (geometry, cell)
+    order = np.lexsort((cell, gid))
+    gid, cell = gid[order], cell[order]
+    keep = np.ones(len(gid), dtype=bool)
+    keep[1:] = (gid[1:] != gid[:-1]) | (cell[1:] != cell[:-1])
+    return gid[keep], cell[keep]
+
+
 class RasterizeTiles:
     """map_batches stage: geometry rows (WKB column) → sparse per-batch
     tile partials, rasterizing lines (Bresenham) and polygons (scanline +
@@ -245,8 +353,34 @@ class RasterizeTiles:
             w = np.ones(len(batch), dtype=np.float64)
         else:
             w = batch[self.weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        blobs = batch[self.geom_col].to_pylist()
+        # all-LineString batches take the fully vectorized path (one clip +
+        # one Bresenham expansion across every segment of the batch)
+        fast = _parse_wkb_linestrings(blobs)
+        if fast is not None:
+            coords, offsets = fast
+            gid, key = _line_cells_batch(self.snap, coords, offsets)
+            if len(key) == 0:
+                return pa.table(
+                    {
+                        "tile_x": pa.array([], pa.int32()),
+                        "tile_y": pa.array([], pa.int32()),
+                        "weight": pa.array([], pa.float64()),
+                    }
+                )
+            wv = w[gid]
+            uniq, inv = np.unique(key, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(sums, inv, wv)
+            return pa.table(
+                {
+                    "tile_x": pa.array((uniq // self.snap.height).astype(np.int32), pa.int32()),
+                    "tile_y": pa.array((uniq % self.snap.height).astype(np.int32), pa.int32()),
+                    "weight": pa.array(sums, pa.float64()),
+                }
+            )
         all_keys, all_w = [], []
-        for wkb, wt in zip(batch[self.geom_col].to_pylist(), w):
+        for wkb, wt in zip(blobs, w):
             cells = self._cells(from_wkb(wkb))
             if len(cells):
                 all_keys.append(cells)
@@ -320,16 +454,12 @@ def density(
     if geom_col is not None:
         # non-point rasterization (lines/polygons): sparse partials per
         # batch through RasterizeTiles, merged by the tile groupby
-        from ray.data.aggregate import Sum
-
         partials = points.map_batches(
             RasterizeTiles(envelope, width, height, geom_col, weight_col).__call__,
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-        return partials.groupby(["tile_x", "tile_y"]).aggregate(
-            Sum("weight", alias_name="weight")
-        )
+        return _sparse_tile_groupby(partials, height)
     if cells <= reduce_max_cells:
         import ray.data as rd
 
@@ -395,11 +525,55 @@ def density(
     partials = points.map_batches(
         tiler.__call__, batch_format="pyarrow", batch_size=batch_size
     )
-    from ray.data.aggregate import Sum
+    return _sparse_tile_groupby(partials, height)
 
-    return partials.groupby(["tile_x", "tile_y"]).aggregate(
-        Sum("weight", alias_name="weight")
-    )
+
+def _sparse_tile_groupby(partials: ray.data.Dataset, height: int,
+                         fanin_rows: int = 2_000_000,
+                         max_rounds: int = 10) -> ray.data.Dataset:
+    """Merge sparse (tile_x, tile_y, weight) partials with a shuffle-free
+    TREE of vectorized segment-sum tasks (np.unique + np.add.at per merge)
+    instead of Ray's sort-based aggregate, whose multi-second fixed cost
+    dwarfs the useful work for tile-sized outputs. Each round coalesces up
+    to ``fanin_rows`` partial rows per task; the final single merge holds
+    ≤ occupied-cells rows — a heatmap-sized table by construction (the
+    sparse arm exists for grids whose DENSE form is too big, not for
+    unbounded key spaces)."""
+
+    def merge(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["weight"].to_numpy(zero_copy_only=False)
+        key = tx * np.int64(height) + ty
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, w)
+        return pa.table(
+            {
+                "tile_x": pa.array((uniq // height).astype(np.int32), pa.int32()),
+                "tile_y": pa.array((uniq % height).astype(np.int32), pa.int32()),
+                "weight": pa.array(sums, pa.float64()),
+            }
+        )
+
+    ds = partials.map_batches(
+        merge, batch_format="pyarrow", batch_size=fanin_rows
+    ).materialize()
+    rounds = 0
+    while ds.num_blocks() > 1 and rounds < max_rounds:
+        ds = ds.repartition(max(1, ds.num_blocks() // 8)).map_batches(
+            merge, batch_format="pyarrow", batch_size=fanin_rows
+        ).materialize()
+        rounds += 1
+    if ds.num_blocks() > 1:
+        # result larger than fanin_rows × tree depth: fall back to the
+        # shuffle aggregate for exactness (pathologically huge heatmaps)
+        from ray.data.aggregate import Sum
+
+        return ds.groupby(["tile_x", "tile_y"]).aggregate(
+            Sum("weight", alias_name="weight")
+        )
+    return ds
 
 
 def decode(tiles: pa.Table, envelope=WORLD, width: int = DEFAULT_WIDTH,

@@ -130,7 +130,9 @@ def test_distributed_clustering_matches_union_find(ray_session, documents):
     ds = ray.data.from_arrow(corpus)
     pairs = minhash_lsh_pairs(ds, threshold=0.5)
     ptbl = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
-    labels = cluster_pairs_dataset(pairs)
+    # force the DISTRIBUTED label-propagation arm (small graphs default to
+    # the single-task union-find arm)
+    labels = cluster_pairs_dataset(pairs, small_graph_rows=0)
     got = dict(
         zip(
             labels.to_pandas()["node"].tolist(),
@@ -157,10 +159,14 @@ def test_chain_clustering_multi_round(ray_session):
             "right_id": pa.array(ri, pa.int64()),
         }
     )
-    labels = cluster_pairs_dataset(ray.data.from_arrow(pairs)).to_pandas()
-    lab = dict(zip(labels["node"], labels["label"]))
-    assert all(lab[i] == 0 for i in range(10))
-    assert all(lab[i] == 20 for i in (20, 21, 22))
+    # both arms must agree on a multi-round chain
+    for kwargs in ({"small_graph_rows": 0}, {}):
+        labels = cluster_pairs_dataset(
+            ray.data.from_arrow(pairs), **kwargs
+        ).to_pandas()
+        lab = dict(zip(labels["node"], labels["label"]))
+        assert all(lab[i] == 0 for i in range(10))
+        assert all(lab[i] == 20 for i in (20, 21, 22))
 
 
 def test_mega_bucket_not_silently_dropped(ray_session):

@@ -182,6 +182,41 @@ def test_rasterize_polygon_fill_and_holes():
     assert _raster_cells(to_wkb(sliver))
 
 
+def test_vectorized_line_batch_matches_scalar_path():
+    """The all-LineString fast path (one batched clip + Bresenham) must
+    produce exactly the per-geometry scalar rasterization."""
+    import numpy as np
+
+    from geomesa_ray.stages.density import (
+        GridSnap,
+        _line_cells,
+        _line_cells_batch,
+        _parse_wkb_linestrings,
+    )
+    from geomesa_ray.geometry.base import LineString
+    from geomesa_ray.geometry.wkb import to_wkb
+
+    rng = np.random.default_rng(11)
+    snap = GridSnap((-180, -90, 180, 90), 256, 256)
+    blobs, geoms = [], []
+    for _ in range(60):
+        nseg = rng.integers(1, 6)
+        pts = np.column_stack(
+            [rng.uniform(-200, 200, nseg + 1), rng.uniform(-100, 100, nseg + 1)]
+        )
+        g = LineString(pts)
+        geoms.append(g)
+        blobs.append(to_wkb(g))
+    coords, offsets = _parse_wkb_linestrings(blobs)
+    gid, key = _line_cells_batch(snap, coords, offsets)
+    fast = {}
+    for g_, k_ in zip(gid.tolist(), key.tolist()):
+        fast.setdefault(g_, set()).add(k_)
+    for idx, g in enumerate(geoms):
+        expect = set(_line_cells(snap, g.coords).tolist())
+        assert fast.get(idx, set()) == expect, idx
+
+
 def test_rasterize_weight_column(ray_session):
     import ray.data
 
