@@ -130,8 +130,26 @@ class _ResidualFilter:
 
 
 def scan(out_dir: str, query: Query, period: TimePeriod = TimePeriod.WEEK) -> ray.data.Dataset:
-    """Execute a planned scan; returns a lazy Dataset of matching rows."""
-    files = plan_files(out_dir, query, period)
+    """Execute a planned scan; returns a lazy Dataset of matching rows.
+
+    Non-rectangular polygon queries plan over their quad DECOMPOSITION
+    (GeohashUtils.decomposeGeometry analog, geometry/decompose.py): the
+    union of the per-box pruned file lists is tighter than the single
+    envelope's, while the exact PIP residual keeps results identical."""
+    if query.geometry is not None and not (
+        isinstance(query.geometry, Polygon) and _is_rectangle(query.geometry)
+    ):
+        from geomesa_ray.geometry.decompose import decompose_geometry
+
+        fset: set[str] = set()
+        for box in decompose_geometry(query.geometry, max_boxes=32):
+            fset.update(
+                plan_files(out_dir, Query(bbox=box, interval=query.interval),
+                           period)
+            )
+        files = sorted(fset)
+    else:
+        files = plan_files(out_dir, query, period)
     if not files:
         return ray.data.from_items([]).limit(0)
     ds = ray.data.read_parquet(files, columns=query.columns, filter=_arrow_filter(query))
