@@ -2,11 +2,12 @@
 
 Binary payloads ride as opaque ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages. The actual codec work is STUBBED (no image/audio
-libraries in this environment): each stage either raises
-``NotImplementedError`` (``mode="real"``) or produces a deterministic fake
-derived from the payload bytes (``mode="fake"``) so the Ray-side plumbing —
-schema, batch sizing, actor signature, output layout — is real and tested.
+``map_batches`` stages. ``mode="real"`` decodes PNG images and WAV audio
+with the pure-stdlib codecs in :mod:`geomesa_ray.sources.codecs`
+(zlib/wave — no external image/audio library exists in this
+environment); other formats (jpeg/mp3/mp4) raise ``NotImplementedError``
+there, and ``mode="fake"`` produces deterministic bytes-derived outputs
+so the plumbing stays testable for the formats we cannot decode.
 
 Batch-size guidance: payloads are large, so these stages run with SMALL
 ``batch_size`` (default 64) and actor pools; at scale, block size should be
@@ -56,17 +57,32 @@ class DecodeImage:
         self.out_h = out_h
         self.out_w = out_w
         self.payload_col = payload_col
-        # real mode would do: self.codec = load_codec()  (once per actor)
+        if mode == "real":
+            # codec bound once per actor (the model-load slot)
+            from geomesa_ray.sources.codecs import png_decode, resize_nearest
+
+            self._decode = png_decode
+            self._resize = resize_nearest
+
+    def _real_pixels(self, payload: bytes) -> np.ndarray:
+        img = self._decode(payload)  # PNG only; others raise in the codec
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 4:
+            img = img[:, :, :3]
+        return self._resize(img, self.out_h, self.out_w).ravel()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError(
-                "image codecs unavailable in this environment; use mode='fake'"
-            )
-        pixels = [
-            _fake_pixels(p, self.out_h, self.out_w).ravel()
-            for p in batch[self.payload_col].to_pylist()
-        ]
+            pixels = [
+                self._real_pixels(p)
+                for p in batch[self.payload_col].to_pylist()
+            ]
+        else:
+            pixels = [
+                _fake_pixels(p, self.out_h, self.out_w).ravel()
+                for p in batch[self.payload_col].to_pylist()
+            ]
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(np.concatenate(pixels), pa.uint8()),
             self.out_h * self.out_w * 3,
@@ -115,15 +131,17 @@ class DecodeAudio:
         self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "audio codecs unavailable in this environment; use mode='fake'"
-            )
         feats = []
         for p in batch[self.payload_col].to_pylist():
-            seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
-            rng = np.random.default_rng(seed)
-            wave = rng.standard_normal(self.n_samples)
+            if self.mode == "real":
+                from geomesa_ray.sources.codecs import wav_decode
+
+                samples, _rate = wav_decode(p)  # WAV only; others raise
+                wave = np.resize(samples, self.n_samples)
+            else:
+                seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
+                rng = np.random.default_rng(seed)
+                wave = rng.standard_normal(self.n_samples)
             spec = np.abs(np.fft.rfft(wave))
             bands = np.array_split(spec, 8)
             feats.append(
@@ -193,19 +211,49 @@ def decode_pipeline(
     )
 
 
-def synth_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for tests: (media_id, meta, payload)."""
+def synth_media(n: int, seed: int = 42, fmt: str = "fake") -> pa.Table:
+    """Deterministic media table for tests: (media_id, meta, payload).
+
+    ``fmt="png"`` / ``"wav"`` produce REAL decodable payloads via the
+    stdlib codecs (random RGB images / sine-mix clips); ``"fake"`` keeps
+    opaque random bytes for the fake-decode plumbing path."""
     rng = np.random.default_rng(seed)
     ids = np.arange(n, dtype=np.int64)
-    payloads = [rng.integers(0, 256, int(rng.integers(200, 2000)), dtype=np.uint8).tobytes() for _ in range(n)]
+    if fmt == "png":
+        from geomesa_ray.sources.codecs import png_encode
+
+        sizes = rng.integers(8, 64, (n, 2))
+        payloads = [
+            png_encode(rng.integers(0, 256, (int(h), int(w), 3), dtype=np.uint8))
+            for h, w in sizes
+        ]
+        media_type, duration = "image", 0
+    elif fmt == "wav":
+        from geomesa_ray.sources.codecs import wav_encode
+
+        payloads = []
+        for _ in range(n):
+            t = np.arange(1600) / 16_000.0
+            f0 = float(rng.uniform(100, 2000))
+            payloads.append(
+                wav_encode(0.5 * np.sin(2 * np.pi * f0 * t)
+                           + 0.2 * np.sin(2 * np.pi * 2 * f0 * t))
+            )
+        media_type, duration = "audio", 100
+    else:
+        payloads = [
+            rng.integers(0, 256, int(rng.integers(200, 2000)), dtype=np.uint8).tobytes()
+            for _ in range(n)
+        ]
+        media_type, duration = "image", 0
     meta = pa.array(
         [
             {
-                "media_type": "image",
-                "format": "fake",
+                "media_type": media_type,
+                "format": fmt,
                 "width": 32,
                 "height": 32,
-                "duration_ms": 0,
+                "duration_ms": duration,
             }
             for _ in range(n)
         ],

@@ -419,8 +419,8 @@ def test_multimodal_pipeline(ray_session):
     a = np.stack(feats.sort_values("media_id")["features"].to_numpy())
     b = np.stack(feats2.sort_values("media_id")["features"].to_numpy())
     assert np.array_equal(a, b)
-    # real mode raises cleanly
-    with pytest.raises(NotImplementedError):
+    # real mode on undecodable (non-PNG) bytes raises cleanly
+    with pytest.raises(ValueError):
         DecodeImage(mode="real")(media.select(["payload"]))
     # frame sampling: one row per (media, frame)
     frames = ray.data.from_arrow(media).map_batches(
@@ -440,5 +440,5 @@ def test_multimodal_pipeline(ray_session):
     a1 = np.stack(au.sort_values("media_id")["audio_features"].to_numpy())
     a2 = np.stack(au2.sort_values("media_id")["audio_features"].to_numpy())
     assert a1.shape == (20, 10) and np.array_equal(a1, a2)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception):  # non-WAV bytes fail in the codec
         DecodeAudio(mode="real")(media.select(["payload"]))
