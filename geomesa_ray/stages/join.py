@@ -265,6 +265,11 @@ def hot_cell_histogram(points: ray.data.Dataset, top_k: int = 64,
     is not executed twice); counts are scaled back to the full size only
     in the sense that thresholds should be set per-sample. Result is tiny
     (≤ top_k rows).
+
+    Note: this DOES re-execute the upstream stages of ``points`` for its
+    bounded prefix (Ray Datasets are lazy); if the upstream extract is
+    expensive, pass a ``points.materialize()``-ed dataset so the sample
+    reads cached blocks instead of recomputing them.
     """
     def partial(batch: pa.Table) -> pa.Table:
         cells, counts = np.unique(
