@@ -193,3 +193,60 @@ def read_fixed_width(
         return pa.table(out)
 
     return sliced.map_batches(typed, batch_format="pyarrow"), spec
+
+
+def read_shapefile_ds(base_path: str) -> ray.data.Dataset:
+    """Shapefile (.shp/.dbf) → Dataset with a ``geom_wkb`` column
+    (geomesa-convert-shp analog; parsing in stages/export2.read_shapefile)."""
+    from geomesa_ray.stages.export2 import read_shapefile
+
+    return ray.data.from_arrow(read_shapefile(base_path))
+
+
+def read_xml(
+    path: str,
+    record_tag: str,
+    fields: dict[str, str],
+    spec: str | None = None,
+) -> "tuple[ray.data.Dataset, str]":
+    """XML converter (geomesa-convert-xml analog): every ``record_tag``
+    element becomes a row; ``fields`` maps column name → child-element
+    path (``a/b``) or ``@attr`` on the record element. Values land as
+    strings and are typed by the SFT ``spec`` (inferred when not given),
+    the same contract as the delimited/fixed-width converters."""
+    import xml.etree.ElementTree as ET
+
+    import pyarrow.compute as pc
+
+    cols: dict[str, list] = {name: [] for name in fields}
+    for _event, elem in ET.iterparse(path, events=("end",)):
+        if elem.tag != record_tag:
+            continue
+        for name, src in fields.items():
+            if src.startswith("@"):
+                cols[name].append(elem.get(src[1:]))
+            else:
+                child = elem.find(src)
+                cols[name].append(
+                    child.text.strip() if child is not None and child.text else None
+                )
+        elem.clear()
+    tbl = pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+    if spec is None:
+        spec = infer_spec(
+            {c: [None if v is None else str(v) for v in cols[c][:100]] for c in cols}
+        )
+    schema = parse_spec(spec)
+    out = {}
+    for f in schema:
+        if f.name not in tbl.schema.names:
+            continue
+        col = tbl[f.name]
+        if pa.types.is_timestamp(f.type):
+            naive = pc.cast(col, pa.timestamp(f.type.unit))
+            out[f.name] = (
+                pc.assume_timezone(naive, f.type.tz) if f.type.tz else naive
+            )
+        else:
+            out[f.name] = pc.cast(col, f.type)
+    return ray.data.from_arrow(pa.table(out)), spec

@@ -194,58 +194,86 @@ def lsh_cosine_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
 
+    n_shards = 64
+
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch, emb_col))
         bits = (m @ planes) > 0  # (n, planes)
         key = np.zeros(len(m), dtype=np.int64)
         for b in range(n_planes):
             key = (key << 1) | bits[:, b].astype(np.int64)
+        with np.errstate(over="ignore"):
+            shard = (
+                (key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(32)
+            ) % np.uint64(n_shards)
         return pa.table(
             {
+                "__shard__": pa.array(shard.astype(np.int32), pa.int32()),
                 id_col: batch[id_col],
                 "bucket": pa.array(key, pa.int64()),
                 emb_col: batch[emb_col],
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        def out(li, ri, cs):
-            return pa.table(
-                {
-                    "left_id": pa.array(li, pa.int64()),
-                    "right_id": pa.array(ri, pa.int64()),
-                    "cosine": pa.array(cs, pa.float64()),
-                }
-            )
-
-        if len(group) < 2:
-            return out([], [], [])
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_emb_matrix(group, emb_col))
+    def _one_bucket(ids, m, li, ri, cs):
         if len(ids) > max_bucket_rows:
             anchor = int(np.argmin(ids))
             sims = m @ m[anchor]
             hit = sims >= threshold
             hit[anchor] = False
-            li, ri, cs = [], [], []
             for i in np.nonzero(hit)[0].tolist():
                 a, b = ids[anchor], ids[i]
                 li.append(min(a, b)); ri.append(max(a, b)); cs.append(sims[i])
             li.append(-1); ri.append(len(ids)); cs.append(0.0)  # marker row
-            return out(li, ri, cs)
+            return
         order = np.argsort(ids, kind="stable")
         ids, m = ids[order], m[order]
         sims = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)
         hit = sims[iu, ju] >= threshold
-        if not hit.any():
-            return out([], [], [])
-        return out(ids[iu[hit]], ids[ju[hit]], sims[iu[hit], ju[hit]])
+        if hit.any():
+            li.extend(ids[iu[hit]].tolist())
+            ri.extend(ids[ju[hit]].tolist())
+            cs.extend(sims[iu[hit], ju[hit]].tolist())
+
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        """All buckets of one shard: vectorized segmentation, the pair
+        kernel only on multi-row buckets (O(shards) group calls)."""
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) < 2:
+            return empty
+        bucket = group["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bucket, kind="stable")
+        bucket, ids = bucket[order], ids[order]
+        m_all = _normalize(_emb_matrix(group, emb_col))[order]
+        starts = np.nonzero(np.concatenate([[True], bucket[1:] != bucket[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        li: list = []; ri: list = []; cs: list = []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                _one_bucket(ids[s:e], m_all[s:e], li, ri, cs)
+        if not li:
+            return empty
+        return pa.table(
+            {
+                "left_id": pa.array(li, pa.int64()),
+                "right_id": pa.array(ri, pa.int64()),
+                "cosine": pa.array(cs, pa.float64()),
+            }
+        )
 
     pairs = (
         vectors.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("__shard__")
+        .map_groups(shard_pairs, batch_format="pyarrow")
     )
     from geomesa_ray.stages.dedup import _finalize_pairs
 

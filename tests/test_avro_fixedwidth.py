@@ -64,6 +64,50 @@ def test_read_avro_dataset_multi_file(ray_session, tmp_path):
     assert out["name"].iloc[7] is None or out["name"].isna().iloc[7]
 
 
+def test_read_xml(ray_session, tmp_path):
+    xml = """<?xml version="1.0"?>
+    <root>
+      <rec id="1"><name>alice</name><m><score>3.5</score></m></rec>
+      <rec id="2"><name>bob</name><m><score>1.25</score></m></rec>
+      <rec id="3"><name/><m><score>9</score></m></rec>
+    </root>"""
+    p = tmp_path / "r.xml"
+    p.write_text(xml)
+    from geomesa_ray.sources.readers import read_xml
+
+    ds, spec = read_xml(
+        str(p), "rec",
+        {"id": "@id", "name": "name", "score": "m/score"},
+    )
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert df["id"].tolist() == [1, 2, 3]
+    assert df["name"].tolist()[:2] == ["alice", "bob"]
+    assert df["score"].tolist() == [3.5, 1.25, 9.0]
+    assert "id" in spec
+
+
+def test_read_shapefile_ds(ray_session, tmp_path):
+    import ray.data
+
+    from geomesa_ray.geometry.base import Point
+    from geomesa_ray.geometry.wkb import from_wkb, to_wkb
+    from geomesa_ray.sources.readers import read_shapefile_ds
+    from geomesa_ray.stages.export2 import write_shapefile
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "geom_wkb": pa.array(
+                [to_wkb(Point(1.0, 2.0)), to_wkb(Point(3.0, 4.0))], pa.binary()
+            ),
+        }
+    )
+    base = str(tmp_path / "pts")
+    write_shapefile(ray.data.from_arrow(tbl), base)
+    out = read_shapefile_ds(base).to_pandas().sort_values("id")
+    assert from_wkb(out["geom_wkb"].iloc[1]).x == 3.0
+
+
 def test_read_fixed_width(ray_session, tmp_path):
     lines = [
         "alice   25 3.50x",
