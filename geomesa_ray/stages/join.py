@@ -354,6 +354,88 @@ def _join_cell_group(group: pa.Table, polys_ref, predicate: str,
     return _emit_pairs(pts, polyset, pt_idx, it_idx).select(out_schema().names)
 
 
+def _join_shard_group(group: pa.Table, polys_ref, predicate: str,
+                      overflow: tuple = ()) -> pa.Table:
+    """map_groups fn: ALL (cell, salt) buckets of one shard → joined rows.
+
+    Vectorized segmentation by (cell, salt); the PIP probe runs only for
+    segments that actually contain polygon-copy rows, and the overflow
+    (oversized broadcast) polygons are probed ONCE against the whole
+    shard's points instead of once per cell — O(shards) group calls
+    total, never one per occupied cell."""
+    import pyarrow.compute as pc
+
+    polyset: PolygonSet = _resolve_broadcast(polys_ref)
+    helper_cols = ["role", "poly_idx", "salt", "__shard__"]
+
+    def out_schema() -> pa.Schema:
+        point_schema = group.drop_columns(
+            [c for c in helper_cols if c in group.schema.names]
+        ).schema
+        fields = list(point_schema)
+        for f in polyset.attrs.schema:
+            name = f"poly_{f.name}" if f.name in point_schema.names else f.name
+            fields.append(pa.field(name, f.type))
+        return pa.schema(fields)
+
+    if len(group) == 0:
+        return out_schema().empty_table()
+    cells = group["cell"].to_numpy(zero_copy_only=False)
+    salt = group["salt"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((salt, cells))
+    group = group.take(pa.array(order, pa.int64()))
+    cells, salt = cells[order], salt[order]
+    role = group["role"].to_numpy(zero_copy_only=False)
+    poly_idx_col = group["poly_idx"].to_numpy(zero_copy_only=False)
+    px = group["lon"].to_numpy(zero_copy_only=False)
+    py = group["lat"].to_numpy(zero_copy_only=False)
+    include_boundary = predicate in ("intersects", "covers")
+
+    starts = np.nonzero(
+        np.concatenate([[True], (cells[1:] != cells[:-1]) | (salt[1:] != salt[:-1])])
+    )[0]
+    ends = np.concatenate([starts[1:], [len(cells)]])
+
+    pt_parts, it_parts = [], []
+    is_pt = role == _ROLE_POINT
+    for s, e in zip(starts, ends):
+        seg_pt = np.nonzero(is_pt[s:e])[0] + s
+        if len(seg_pt) == 0:
+            continue
+        seg_poly = poly_idx_col[s:e][~is_pt[s:e]]
+        if len(seg_poly) == 0:
+            continue
+        for pi in np.unique(seg_poly).tolist():
+            mask = points_in_polygon(
+                px[seg_pt], py[seg_pt], polyset.geoms[pi],
+                include_boundary=include_boundary,
+            )
+            hits = seg_pt[np.nonzero(mask)[0]]
+            if len(hits):
+                pt_parts.append(hits)
+                it_parts.append(np.full(len(hits), pi, dtype=np.int64))
+    if overflow:
+        all_pts = np.nonzero(is_pt)[0]
+        if len(all_pts):
+            for pi in overflow:
+                mask = points_in_polygon(
+                    px[all_pts], py[all_pts], polyset.geoms[pi],
+                    include_boundary=include_boundary,
+                )
+                hits = all_pts[np.nonzero(mask)[0]]
+                if len(hits):
+                    pt_parts.append(hits)
+                    it_parts.append(np.full(len(hits), pi, dtype=np.int64))
+    if not pt_parts:
+        return out_schema().empty_table()
+    pt_idx = np.concatenate(pt_parts)
+    it_idx = np.concatenate(it_parts)
+    pts = group.drop_columns([c for c in helper_cols if c in group.schema.names])
+    # pt_idx indexes the full sorted group table; _emit_pairs takes row
+    # indices into the table it's given
+    return _emit_pairs(pts, polyset, pt_idx, it_idx).select(out_schema().names)
+
+
 def choose_join_cell_res(bounds: np.ndarray, target_cells: float = 4.0,
                          max_res: int = DEFAULT_CELL_RES) -> int:
     """Cell resolution matched to the polygon sizes: the median polygon
@@ -492,8 +574,26 @@ def pip_join_shuffle(
 
     poly_cells = poly_cells.map_batches(_align, batch_format="pyarrow")
     both = pts.union(poly_cells)
-    return both.groupby(["cell", "salt"]).map_groups(
-        _join_cell_group,
+
+    n_shards = 64
+
+    def _add_shard(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = batch["salt"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            shard = (
+                ((cells * np.uint64(0x9E3779B97F4A7C15)) ^ s) >> np.uint64(32)
+            ) % np.uint64(n_shards)
+        return batch.append_column(
+            "__shard__", pa.array(shard.astype(np.int32), pa.int32())
+        )
+
+    # shard-level groups: equal (cell, salt) buckets co-locate, the probe
+    # segments them vectorized — O(n_shards) group calls, not one per cell
+    return both.map_batches(_add_shard, batch_format="pyarrow").groupby(
+        "__shard__"
+    ).map_groups(
+        _join_shard_group,
         fn_kwargs={"polys_ref": polys_ref, "predicate": predicate, "overflow": overflow},
         batch_format="pyarrow",
     )
