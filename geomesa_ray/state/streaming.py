@@ -1,0 +1,116 @@
+"""Micro-batch streaming upsert consumer with checkpointed offsets.
+
+True-streaming analog of the Kafka DataStore's live feature view
+(KafkaDataStore.scala:598-614): a SOURCE DIRECTORY of append-only parquet
+segments plays the topic (segment file name = offset); each ``poll()``
+
+    1. discovers segments beyond the checkpointed offset,
+    2. merges them into the live view with the distributed
+       latest-by-event-time reduction (ordered=true late-drop semantics),
+    3. applies event-time TTL expiry against ``now``,
+    4. atomically checkpoints the new view (parquet generation directory +
+       rename) and the consumed offsets,
+
+so a killed consumer resumes exactly after its last completed poll —
+segments are re-consumed only if the checkpoint write didn't land, and
+re-consumption is idempotent (latest-per-id is a supremum, replays
+cannot regress the view).
+
+All heavy work is Dataset operators; the driver handles only file names
+and the checkpoint JSON. View size is bounded by the live key set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import ray.data
+
+from geomesa_ray.state.upsert import expire, latest_view
+
+
+class StreamingUpsert:
+    """File-backed micro-batch consumer maintaining a live upsert view."""
+
+    def __init__(self, source_dir: str, state_dir: str,
+                 id_col: str = "fid", time_col: str = "event_ts",
+                 seq_col: str | None = None, ttl_ms: int | None = None):
+        self.source_dir = source_dir
+        self.state_dir = state_dir
+        self.id_col = id_col
+        self.time_col = time_col
+        self.seq_col = seq_col
+        self.ttl_ms = ttl_ms
+        os.makedirs(state_dir, exist_ok=True)
+        self._ckpt_path = os.path.join(state_dir, "CHECKPOINT.json")
+        if os.path.exists(self._ckpt_path):
+            with open(self._ckpt_path) as f:
+                self._ckpt = json.load(f)
+        else:
+            self._ckpt = {"generation": 0, "consumed": []}
+
+    # -- checkpoint state ---------------------------------------------------
+
+    @property
+    def consumed(self) -> set[str]:
+        return set(self._ckpt["consumed"])
+
+    def _view_dir(self, gen: int) -> str:
+        return os.path.join(self.state_dir, f"view-{gen:06d}")
+
+    def view(self) -> ray.data.Dataset | None:
+        """The current live view (None before the first poll)."""
+        gen = self._ckpt["generation"]
+        d = self._view_dir(gen)
+        if gen == 0 or not os.path.isdir(d):
+            return None
+        return ray.data.read_parquet(d)
+
+    # -- consumption --------------------------------------------------------
+
+    def pending_segments(self) -> list[str]:
+        names = sorted(
+            f for f in os.listdir(self.source_dir) if f.endswith(".parquet")
+        )
+        return [f for f in names if f not in self.consumed]
+
+    def poll(self, now_ms: int | None = None) -> dict:
+        """Consume pending segments; returns {'segments', 'view_rows'}."""
+        pending = self.pending_segments()
+        if not pending:
+            return {"segments": 0, "view_rows": None}
+        updates = ray.data.read_parquet(
+            [os.path.join(self.source_dir, f) for f in pending]
+        )
+        cur = self.view()
+        merged = latest_view(
+            updates if cur is None else cur.union(updates),
+            id_col=self.id_col, time_col=self.time_col, seq_col=self.seq_col,
+        )
+        if self.ttl_ms is not None and now_ms is not None:
+            merged = expire(merged, now_ms, ttl_ms=self.ttl_ms,
+                            time_col=self.time_col)
+        new_gen = self._ckpt["generation"] + 1
+        out_dir = self._view_dir(new_gen)
+        tmp = tempfile.mkdtemp(dir=self.state_dir, prefix=".view-tmp-")
+        merged.write_parquet(tmp)
+        os.replace(tmp, out_dir)  # atomic publish of the new generation
+        rows = ray.data.read_parquet(out_dir).count()
+        new_ckpt = {
+            "generation": new_gen,
+            "consumed": sorted(self.consumed | set(pending)),
+        }
+        fd, ctmp = tempfile.mkstemp(dir=self.state_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_ckpt, f)
+        os.replace(ctmp, self._ckpt_path)
+        self._ckpt = new_ckpt
+        # old generations are garbage once the checkpoint lands
+        for g in range(1, new_gen):
+            old = self._view_dir(g)
+            if os.path.isdir(old):
+                shutil.rmtree(old, ignore_errors=True)
+        return {"segments": len(pending), "view_rows": rows}

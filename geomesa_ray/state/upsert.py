@@ -32,17 +32,61 @@ def _latest_per_id(group: pa.Table, time_col: str, seq_col: str | None) -> pa.Ta
     return group.slice(best, 1)
 
 
+def _latest_per_shard(group: pa.Table, id_col: str, time_col: str,
+                      seq_col: str | None) -> pa.Table:
+    """Latest row per id for ALL ids of one shard, vectorized: factorize
+    ids, lexsort by (id, ts, seq), take each id segment's last row."""
+    n = len(group)
+    if n == 0:
+        return group.drop_columns(["__shard__"])
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    ts = group[time_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if seq_col is not None and seq_col in group.schema.names:
+        seq = group[seq_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    else:
+        seq = np.arange(n, dtype=np.int64)
+    _, codes = np.unique(ids, return_inverse=True)
+    order = np.lexsort((seq, ts, codes))
+    codes_s = codes[order]
+    last = np.nonzero(np.concatenate([codes_s[1:] != codes_s[:-1], [True]]))[0]
+    return group.take(pa.array(order[last], pa.int64())).drop_columns(["__shard__"])
+
+
 def latest_view(
     updates: ray.data.Dataset,
     id_col: str = "fid",
     time_col: str = "event_ts",
     seq_col: str | None = None,
+    n_shards: int = 64,
 ) -> ray.data.Dataset:
     """Reduce an update stream to the latest record per id (ordered=true
-    semantics: an older event time never replaces a newer one)."""
-    return updates.groupby(id_col).map_groups(
-        _latest_per_id,
-        fn_kwargs={"time_col": time_col, "seq_col": seq_col},
+    semantics: an older event time never replaces a newer one).
+
+    Shuffle shape: ids route by ``hash(id) % n_shards`` and each shard
+    reduces ALL of its ids in one vectorized pass — O(n_shards) group
+    calls, never one per distinct id."""
+    from geomesa_ray.stages.encode import hash_strings
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        if pa.types.is_integer(col.type):
+            with np.errstate(over="ignore"):
+                h = (
+                    col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                ) >> np.uint64(32)
+        else:
+            h = hash_strings(col)
+        return batch.append_column(
+            "__shard__",
+            pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32()),
+        )
+
+    return updates.map_batches(add_shard, batch_format="pyarrow").groupby(
+        "__shard__"
+    ).map_groups(
+        _latest_per_shard,
+        fn_kwargs={"id_col": id_col, "time_col": time_col, "seq_col": seq_col},
         batch_format="pyarrow",
     )
 

@@ -1,0 +1,100 @@
+"""Micro-batch streaming upsert consumer: incremental polls, crash/resume,
+TTL expiry, replay idempotence (KafkaDataStore live-view analog)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geomesa_ray.state.streaming import StreamingUpsert
+
+
+def _segment(path, ids, ts, vals):
+    pq.write_table(
+        pa.table(
+            {
+                "fid": pa.array(ids, pa.int64()),
+                "event_ts": pa.array(ts, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        path,
+    )
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "topic"
+    state = tmp_path / "state"
+    src.mkdir()
+    return str(src), str(state)
+
+
+def test_incremental_polls_and_latest_semantics(ray_session, dirs):
+    src, state = dirs
+    c = StreamingUpsert(src, state, id_col="fid", time_col="event_ts")
+    assert c.view() is None
+    assert c.poll() == {"segments": 0, "view_rows": None}
+
+    _segment(os.path.join(src, "seg-000.parquet"), [1, 2, 3], [10, 10, 10], [1.0, 2.0, 3.0])
+    r1 = c.poll()
+    assert r1 == {"segments": 1, "view_rows": 3}
+
+    # newer update for id 2, LATE (older) update for id 3 → dropped
+    _segment(os.path.join(src, "seg-001.parquet"), [2, 3, 4], [20, 5, 15], [2.5, 3.9, 4.0])
+    r2 = c.poll()
+    assert r2["segments"] == 1 and r2["view_rows"] == 4
+    view = c.view().to_pandas().set_index("fid").sort_index()
+    assert view.loc[2, "value"] == 2.5  # newer wins
+    assert view.loc[3, "value"] == 3.0  # late record dropped (ordered=true)
+    assert view.loc[3, "event_ts"] == 10
+
+
+def test_crash_resume_and_replay_idempotence(ray_session, dirs):
+    src, state = dirs
+    c = StreamingUpsert(src, state)
+    _segment(os.path.join(src, "seg-000.parquet"), [1, 2], [10, 10], [1.0, 2.0])
+    c.poll()
+    # "crash": new consumer instance over the same state dir
+    c2 = StreamingUpsert(src, state)
+    assert c2.consumed == {"seg-000.parquet"}
+    assert sorted(c2.view().to_pandas()["fid"]) == [1, 2]
+    # nothing new → no-op poll
+    assert c2.poll()["segments"] == 0
+    # replaying an already-consumed segment (simulate lost checkpoint) is
+    # idempotent: the latest-per-id supremum can't regress
+    c2._ckpt["consumed"] = []
+    r = c2.poll()
+    assert r["view_rows"] == 2
+    assert sorted(c2.view().to_pandas()["fid"]) == [1, 2]
+
+
+def test_ttl_expiry(ray_session, dirs):
+    src, state = dirs
+    c = StreamingUpsert(src, state, ttl_ms=300)
+    _segment(os.path.join(src, "seg-000.parquet"), [1, 2], [1000, 1800], [1.0, 2.0])
+    r = c.poll(now_ms=2000)  # horizon 1700 → id 1 (ts 1000) expires
+    assert r["view_rows"] == 1
+    assert c.view().to_pandas()["fid"].tolist() == [2]
+
+
+def test_many_ids_vectorized_reduction(ray_session, dirs):
+    """Shard-vectorized latest_view: thousands of distinct ids reduce in
+    O(shards) group calls and match a pandas oracle."""
+    src, state = dirs
+    rng = np.random.default_rng(3)
+    n = 20_000
+    ids = rng.integers(0, 5_000, n)
+    ts = rng.integers(0, 1_000_000, n)
+    _segment(os.path.join(src, "seg-000.parquet"), ids, ts, ts.astype(np.float64))
+    c = StreamingUpsert(src, state)
+    r = c.poll()
+    import pandas as pd
+
+    df = pd.DataFrame({"fid": ids, "event_ts": ts})
+    expect = df.groupby("fid")["event_ts"].max()
+    assert r["view_rows"] == len(expect)
+    got = c.view().to_pandas().set_index("fid")["event_ts"].sort_index()
+    assert (got == expect.sort_index()).all()
