@@ -453,6 +453,71 @@ def q_value_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def q_value_histogram(sf_dir: str) -> pa.Table:
+    """Histogram sketch (Histogram.scala / BinnedArray analog): 20 bins
+    over [0, 500] with end-bin clamping; the oracle mirrors the bin
+    arithmetic ((v-lo)*bins/(hi-lo), floored, clipped) exactly."""
+    from geomesa_ray.stages.stats import StatSpec, compute_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = compute_stats(
+        ds, [StatSpec("h", "histogram", "value", bins=20, lo=0.0, hi=500.0)]
+    )
+    counts = out["h"]["counts"]
+    return pa.table(
+        {
+            "bin": pa.array(range(len(counts)), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+FILTER_BBOX = (-60.0, 10.0, 60.0, 70.0)
+FILTER_TS = (1704672000000, 1705276800000)  # [Jan 8, Jan 15) ms
+
+
+def q_filter_scan(sf_dir: str) -> pa.Table:
+    """Composite predicate through the filter-splitting planner
+    (And(bbox, during, attr=click) → extents + exact residual,
+    FilterSplitter/ECQL analog)."""
+    from geomesa_ray.pipelines.filters import And, AttrEq, BBox, During, scan_with_filter
+
+    layout = _indexed_events_layout(sf_dir)
+    f = And(
+        BBox(*FILTER_BBOX),
+        During(FILTER_TS[0], FILTER_TS[1]),
+        AttrEq("event_type", "click"),
+    )
+    out = scan_with_filter(layout, f).to_pandas().sort_values("event_id")
+    return pa.table(
+        {"event_id": pa.array(out["event_id"].to_numpy().astype(np.int64), pa.int64())}
+    )
+
+
+def q_merged_view_counts(sf_dir: str) -> ray.data.Dataset:
+    """Merged store view (MergedDataStoreView analog): two per-type stores
+    unioned, then counted per type."""
+    from geomesa_ray.pipelines.views import merged_view
+
+    def store(t: str) -> ray.data.Dataset:
+        import pyarrow.dataset as pads
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type"],
+            filter=pads.field("event_type") == t,
+        )
+
+    merged = merged_view([store("click"), store("purchase")])
+    agg = merged.groupby("event_type").count()
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"event_type": b["event_type"], "n": b["count()"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_sample_per_key(sf_dir: str) -> ray.data.Dataset:
     """Deterministic every-nth-per-key sampling (FeatureSampler analog:
     keep every 5th event per event_type, ordered by event_id)."""
@@ -797,6 +862,9 @@ QUERIES = {
     "tile_agg_lines": q_tile_agg_lines,
     "clip_area": q_clip_area,
     "avro_events_by_type": q_avro_events_by_type,
+    "value_histogram": q_value_histogram,
+    "filter_scan": q_filter_scan,
+    "merged_view_counts": q_merged_view_counts,
 }
 
 _DERIVE_SQL = """
@@ -940,6 +1008,21 @@ SELECT DISTINCT d.event_id FROM derived d JOIN track t
     "avro_events_by_type": """
 SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 """,
+    "value_histogram": """
+WITH b AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) * 20 / (500.0 - 0.0)), 0), 19) AS BIGINT) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+bins AS (SELECT unnest(range(0, 20)) AS bin)
+SELECT bins.bin, COUNT(b.bin) AS n
+FROM bins LEFT JOIN b ON b.bin = bins.bin
+GROUP BY bins.bin
+""",
+    "filter_scan": None,  # filled below (needs the derive CTE + constants)
+    "merged_view_counts": """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE event_type IN ('click', 'purchase') GROUP BY event_type
+""",
     "clip_area": f"""
 WITH {_DERIVE_SQL.strip()},
 ext AS (
@@ -1049,6 +1132,16 @@ FROM s"""
 
 
 ORACLE_SQL["langid"] = _langid_oracle_sql()
+
+ORACLE_SQL["filter_scan"] = f"""
+WITH {_DERIVE_SQL.strip()}
+SELECT event_id FROM derived
+WHERE lon >= {FILTER_BBOX[0]} AND lon <= {FILTER_BBOX[2]}
+  AND lat >= {FILTER_BBOX[1]} AND lat <= {FILTER_BBOX[3]}
+  AND EPOCH_MS(ts) >= {FILTER_TS[0]} AND EPOCH_MS(ts) < {FILTER_TS[1]}
+  AND event_type = 'click'
+ORDER BY event_id
+"""
 
 
 def _quality_oracle_sql() -> str:
