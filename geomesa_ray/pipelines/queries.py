@@ -518,6 +518,92 @@ def q_merged_view_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+ROUTE_PTS = ([0.0, 8.0, 8.0], [44.0, 44.0, 50.0])
+ROUTE_BUFFER_M = 300_000.0
+ROUTE_HEAD_TOL = 45.0
+
+
+def q_route_search(sf_dir: str) -> pa.Table:
+    """Route search (RouteSearchProcess analog): derived event headings
+    matched against the nearest route segment within the corridor. The
+    oracle inlines the Python-precomputed segment constants (projection
+    vectors, headings) as full-precision literals, so the SQL does only
+    +-*/, sqrt, clip and mod — bit-identical to the numpy kernel."""
+    from geomesa_ray.pipelines.route import route_search
+
+    ds = events_points(sf_dir)
+
+    def add_heading(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "heading", pa.array(((eid * 77) % 360).astype(np.float64), pa.float64())
+        )
+
+    out = route_search(
+        ds.map_batches(add_heading, batch_format="pyarrow"),
+        ROUTE_PTS[0],
+        ROUTE_PTS[1],
+        buffer_m=ROUTE_BUFFER_M,
+        heading_threshold_deg=ROUTE_HEAD_TOL,
+    ).to_pandas().sort_values("event_id")
+    return pa.table(
+        {"event_id": pa.array(out["event_id"].to_numpy().astype(np.int64), pa.int64())}
+    )
+
+
+def _route_search_oracle_sql() -> str:
+    from geomesa_ray.pipelines.route import _segment_geometry
+
+    rx = np.asarray(ROUTE_PTS[0])
+    ry = np.asarray(ROUTE_PTS[1])
+    ax, ay, bx, by, heading = _segment_geometry(rx, ry)
+    coslat = np.cos(np.radians((ay + by) / 2))
+    ex = (bx - ax) * coslat
+    ey = by - ay
+    seg_len2 = ex * ex + ey * ey
+    seg_len2[seg_len2 == 0] = 1e-18
+    d2_exprs, ang_exprs = [], []
+    for s in range(len(ax)):
+        dxp = f"((lon - {ax[s]!r}) * {coslat[s]!r})"
+        dyp = f"(lat - {ay[s]!r})"
+        t = (
+            f"LEAST(GREATEST(({dxp} * {ex[s]!r} + {dyp} * {ey[s]!r})"
+            f" / {seg_len2[s]!r}, 0.0), 1.0)"
+        )
+        cx = f"({dxp} - {t} * {ex[s]!r})"
+        cy = f"({dyp} - {t} * {ey[s]!r})"
+        d2_exprs.append(f"({cx} * {cx} + {cy} * {cy})")
+        ang = (
+            f"ABS(((heading - {heading[s]!r}) % 360.0 + 360.0) % 360.0)"
+        )
+        ang_exprs.append(f"LEAST({ang}, 360.0 - {ang})")
+    # nearest segment = first argmin (numpy tie-break): strict CASE chain
+    conds = []
+    for s in range(len(ax)):
+        others = [f"d2_{s} <= d2_{j}" for j in range(len(ax)) if j > s]
+        prior = [f"d2_{j} > d2_{s}" for j in range(s)]
+        cond = " AND ".join(prior + others) or "TRUE"
+        conds.append(
+            f"WHEN {cond} THEN "
+            f"SQRT(d2_{s}) * 111195.0 <= {ROUTE_BUFFER_M!r}"
+            f" AND ang_{s} <= {ROUTE_HEAD_TOL!r}"
+        )
+    d2_cols = ", ".join(f"{e} AS d2_{s}" for s, e in enumerate(d2_exprs))
+    ang_cols = ", ".join(f"{e} AS ang_{s}" for s, e in enumerate(ang_exprs))
+    return f"""
+WITH {_DERIVE_SQL.strip()},
+hd AS (
+  SELECT event_id, lon, lat,
+         CAST((event_id * 77) % 360 AS DOUBLE) AS heading
+  FROM derived
+),
+geo AS (SELECT event_id, {d2_cols}, {ang_cols} FROM hd)
+SELECT event_id FROM geo
+WHERE CASE {" ".join(conds)} ELSE FALSE END
+ORDER BY event_id
+"""
+
+
 def q_sample_per_key(sf_dir: str) -> ray.data.Dataset:
     """Deterministic every-nth-per-key sampling (FeatureSampler analog:
     keep every 5th event per event_type, ordered by event_id)."""
@@ -865,6 +951,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "filter_scan": q_filter_scan,
     "merged_view_counts": q_merged_view_counts,
+    "route_search": q_route_search,
 }
 
 _DERIVE_SQL = """
@@ -1132,6 +1219,8 @@ FROM s"""
 
 
 ORACLE_SQL["langid"] = _langid_oracle_sql()
+
+ORACLE_SQL["route_search"] = _route_search_oracle_sql()
 
 ORACLE_SQL["filter_scan"] = f"""
 WITH {_DERIVE_SQL.strip()}
