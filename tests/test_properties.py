@@ -143,3 +143,101 @@ def test_match_points_equals_brute_force(seed):
         for i in np.nonzero(points_in_polygon(px, py, g))[0]:
             expect.add((int(i), j))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# round-2 kernels: UTM, avro, FNV, overlay, bresenham
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=0.5, max_value=5.5),
+       st.floats(min_value=-80.0, max_value=84.0),
+       st.booleans())
+def test_utm_round_trip(x, y, south):
+    from geomesa_ray.geometry.reproject import lonlat_to_utm, utm_to_lonlat
+
+    e, n = lonlat_to_utm(np.array([x]), np.array([y]), 31, south)
+    x2, y2 = utm_to_lonlat(e, n, 31, south)
+    assert abs(x2[0] - x) < 1e-9 and abs(y2[0] - y) < 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=50),
+       st.lists(st.text(max_size=40) | st.none(), min_size=1, max_size=50),
+       st.sampled_from(["null", "deflate"]))
+def test_avro_round_trip_property(ints, strs, codec):
+    import pyarrow as pa
+
+    from geomesa_ray.sources.avro import read_avro_file, write_avro_file
+
+    n = min(len(ints), len(strs))
+    tbl = pa.table(
+        {
+            "i": pa.array(ints[:n], pa.int64()),
+            "s": pa.array(strs[:n], pa.string()),
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_avro_file(tbl, p, codec=codec)
+        back = read_avro_file(p)
+    assert back["i"].to_pylist() == tbl["i"].to_pylist()
+    assert back["s"].to_pylist() == tbl["s"].to_pylist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=30))
+def test_fnv1a_matches_pure_python(strs):
+    import pyarrow as pa
+
+    from geomesa_ray.stages.dedup import fnv1a_utf8
+
+    def ref(s: str) -> int:
+        h = 14695981039346656037
+        for b in s.encode("utf-8")[:64]:
+            h = ((h ^ b) * 1099511628211) % (1 << 64)
+        return h
+
+    got = fnv1a_utf8(pa.array(strs, pa.string()))
+    assert [int(v) for v in got] == [ref(s) for s in strs]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(min_value=-170, max_value=160), st.floats(min_value=-80, max_value=70),
+       st.floats(min_value=0.5, max_value=20), st.floats(min_value=0.5, max_value=20),
+       st.floats(min_value=-170, max_value=160), st.floats(min_value=-80, max_value=70),
+       st.floats(min_value=0.5, max_value=20), st.floats(min_value=0.5, max_value=20))
+def test_rect_overlay_property(ax, ay, aw, ah, bx, by, bw, bh):
+    """Rect∩rect and rect−rect areas satisfy inclusion-exclusion exactly."""
+    from geomesa_ray.geometry.base import Polygon
+    from geomesa_ray.geometry.measures import area
+    from geomesa_ray.geometry.overlay import polygon_difference, polygon_intersection
+
+    a = Polygon([(ax, ay), (ax + aw, ay), (ax + aw, ay + ah), (ax, ay + ah)])
+    b = Polygon([(bx, by), (bx + bw, by), (bx + bw, by + bh), (bx, by + bh)])
+    inter = polygon_intersection(a, b)
+    diff = polygon_difference(a, b)
+    ia = area(inter) if inter is not None else 0.0
+    da = area(diff) if diff is not None else 0.0
+    assert abs((ia + da) - area(a)) < 1e-6 * max(area(a), 1.0)
+    # manual interval arithmetic
+    w = max(0.0, min(ax + aw, bx + bw) - max(ax, bx))
+    h = max(0.0, min(ay + ah, by + bh) - max(ay, by))
+    assert abs(ia - w * h) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255),
+       st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255))
+def test_bresenham_cells_properties(i0, j0, i1, j1):
+    from geomesa_ray.stages.density import _bresenham_cells
+
+    ii, jj = _bresenham_cells(i0, j0, i1, j1)
+    assert (ii[0], jj[0]) == (i0, j0)
+    assert (ii[-1], jj[-1]) == (i1, j1)
+    assert len(ii) == max(abs(i1 - i0), abs(j1 - j0)) + 1
+    # 8-connected chain
+    assert (np.abs(np.diff(ii)) <= 1).all() and (np.abs(np.diff(jj)) <= 1).all()
