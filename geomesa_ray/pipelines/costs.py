@@ -100,6 +100,24 @@ def decide(
     return min(candidates, key=lambda c: (c.est_rows, order[c.strategy]))
 
 
+def choose_layout(
+    layouts: dict[str, str],
+    query: Query,
+    period: TimePeriod = TimePeriod.WEEK,
+) -> tuple[str, CostEstimate]:
+    """Pick the cheapest INDEX LAYOUT for a query (the reference's
+    cross-index StrategyDecider: z2 vs z3 vs attribute tables hold the
+    same rows under different clustering; cost = rows the pruner cannot
+    exclude). ``layouts`` maps name → layout dir (e.g. {"z3": ..., "z2":
+    ...}); ties break by dict order."""
+    best_name, best = None, None
+    for name, out_dir in layouts.items():
+        est = estimate_spatial(out_dir, query, period)
+        if best is None or est.est_rows < best.est_rows:
+            best_name, best = name, est
+    return best_name, best
+
+
 def scan_decided(
     out_dir: str,
     query: Optional[Query] = None,

@@ -49,13 +49,24 @@ def ingest_pages(
     columns: list[str] | None = None,
     id_col: str = "url",
     ts_col: str = "warc_ts",
+    sort_by: str = "z3",
 ) -> dict[int, GroupEntry]:
     """Run the resumable ingest; returns the complete manifest.
 
     ``extract=False`` indexes tables that already carry lon/lat (skips the
     html extraction stage — the converter-free ingest path); ``columns``
     overrides the read projection in that case.
+
+    ``sort_by`` selects the layout's clustering key — ``"z3"`` (default:
+    ``(z3_bin, z3)``, the spatio-temporal index) or ``"z2"`` (pure-spatial
+    clustering, so per-file z2 stats stay tight and bbox-only queries
+    prune hard). The reference keeps SEPARATE z2/z3 index tables for the
+    same reason (geomesa-index-api z2/Z2Index vs z3/Z3Index); ingest each
+    layout into its own ``out_dir`` and let the cost decider
+    (pipelines/costs.py choose_layout) pick per query.
     """
+    if sort_by not in ("z3", "z2"):
+        raise ValueError(f"sort_by must be 'z3' or 'z2', got {sort_by!r}")
     if isinstance(input_files, str):
         if os.path.isdir(input_files):
             input_files = sorted(
@@ -90,7 +101,7 @@ def ingest_pages(
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-        ds = ds.sort(["z3_bin", "z3"])
+        ds = ds.sort(["z3_bin", "z3"] if sort_by == "z3" else ["z2"])
         # split into several order-preserving files so the manifest's
         # per-file key ranges stay tight enough for query-time pruning
         n_files = max(2, -(-rows_in // target_rows_per_file))

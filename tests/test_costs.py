@@ -86,3 +86,40 @@ def test_scan_decided_same_rows_under_both_strategies(ray_session, layout):
     a = sorted(ds_attr.to_pandas()["url"])
     s = sorted(ds_spat.to_pandas()["url"])
     assert a == s and len(a) > 0
+
+
+@pytest.fixture(scope="module")
+def dual_layouts(tmp_path_factory, ray_session):
+    """The same rows ingested under z3 (spatio-temporal) and z2 (pure
+    spatial) clustering — the reference's separate index tables."""
+    raw = tmp_path_factory.mktemp("dual_raw")
+    write_pages_parquet(str(raw), 6000, seed=77, shard_rows=1500)
+    z3 = tmp_path_factory.mktemp("dual_z3")
+    z2 = tmp_path_factory.mktemp("dual_z2")
+    ingest_pages(str(raw), str(z3), n_groups=2, target_rows_per_file=300)
+    ingest_pages(str(raw), str(z2), n_groups=2, target_rows_per_file=300,
+                 sort_by="z2")
+    return {"z3": str(z3), "z2": str(z2)}
+
+
+def test_z2_layout_prunes_spatial_queries_harder(ray_session, dual_layouts):
+    from geomesa_ray.pipelines.scan import Query, plan_files, scan
+
+    q = Query(bbox=(0.0, 45.0, 6.0, 52.0))
+    f_z3 = plan_files(dual_layouts["z3"], q)
+    f_z2 = plan_files(dual_layouts["z2"], q)
+    # spatial clustering keeps per-file z2 ranges tight → fewer files
+    assert len(f_z2) < len(f_z3)
+    # both layouts return identical rows
+    a = sorted(scan(dual_layouts["z3"], q).to_pandas()["url"])
+    b = sorted(scan(dual_layouts["z2"], q).to_pandas()["url"])
+    assert a == b and len(a) > 0
+
+
+def test_choose_layout_picks_by_cost(ray_session, dual_layouts):
+    from geomesa_ray.pipelines.costs import choose_layout
+    from geomesa_ray.pipelines.scan import Query
+
+    name, est = choose_layout(dual_layouts, Query(bbox=(0.0, 45.0, 6.0, 52.0)))
+    assert name == "z2"  # bbox-only query: the spatial layout is cheaper
+    assert est.strategy == "spatial"
