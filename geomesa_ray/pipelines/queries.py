@@ -518,6 +518,56 @@ def q_merged_view_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_bin_roundtrip(sf_dir: str) -> pa.Table:
+    """BIN format end-to-end (BinaryOutputEncoder 16-byte layout): derived
+    events encoded to packed BIN blobs (FNV track hash) and decoded back;
+    the oracle mirrors the track-id fold, second truncation and float32
+    coordinate narrowing in SQL."""
+    from geomesa_ray.stages.export import BinEncode, bin_decode
+
+    enc = BinEncode(track_col="url", ts_col="ts", track_hash="fnv")
+    ds = events_points(sf_dir).map_batches(
+        lambda b: b.append_column("url", b["event_id"].cast(pa.string())),
+        batch_format="pyarrow",
+    )
+    parts = []
+    for blob_batch in ds.map_batches(enc.__call__, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in blob_batch["bin"].to_pylist():
+            parts.append(bin_decode(blob))
+    tbl = pa.concat_tables(parts)
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df["lat"] = df["lat"].astype(np.float64)
+    df["lon"] = df["lon"].astype(np.float64)
+    df = df.sort_values(["track_id", "dtg_ms"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _bin_roundtrip_oracle_sql() -> str:
+    from geomesa_ray.pipelines.oracles import BASE, FNV_OFFSET, _mul64
+
+    fold = _mul64("xor(acc, CAST(b AS HUGEINT))", BASE)
+    return f"""
+WITH {_DERIVE_SQL.strip()},
+h AS (
+  SELECT CAST(
+           list_reduce(
+             list_prepend(CAST({FNV_OFFSET} AS HUGEINT),
+               list_transform(range(1, length(CAST(event_id AS VARCHAR)) + 1),
+                              i -> ascii(substr(CAST(event_id AS VARCHAR), CAST(i AS BIGINT), 1)))),
+             (acc, b) -> {fold}) % 4294967296 AS BIGINT) AS track_id,
+         (EPOCH_MS(ts) // 1000) * 1000 AS dtg_ms,
+         CAST(CAST(lat AS REAL) AS DOUBLE) AS lat,
+         CAST(CAST(lon AS REAL) AS DOUBLE) AS lon
+  FROM derived
+)
+SELECT track_id, dtg_ms, lat, lon FROM h ORDER BY track_id, dtg_ms
+"""
+
+
 ROUTE_PTS = ([0.0, 8.0, 8.0], [44.0, 44.0, 50.0])
 ROUTE_BUFFER_M = 300_000.0
 ROUTE_HEAD_TOL = 45.0
@@ -952,6 +1002,7 @@ QUERIES = {
     "filter_scan": q_filter_scan,
     "merged_view_counts": q_merged_view_counts,
     "route_search": q_route_search,
+    "bin_roundtrip": q_bin_roundtrip,
 }
 
 _DERIVE_SQL = """
@@ -1221,6 +1272,7 @@ FROM s"""
 ORACLE_SQL["langid"] = _langid_oracle_sql()
 
 ORACLE_SQL["route_search"] = _route_search_oracle_sql()
+ORACLE_SQL["bin_roundtrip"] = _bin_roundtrip_oracle_sql()
 
 ORACLE_SQL["filter_scan"] = f"""
 WITH {_DERIVE_SQL.strip()}

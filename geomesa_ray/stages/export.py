@@ -45,19 +45,31 @@ class BinEncode:
 
     def __init__(self, track_col: str = "url", ts_col: str = "warc_ts",
                  lon_col: str = "lon", lat_col: str = "lat",
-                 label_col: str | None = None, sort_by_time: bool = False):
+                 label_col: str | None = None, sort_by_time: bool = False,
+                 track_hash: str = "default"):
+        if track_hash not in ("default", "fnv"):
+            raise ValueError(track_hash)
         self.track_col = track_col
         self.ts_col = ts_col
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.label_col = label_col
         self.sort_by_time = sort_by_time
+        # "fnv" = explicitly-specified FNV-1a low 32 bits, chosen so a SQL
+        # oracle can reproduce track ids; "default" = the engine hash
+        self.track_hash = track_hash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
-        track = (hash_strings(batch[self.track_col]) & np.uint64(0xFFFFFFFF)).astype(
-            np.uint32
-        )
+        if self.track_hash == "fnv":
+            from geomesa_ray.stages.dedup import fnv1a_utf8
+
+            track = (fnv1a_utf8(batch[self.track_col].cast(pa.string()))
+                     & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        else:
+            track = (hash_strings(batch[self.track_col]) & np.uint64(0xFFFFFFFF)).astype(
+                np.uint32
+            )
         from geomesa_ray.functions.convert import to_epoch_millis
 
         ts_ms = to_epoch_millis(batch[self.ts_col])
