@@ -387,12 +387,62 @@ def st_transform(col, src: str, dst: str) -> pa.Array:
     return pa.array(out, pa.binary())
 
 
+def _parse_rect_wkbs(col) -> "np.ndarray | None":
+    """(n, 4) bounds array when EVERY blob is a 93-byte axis-rect Polygon
+    WKB (the layout rect_wkbs/to_wkb emit); None otherwise."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        return None
+    blobs = col.to_pylist()
+    if not blobs or any(b is None or len(b) != 93 for b in blobs):
+        return None
+    data = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(-1, 93)
+    # header: LE byte order, type=3 (polygon), 1 ring, 5 points
+    hdr = np.array([1, 3, 0, 0, 0, 1, 0, 0, 0, 5, 0, 0, 0], dtype=np.uint8)
+    if not (data[:, :13] == hdr).all():
+        return None
+    pts = data[:, 13:].copy().view("<f8").reshape(-1, 5, 2)
+    xs, ys = pts[:, :, 0], pts[:, :, 1]
+    xmin, xmax = xs.min(axis=1), xs.max(axis=1)
+    ymin, ymax = ys.min(axis=1), ys.max(axis=1)
+    # axis-aligned check: every vertex sits on a bound in both axes
+    on_x = (xs == xmin[:, None]) | (xs == xmax[:, None])
+    on_y = (ys == ymin[:, None]) | (ys == ymax[:, None])
+    if not (on_x.all() and on_y.all()):
+        return None
+    return np.column_stack([xmin, ymin, xmax, ymax])
+
+
 def _overlay_binary(a_col, b, op) -> pa.Array:
     """Shared wrapper for the overlay ops: geometry column × (column or
-    single WKB/Geometry) → WKB column (null for empty results)."""
+    single WKB/Geometry) → WKB column (null for empty results).
+
+    Fast path: when the whole column and the clip are axis rectangles, the
+    intersection is vectorized interval arithmetic over the raw WKB
+    buffers — no per-row geometry objects."""
     from geomesa_ray.geometry.overlay import polygon_difference, polygon_intersection
 
     fn = polygon_intersection if op == "intersection" else polygon_difference
+    if op == "intersection" and isinstance(b, (bytes, bytearray)) and len(b) == 93:
+        bounds = _parse_rect_wkbs(a_col)
+        clip = _parse_rect_wkbs(pa.array([bytes(b)], pa.binary()))
+        if bounds is not None and clip is not None:
+            from geomesa_ray.geometry.wkb import rect_wkbs
+
+            cx0, cy0, cx1, cy1 = clip[0]
+            x0 = np.maximum(bounds[:, 0], cx0)
+            y0 = np.maximum(bounds[:, 1], cy0)
+            x1 = np.minimum(bounds[:, 2], cx1)
+            y1 = np.minimum(bounds[:, 3], cy1)
+            ok = (x1 > x0) & (y1 > y0)
+            out = rect_wkbs(x0, y0, x1, y1)
+            if ok.all():
+                return out
+            return pa.array(
+                [out[k].as_py() if ok[k] else None for k in range(len(ok))],
+                pa.binary(),
+            )
     geoms_a = geoms_from_wkb(a_col)
     if isinstance(b, (bytes, bytearray)):
         geoms_b = [from_wkb(bytes(b))] * len(geoms_a)

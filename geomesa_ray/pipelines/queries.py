@@ -142,10 +142,18 @@ def q_clip_area(sf_dir: str) -> ray.data.Dataset:
         y1 = batch["ymax"].to_numpy(zero_copy_only=False)
         inter = st_intersection(rect_wkbs(x0, y0, x1, y1), clip_wkb)
         areas = np.zeros(len(batch), dtype=np.float64)
-        for k, w in enumerate(inter.to_pylist()):
-            if w is not None:
-                ix0, iy0, ix1, iy1 = from_wkb(w).bounds
-                areas[k] = (ix1 - ix0) * (iy1 - iy0)
+        blobs = inter.to_pylist()
+        idx = [k for k, w in enumerate(blobs) if w is not None]
+        if idx:
+            # outputs are 93-byte rect WKBs: extract bounds vectorized
+            data = np.frombuffer(
+                b"".join(blobs[k] for k in idx), np.uint8
+            ).reshape(-1, 93)
+            pts = data[:, 13:].copy().view("<f8").reshape(-1, 5, 2)
+            xs, ys = pts[:, :, 0], pts[:, :, 1]
+            areas[idx] = (xs.max(axis=1) - xs.min(axis=1)) * (
+                ys.max(axis=1) - ys.min(axis=1)
+            )
         return pa.table(
             {
                 "event_id": batch["event_id"],
