@@ -129,3 +129,30 @@ def test_read_fixed_width(ray_session, tmp_path):
     # blank-padded field → null
     assert df["tag"].tolist()[1] is None or df["tag"].isna().iloc[1]
     assert "name" in spec and "age" in spec
+
+
+def test_registry(ray_session, tmp_path):
+    """SPI-analog registries: built-ins resolve by name, user extensions
+    register without touching engine modules."""
+    import pyarrow as pa
+
+    from geomesa_ray import registry
+
+    avail = registry.available()
+    assert "avro" in avail["converters"] and "shapefile" in avail["exporters"]
+    # round-trip through registry-resolved converter/exporter
+    tbl = pa.table({"i": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "r.avro")
+    registry.exporter("avro")(tbl, p)
+    back = registry.converter("avro")(p).to_pandas()
+    assert sorted(back["i"]) == [1, 2, 3]
+    # user extension
+    @registry.register_converter("constant")
+    def _const(path):
+        import ray.data
+
+        return ray.data.from_items([{"x": 1}])
+
+    assert registry.converter("constant")("ignored").count() == 1
+    with pytest.raises(KeyError):
+        registry.converter("nope")
