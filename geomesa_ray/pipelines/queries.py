@@ -526,6 +526,136 @@ def q_merged_view_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_z2_encode(sf_dir: str) -> ray.data.Dataset:
+    """The core Z2 index encoder verified bit-for-bit against an
+    independent SQL implementation: normalize (floor((x-min)*bins/range),
+    clamped) + the magic-mask interleave chain, both mirrored op-for-op
+    (Z2.scala:43-78 / Z2SFC.scala:26-53 semantics)."""
+    from geomesa_ray.curves.sfc import Z2SFC
+
+    sfc = Z2SFC()
+    ds = events_points(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        z2 = sfc.index(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "z2": pa.array(np.asarray(z2, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _z2_encode_oracle_sql() -> str:
+    norm_lon = repr((1 << 31) / 360.0)
+    norm_lat = repr((1 << 31) / 180.0)
+    max_idx = (1 << 31) - 1
+
+    def split(col: str) -> list[str]:
+        # the zorder.py magic-mask chain, one CTE column per step
+        steps = [
+            (32, 0x00000000FFFFFFFF),
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+        exprs = [f"({col} & 2147483647)"]
+        for sh, mask in steps:
+            prev = exprs[-1]
+            exprs.append(f"(xor({prev}, ({prev} << {sh})) & {mask})")
+        return exprs[-1]
+
+    return f"""
+WITH {_DERIVE_SQL.strip()},
+n AS (
+  SELECT event_id,
+         LEAST(CAST(FLOOR((lon - (-180.0)) * {norm_lon}) AS BIGINT), {max_idx}) AS xn,
+         LEAST(CAST(FLOOR((lat - (-90.0)) * {norm_lat}) AS BIGINT), {max_idx}) AS yn
+  FROM derived
+)
+SELECT event_id, ({split('xn')} | ({split('yn')} << 1)) AS z2 FROM n
+"""
+
+
+def q_z3_encode(sf_dir: str) -> ray.data.Dataset:
+    """The Z3 spatio-temporal encoder (week binning + 21-bit 3-way
+    interleave) verified bit-for-bit against independent SQL
+    (Z3.scala:52-90 / Z3SFC.scala:37-99 / BinnedTime week semantics)."""
+    from geomesa_ray.curves.binnedtime import TimePeriod
+    from geomesa_ray.curves.sfc import Z3SFC
+    from geomesa_ray.functions.convert import to_epoch_millis
+
+    sfc = Z3SFC(period=TimePeriod.WEEK)
+    ds = events_points(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ms = to_epoch_millis(batch["ts"])
+        bins, z3 = sfc.index_from_millis(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+            ms,
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "z3_bin": pa.array(bins.astype(np.int64), pa.int64()),
+                "z3": pa.array(np.asarray(z3, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _z3_encode_oracle_sql() -> str:
+    week_s = 604_800
+    norm_lon = repr((1 << 21) / 360.0)
+    norm_lat = repr((1 << 21) / 180.0)
+    norm_t = repr((1 << 21) / float(week_s))
+    max_idx = (1 << 21) - 1
+
+    def split3(col: str) -> str:
+        # HUGEINT intermediates: numpy wraps the pre-mask shift overflow
+        # harmlessly, DuckDB BIGINT << traps — 128-bit width sidesteps it
+        steps = [
+            (32, 0x1F00000000FFFF),
+            (16, 0x1F0000FF0000FF),
+            (8, 0x100F00F00F00F00F),
+            (4, 0x10C30C30C30C30C3),
+            (2, 0x1249249249249249),
+        ]
+        expr = f"(CAST({col} AS HUGEINT) & {0x1FFFFF})"
+        for sh, mask in steps:
+            expr = f"(({expr} | ({expr} << {sh})) & CAST({mask} AS HUGEINT))"
+        return f"CAST({expr} AS BIGINT)"
+
+    return f"""
+WITH {_DERIVE_SQL.strip()},
+tb AS (
+  SELECT event_id, lon, lat,
+         (EPOCH_MS(ts) // 1000) // {week_s} AS z3_bin,
+         (EPOCH_MS(ts) // 1000) - ((EPOCH_MS(ts) // 1000) // {week_s}) * {week_s} AS toff
+  FROM derived
+),
+n AS (
+  SELECT event_id, z3_bin,
+         LEAST(CAST(FLOOR((lon - (-180.0)) * {norm_lon}) AS BIGINT), {max_idx}) AS xn,
+         LEAST(CAST(FLOOR((lat - (-90.0)) * {norm_lat}) AS BIGINT), {max_idx}) AS yn,
+         LEAST(CAST(FLOOR(CAST(toff AS DOUBLE) * {norm_t}) AS BIGINT), {max_idx}) AS tn
+  FROM tb
+)
+SELECT event_id, z3_bin,
+       ({split3('xn')} | ({split3('yn')} << 1) | ({split3('tn')} << 2)) AS z3
+FROM n
+"""
+
+
 def q_bin_roundtrip(sf_dir: str) -> pa.Table:
     """BIN format end-to-end (BinaryOutputEncoder 16-byte layout): derived
     events encoded to packed BIN blobs (FNV track hash) and decoded back;
@@ -1011,6 +1141,8 @@ QUERIES = {
     "merged_view_counts": q_merged_view_counts,
     "route_search": q_route_search,
     "bin_roundtrip": q_bin_roundtrip,
+    "z2_encode": q_z2_encode,
+    "z3_encode": q_z3_encode,
 }
 
 _DERIVE_SQL = """
@@ -1281,6 +1413,8 @@ ORACLE_SQL["langid"] = _langid_oracle_sql()
 
 ORACLE_SQL["route_search"] = _route_search_oracle_sql()
 ORACLE_SQL["bin_roundtrip"] = _bin_roundtrip_oracle_sql()
+ORACLE_SQL["z2_encode"] = _z2_encode_oracle_sql()
+ORACLE_SQL["z3_encode"] = _z3_encode_oracle_sql()
 
 ORACLE_SQL["filter_scan"] = f"""
 WITH {_DERIVE_SQL.strip()}
