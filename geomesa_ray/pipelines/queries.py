@@ -656,6 +656,36 @@ FROM n
 """
 
 
+def q_z3_histogram(sf_dir: str) -> pa.Table:
+    """Z3Histogram sketch (Z3Histogram.scala analog): counts per
+    (time bin, 12-bit z3 prefix) computed through the distributed sketch
+    machinery, hash-matched against the SQL z3 chain + prefix shift."""
+    from geomesa_ray.stages.stats import StatSpec, compute_stats
+
+    out = compute_stats(
+        q_z3_encode(sf_dir),
+        [StatSpec("h", "z3_histogram", ["z3_bin", "z3"], prefix_bits=12)],
+    )
+    counts = out["h"]
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "z3_bin": pa.array([k[0] for k in keys], pa.int64()),
+            "z3_prefix": pa.array([k[1] for k in keys], pa.int64()),
+            "n": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def _z3_histogram_oracle_sql() -> str:
+    inner = _z3_encode_oracle_sql().strip()
+    return f"""
+WITH enc AS ({inner})
+SELECT z3_bin, z3 >> 51 AS z3_prefix, COUNT(*) AS n
+FROM enc GROUP BY z3_bin, z3 >> 51
+"""
+
+
 def q_bin_roundtrip(sf_dir: str) -> pa.Table:
     """BIN format end-to-end (BinaryOutputEncoder 16-byte layout): derived
     events encoded to packed BIN blobs (FNV track hash) and decoded back;
@@ -1143,6 +1173,7 @@ QUERIES = {
     "bin_roundtrip": q_bin_roundtrip,
     "z2_encode": q_z2_encode,
     "z3_encode": q_z3_encode,
+    "z3_histogram": q_z3_histogram,
 }
 
 _DERIVE_SQL = """
@@ -1415,6 +1446,7 @@ ORACLE_SQL["route_search"] = _route_search_oracle_sql()
 ORACLE_SQL["bin_roundtrip"] = _bin_roundtrip_oracle_sql()
 ORACLE_SQL["z2_encode"] = _z2_encode_oracle_sql()
 ORACLE_SQL["z3_encode"] = _z3_encode_oracle_sql()
+ORACLE_SQL["z3_histogram"] = _z3_histogram_oracle_sql()
 
 ORACLE_SQL["filter_scan"] = f"""
 WITH {_DERIVE_SQL.strip()}
