@@ -254,18 +254,36 @@ def _in_ranges(codes: np.ndarray, los: np.ndarray, his: np.ndarray) -> np.ndarra
 
 def plan_xz_files(out_dir: str, bbox, interval=None, g: int = DEFAULT_G,
                   period: TimePeriod = TimePeriod.WEEK) -> list[str]:
-    """Prune the layout's files via the manifest stats and the XZ planner
-    (XZ2IndexKeySpace.getRanges analog)."""
+    """Prune the layout's files via the manifest stats and the XZ planners
+    (XZ2IndexKeySpace/XZ3IndexKeySpace.getRanges analog): xz2 covering
+    ranges for the bbox, the time-bin range, and — for files that hold a
+    SINGLE time bin — per-bin XZ3 covering ranges over (bbox × the
+    interval's offset window in that bin)."""
+    from geomesa_ray.curves.binnedtime import max_offset
+
     manifest = load_xz_manifest(out_dir)
     los = his = None
     if bbox is not None:
         los, his = _merge_ranges(XZ2SFC(g).ranges([tuple(bbox)]))
     bin_range = None
+    xz3_by_bin: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     if interval is not None:
-        bins, _ = bins_and_offsets(
+        bins, offs = bins_and_offsets(
             np.array([interval[0], interval[1]], dtype=np.int64), period
         )
         bin_range = (int(bins[0]), int(bins[1]))
+        if bbox is not None and bin_range[1] - bin_range[0] <= 64:
+            sfc3 = XZ3SFC(g, period)
+            mo = float(max_offset(period))
+            for b in range(bin_range[0], bin_range[1] + 1):
+                zlo = float(offs[0]) if b == bin_range[0] else 0.0
+                zhi = float(offs[1]) if b == bin_range[1] else mo
+                xz3_by_bin[b] = _merge_ranges(
+                    sfc3.ranges(
+                        [(bbox[0], bbox[1], zlo, bbox[2], bbox[3], zhi)],
+                        max_ranges=200,
+                    )
+                )
     keep = []
     for entry in manifest.values():
         for fs in entry.files:
@@ -277,6 +295,15 @@ def plan_xz_files(out_dir: str, bbox, interval=None, g: int = DEFAULT_G,
                 (los <= fs.xz2_max) & (his >= fs.xz2_min)
             ):
                 continue
+            # single-bin files additionally prune on xz3 covering ranges
+            if (
+                xz3_by_bin
+                and fs.xz3_bin_min == fs.xz3_bin_max
+                and fs.xz3_bin_min in xz3_by_bin
+            ):
+                l3, h3 = xz3_by_bin[fs.xz3_bin_min]
+                if len(l3) and not np.any((l3 <= fs.xz3_max) & (h3 >= fs.xz3_min)):
+                    continue
             keep.append(fs.path)
     return keep
 
