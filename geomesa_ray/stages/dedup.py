@@ -443,6 +443,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     concurrency: int = 4,
     broadcast_limit_bytes: int = 512 * 1024 * 1024,
+    broadcast_min_bytes: int = 64 * 1024 * 1024,
     max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
     stats: dict | None = None,
 ) -> ray.data.Dataset:
@@ -452,12 +453,20 @@ def minhash_lsh_pairs(
     (feed it to :func:`cluster_pairs_dataset` / :func:`dedup_keep`, or
     ``write_parquet`` it).
 
-    When the signature matrix fits ``broadcast_limit_bytes`` it is
-    broadcast once and the band shuffle carries ONLY (band, key, id) ints
-    (~16× less exchange volume); above the cap, signatures ride the
-    shuffle rows instead. Pass a dict as ``stats`` to receive
-    ``mega_buckets`` / ``mega_bucket_rows`` counts (oversized buckets use
-    the anchor-star pass — see module docstring)."""
+    Signature transport: when the matrix lands between
+    ``broadcast_min_bytes`` and ``broadcast_limit_bytes`` it is broadcast
+    once and the band shuffle carries ONLY (band, key, id) ints (~16× less
+    exchange volume). Below the floor the broadcast's extra
+    materialize-and-collect pass costs more than it saves, and above the
+    cap it doesn't fit — both carry signatures on the shuffle rows and the
+    whole pipeline stays a single streaming pass. Pass a dict as
+    ``stats`` to receive ``mega_buckets`` / ``mega_bucket_rows`` counts
+    (oversized buckets use the anchor-star pass — see module docstring)."""
+    n_docs = ds.count()  # parquet-metadata count for the usual read input
+    sig_bytes = n_docs * num_perm * 8
+    carry_signature = (
+        sig_bytes > broadcast_limit_bytes or sig_bytes < broadcast_min_bytes
+    )
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={
@@ -469,12 +478,10 @@ def minhash_lsh_pairs(
         },
         batch_format="pyarrow",
         concurrency=(1, concurrency),  # autoscale: a full-size pool can starve upstream reads
-    ).materialize()
-
-    n_docs = sigs.count()
+    )
     sig_ref = None
-    carry_signature = n_docs * num_perm * 8 > broadcast_limit_bytes
     if not carry_signature:
+        sigs = sigs.materialize()
         id_parts, sig_parts = [], []
         for b in sigs.select_columns([id_col, "signature"]).iter_batches(
             batch_format="pyarrow"
