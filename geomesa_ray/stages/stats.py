@@ -350,28 +350,51 @@ class _StatsPartial:
         return pa.table({"partial": pa.array([pickle.dumps(partial)], pa.binary())})
 
 
+def _merge_partial_into(merged: dict, p: dict) -> None:
+    for name, st in p.items():
+        if name not in merged:
+            merged[name] = st
+        elif isinstance(st, dict):  # group_by partial
+            for k, sub in st.items():
+                if k in merged[name]:
+                    merged[name][k].merge(sub)
+                else:
+                    merged[name][k] = sub
+        else:
+            merged[name].merge(st)
+
+
+def _merge_partial_rows(batch: pa.Table) -> pa.Table:
+    """Tree-reduce step: N pickled partial rows → one merged partial row."""
+    merged: dict[str, Any] = {}
+    for blob in batch["partial"].to_pylist():
+        _merge_partial_into(merged, pickle.loads(blob))
+    return pa.table({"partial": pa.array([pickle.dumps(merged)], pa.binary())})
+
+
 def compute_stats(ds: ray.data.Dataset, specs: list[StatSpec],
-                  batch_size: int = 100_000) -> dict[str, Any]:
-    """Distributed partial-sketch pass + driver-side merge (StatsScan shape)."""
+                  batch_size: int = 100_000, fanin: int = 64,
+                  max_driver_partials: int = 256) -> dict[str, Any]:
+    """Distributed partial-sketch pass (StatsScan shape) with a TREE of
+    merge tasks bounding the driver tail: each round merges up to
+    ``fanin`` pickled partials per task, and the driver only ever
+    deserializes ≤ ``max_driver_partials`` rows — at 10^7 input blocks a
+    flat take_all() would stream every sketch (CMS tables are ~64 KB each)
+    through one process."""
     partials = ds.map_batches(
         _StatsPartial(specs).__call__,
         batch_format="pyarrow",
         batch_size=batch_size,
-    ).take_all()  # one tiny row per block
+    ).materialize()
+    rounds = 0
+    while partials.count() > max_driver_partials and rounds < 10:
+        partials = partials.map_batches(
+            _merge_partial_rows, batch_format="pyarrow", batch_size=fanin
+        ).materialize()
+        rounds += 1
     merged: dict[str, Any] = {}
-    for row in partials:
-        p = pickle.loads(row["partial"])
-        for name, st in p.items():
-            if name not in merged:
-                merged[name] = st
-            elif isinstance(st, dict):  # group_by partial
-                for k, sub in st.items():
-                    if k in merged[name]:
-                        merged[name][k].merge(sub)
-                    else:
-                        merged[name][k] = sub
-            else:
-                merged[name].merge(st)
+    for row in partials.take_all():
+        _merge_partial_into(merged, pickle.loads(row["partial"]))
     out: dict[str, Any] = {}
     for name, st in merged.items():
         if isinstance(st, dict):

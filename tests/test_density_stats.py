@@ -303,3 +303,23 @@ def test_frequency_sketch_bounds():
     for v, c in truth.items():
         assert f1.estimate(v) >= c
     assert f1.estimate("never-seen") <= 60  # width 2048 vs 50 keys: tiny collisions
+
+
+def test_stats_tree_merge_bounded_driver(ray_session, geo_table):
+    """compute_stats with a tiny driver budget forces tree-merge rounds;
+    results must be identical to the flat merge."""
+    import ray.data
+
+    from geomesa_ray.stages.stats import StatSpec, compute_stats
+
+    ds = ray.data.from_arrow(geo_table).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=97
+    )
+    specs = [
+        StatSpec("n", "count", "lon"),
+        StatSpec("mm", "min_max", "lat"),
+        StatSpec("bylang", "count", "lon", group_by="lang"),
+    ]
+    flat = compute_stats(ds, specs, batch_size=97, max_driver_partials=10_000)
+    tree = compute_stats(ds, specs, batch_size=97, fanin=3, max_driver_partials=2)
+    assert flat == tree
