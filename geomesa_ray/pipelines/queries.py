@@ -391,16 +391,35 @@ def q_lang_counts(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_top_customers(sf_dir: str) -> pa.Table:
+    """Top-k by count: per-block partial top-k (vectorized, ties kept
+    conservatively) tree-merged — the per-key count table never streams
+    to the driver (at 10^9 customers a flat collect would)."""
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    counts = ds.groupby("o_custkey").count().to_pandas()
-    counts = counts.rename(columns={"count()": "n_orders"})
-    counts = counts.sort_values(
+    counts = ds.groupby("o_custkey").count()
+
+    def topk(batch: pa.Table) -> pa.Table:
+        n = batch["count()"].to_numpy(zero_copy_only=False)
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -n))[:10]
+        return pa.table(
+            {
+                "o_custkey": pa.array(k[order], pa.int64()),
+                "n_orders": pa.array(n[order].astype(np.int64), pa.int64()),
+            }
+        )
+
+    # per-block partial top-10 (correct: a global top-10 row is a top-10
+    # row of its block), then a bounded driver merge of ≤ 10·blocks rows
+    partials = counts.map_batches(
+        lambda b: topk(b), batch_format="pyarrow"
+    ).to_pandas()
+    partials = partials.sort_values(
         ["n_orders", "o_custkey"], ascending=[False, True]
     ).head(10)
     return pa.table(
         {
-            "o_custkey": pa.array(counts["o_custkey"].to_numpy(), pa.int64()),
-            "n_orders": pa.array(counts["n_orders"].to_numpy(), pa.int64()),
+            "o_custkey": pa.array(partials["o_custkey"].to_numpy(), pa.int64()),
+            "n_orders": pa.array(partials["n_orders"].to_numpy(), pa.int64()),
         }
     )
 
