@@ -545,6 +545,24 @@ def q_merged_view_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_reproject(sf_dir: str) -> ray.data.Dataset:
+    """Reproject stage (EPSG:4326 → 3857) through the pipeline wiring,
+    hash-matched on the bit-deterministic easting (R·radians(lon), pure
+    multiplication). The northing's tan/ln differ from DuckDB's libm in
+    the last ulp at 1e7-meter magnitudes — it is pinned by the 1e-9°
+    round-trip tests instead (per the oracle bit-determinism rule)."""
+    from geomesa_ray.geometry.reproject import Reproject
+
+    ds = events_points(sf_dir)
+    out = ds.map_batches(
+        Reproject("EPSG:4326", "EPSG:3857", out_x="mx", out_y="my").__call__,
+        batch_format="pyarrow",
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "mx"]), batch_format="pyarrow"
+    )
+
+
 def q_z2_encode(sf_dir: str) -> ray.data.Dataset:
     """The core Z2 index encoder verified bit-for-bit against an
     independent SQL implementation: normalize (floor((x-min)*bins/range),
@@ -1193,6 +1211,7 @@ QUERIES = {
     "z2_encode": q_z2_encode,
     "z3_encode": q_z3_encode,
     "z3_histogram": q_z3_histogram,
+    "reproject": q_reproject,
 }
 
 _DERIVE_SQL = """
@@ -1466,6 +1485,13 @@ ORACLE_SQL["bin_roundtrip"] = _bin_roundtrip_oracle_sql()
 ORACLE_SQL["z2_encode"] = _z2_encode_oracle_sql()
 ORACLE_SQL["z3_encode"] = _z3_encode_oracle_sql()
 ORACLE_SQL["z3_histogram"] = _z3_histogram_oracle_sql()
+
+# Web Mercator easting, op-for-op with geometry/reproject.py (the
+# northing's tan/ln are not bit-stable across libms — pytest covers it)
+ORACLE_SQL["reproject"] = f"""
+WITH {_DERIVE_SQL.strip()}
+SELECT event_id, 6378137.0 * RADIANS(lon) AS mx FROM derived
+"""
 
 ORACLE_SQL["filter_scan"] = f"""
 WITH {_DERIVE_SQL.strip()}
