@@ -119,6 +119,22 @@ XZ_BBOX = (-10.0, 30.0, 25.0, 55.0)
 CLIP_RECT = (-10.0, 30.0, 25.0, 55.0)
 
 
+XZ_TS = (1704672000000, 1705276800000)  # [Jan 8, Jan 15] ms, inclusive
+
+
+def q_xz_bbox_time_scan(sf_dir: str) -> pa.Table:
+    """Extent scan with BOTH dimensions: xz2 covering ranges + per-bin
+    XZ3 range pruning + exact envelope/interval residual."""
+    from geomesa_ray.pipelines.xzindex import xz_scan
+
+    layout = _xz_extents_layout(sf_dir)
+    out = xz_scan(
+        layout, bbox=XZ_BBOX, interval=XZ_TS, columns=["event_id"]
+    ).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return pa.table({"event_id": pa.array(out["event_id"].to_numpy(), pa.int64())})
+
+
 def q_clip_area(sf_dir: str) -> ray.data.Dataset:
     """Overlay intersection end-to-end: each event's derived extent
     rectangle is clipped by a fixed rectangle via st_intersection and the
@@ -1212,6 +1228,7 @@ QUERIES = {
     "z3_encode": q_z3_encode,
     "z3_histogram": q_z3_histogram,
     "reproject": q_reproject,
+    "xz_bbox_time_scan": q_xz_bbox_time_scan,
 }
 
 _DERIVE_SQL = """
@@ -1427,6 +1444,22 @@ ext AS (
 SELECT event_id FROM ext
 WHERE xmin <= {XZ_BBOX[2]} AND xmax >= {XZ_BBOX[0]}
   AND ymin <= {XZ_BBOX[3]} AND ymax >= {XZ_BBOX[1]}
+ORDER BY event_id
+""",
+    "xz_bbox_time_scan": f"""
+WITH {_DERIVE_SQL.strip()},
+ext AS (
+  SELECT event_id, ts,
+         GREATEST(lon - ((event_id * 131) % 200) / 100.0, -180.0) AS xmin,
+         GREATEST(lat - ((event_id * 173) % 100) / 100.0, -90.0)  AS ymin,
+         LEAST(lon + ((event_id * 131) % 200) / 100.0, 180.0)     AS xmax,
+         LEAST(lat + ((event_id * 173) % 100) / 100.0, 90.0)      AS ymax
+  FROM derived
+)
+SELECT event_id FROM ext
+WHERE xmin <= {XZ_BBOX[2]} AND xmax >= {XZ_BBOX[0]}
+  AND ymin <= {XZ_BBOX[3]} AND ymax >= {XZ_BBOX[1]}
+  AND EPOCH_MS(ts) >= {XZ_TS[0]} AND EPOCH_MS(ts) <= {XZ_TS[1]}
 ORDER BY event_id
 """,
     "langid": None,  # filled below (built from the stopword tables)
