@@ -7,7 +7,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 SURVEY.md §2 (plus the corpus operators); ``oracle_sql()`` gives the DuckDB
 equivalent where the operation is SQL-expressible with bit-deterministic
 results (integer counts, exact double arithmetic, deterministic tie-breaks).
-All 40 entries carry oracles: the near-dup/fingerprint kernels are built
+Every entry carries an oracle: the near-dup/fingerprint kernels are built
 from explicitly-specified integer arithmetic reproduced bit-for-bit in SQL
 (pipelines/oracles.py), the Z2/Z3 encoders and the Z3 histogram sketch are
 hash-matched against independent SQL magic-mask implementations, the BIN
