@@ -241,3 +241,35 @@ def test_bresenham_cells_properties(i0, j0, i1, j1):
     assert len(ii) == max(abs(i1 - i0), abs(j1 - j0)) + 1
     # 8-connected chain
     assert (np.abs(np.diff(ii)) <= 1).all() and (np.abs(np.diff(jj)) <= 1).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=20), st.integers(min_value=1, max_value=20),
+       st.sampled_from([1, 3, 4]), st.integers(min_value=0, max_value=2**32 - 1))
+def test_png_roundtrip_property(h, w, c, seed):
+    from geomesa_ray.sources.codecs import png_decode, png_encode
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(min_value=-180, max_value=180, allow_nan=False),
+                min_size=4, max_size=4))
+def test_batch_wkb_constructors_match_scalar(vals):
+    import pyarrow as pa
+
+    from geomesa_ray.geometry.base import LineString, Polygon
+    from geomesa_ray.geometry.wkb import rect_wkbs, segment_wkbs, to_wkb
+
+    x0, y0, x1, y1 = vals
+    seg = segment_wkbs(np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1]))
+    assert seg[0].as_py() == to_wkb(LineString([(x0, y0), (x1, y1)]))
+    xmin, xmax = min(x0, x1), max(x0, x1)
+    ymin, ymax = min(y0, y1), max(y0, y1)
+    if xmax == xmin or ymax == ymin:
+        return  # degenerate rects are outside rect_wkbs' contract
+    rect = rect_wkbs(np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax]))
+    assert rect[0].as_py() == to_wkb(
+        Polygon([(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)])
+    )
