@@ -74,10 +74,14 @@ def _xyz_to_face_uv(x, y, z):
 
 
 def _uv_to_st(u):
-    # S2's quadratic projection (S2Coords kQuadratic)
-    return np.where(
-        u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
-    )
+    # S2's quadratic projection (S2Coords kQuadratic); np.where evaluates
+    # both branches, so silence the out-of-domain sqrt on the unused side
+    with np.errstate(invalid="ignore"):
+        return np.where(
+            u >= 0,
+            0.5 * np.sqrt(1.0 + 3.0 * u),
+            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
+        )
 
 
 def _st_to_uv(s):

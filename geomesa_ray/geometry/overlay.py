@@ -19,8 +19,11 @@ Implementation (from-scratch, no JTS):
   of JTS buffer(0) repair (self-crossing rings are detected and reported,
   not rebuilt).
 
-Holes: the subject's holes are preserved when they fall entirely inside
-the result ring; partially-overlapping holes are a documented v1 gap.
+Holes: input holes (subject's, and for intersection also the clip's) are
+clipped against each result ring and re-attached, so partially
+overlapping holes subtract the correct area; a ring fully consumed by
+its holes is dropped. Difference by a holed subtrahend raises
+NotImplementedError (the hole regions would need to be added back).
 """
 
 from __future__ import annotations
@@ -328,6 +331,36 @@ def _gh_rings(subject: np.ndarray, clip: np.ndarray, op: str) -> list[np.ndarray
 
 
 
+def _attach_holes(rings: list[np.ndarray], holes) -> list[Polygon]:
+    """Re-attach input holes to GH result rings: each hole is clipped
+    against each result ring and attached where it overlaps; a ring whose
+    holes consume (essentially) all of its area is dropped."""
+    polys: list[Polygon] = []
+    for r in rings:
+        rp = Polygon(r)
+        r_area = abs(ring_area(r))
+        attached: list[np.ndarray] = []
+        for h in holes:
+            hc = _close(np.asarray(h, dtype=np.float64))
+            if len(hc) < 4:
+                continue
+            inter = polygon_intersection(Polygon(hc), rp)
+            if inter is None:
+                continue
+            parts = inter.parts if isinstance(inter, MultiPolygon) else [inter]
+            for p in parts:
+                if abs(ring_area(p.shell)) > _EPS:
+                    attached.append(p.shell)
+        if attached:
+            net = r_area - sum(abs(ring_area(h)) for h in attached)
+            if net <= _EPS:
+                continue  # holes cover the whole ring
+            polys.append(Polygon(r, holes=attached))
+        else:
+            polys.append(rp)
+    return polys
+
+
 def _jitter(ring: np.ndarray, mag: float = 1e-9) -> np.ndarray:
     """Deterministic tiny perturbation to break exact-degeneracy (shared
     vertices / collinear overlapping edges) before Greiner–Hormann."""
@@ -350,13 +383,15 @@ def polygon_intersection(a: Polygon, b: Polygon) -> Geometry | None:
         if x1 <= x0 or y1 <= y0:
             return None
         return _rect_from_bounds(x0, y0, x1, y1)
-    if not a.holes and is_convex(b.shell):
+    if not a.holes and not b.holes and is_convex(b.shell):
         out = sutherland_hodgman(a.shell, b.shell)
         if len(out) == 0:
             return None
         return Polygon(out)
     rings = _gh_rings(a.shell, _jitter(b.shell), "intersection")
-    polys = [Polygon(r) for r in rings]
+    # holes of EITHER input exclude area from a ∩ b — clip each against
+    # the result rings and re-attach
+    polys = _attach_holes(rings, list(a.holes) + list(b.holes))
     if not polys:
         return None
     return polys[0] if len(polys) == 1 else MultiPolygon(polys)
@@ -385,6 +420,13 @@ def polygon_difference(a: Polygon, b: Polygon) -> Geometry | None:
         if ix1 < ax1:
             parts.append(_rect_from_bounds(ix1, iy0, ax1, iy1))
         return parts[0] if len(parts) == 1 else MultiPolygon(parts)
+    if b.holes:
+        # a − b where b has holes must ADD BACK a ∩ hole(b) regions as
+        # separate result parts — out of v1 scope; fail loudly rather
+        # than return an area-deflated answer.
+        raise NotImplementedError(
+            "polygon_difference by a holed subtrahend is not supported in v1"
+        )
     rings = _gh_rings(a.shell, _jitter(b.shell), "difference")
     # b fully inside a (no boundary crossings) → a with b as a hole
     if rings and len(rings) == 1 and np.array_equal(rings[0], a.shell):
@@ -392,8 +434,8 @@ def polygon_difference(a: Polygon, b: Polygon) -> Geometry | None:
             np.array([b.shell[0, 0]]), np.array([b.shell[0, 1]]), a
         )[0])
         if c_in_s:
-            return Polygon(a.shell, holes=[b.shell])
-    polys = [Polygon(r) for r in rings]
+            return Polygon(a.shell, holes=[b.shell] + list(a.holes))
+    polys = _attach_holes(rings, list(a.holes))
     if not polys:
         return None
     return polys[0] if len(polys) == 1 else MultiPolygon(polys)

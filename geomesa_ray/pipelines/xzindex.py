@@ -315,6 +315,7 @@ def xz_scan(
     columns: list[str] | None = None,
     g: int = DEFAULT_G,
     period: TimePeriod = TimePeriod.WEEK,
+    ts_col: str = "ts",
 ) -> ray.data.Dataset:
     """Scan the XZ layout: planner ranges prune files, a vectorized
     range-membership pass drops non-candidate rows (the reference's index
@@ -327,7 +328,7 @@ def xz_scan(
     if read_cols is not None:
         need = {"xz2", "xmin", "ymin", "xmax", "ymax"}
         if interval is not None:
-            need.add("ts")
+            need.add(ts_col)
         read_cols = sorted(set(read_cols) | need)
     ds = ray.data.read_parquet(files, columns=read_cols)
     los = his = None
@@ -348,7 +349,7 @@ def xz_scan(
         if interval is not None:
             from geomesa_ray.functions.convert import to_epoch_millis
 
-            ms = to_epoch_millis(batch["ts"])
+            ms = to_epoch_millis(batch[ts_col])
             mask &= (ms >= interval[0]) & (ms <= interval[1])
         out = batch.filter(pa.array(mask))
         if columns is not None:

@@ -143,8 +143,8 @@ def _read_header(buf) -> tuple[dict, str, bytes]:
         n = _read_long(buf)
         if n == 0:
             break
-        if n < 0:  # block with byte-size prefix
-            buf.read(8)
+        if n < 0:  # Avro spec: negative count is followed by a varint
+            _read_long(buf)  # byte size of the block (unused here)
             n = -n
         for _ in range(n):
             k = _read_bytes(buf).decode()

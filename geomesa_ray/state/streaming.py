@@ -97,6 +97,11 @@ class StreamingUpsert:
         out_dir = self._view_dir(new_gen)
         tmp = tempfile.mkdtemp(dir=self.state_dir, prefix=".view-tmp-")
         merged.write_parquet(tmp)
+        # a pre-existing generation dir means a prior attempt died between
+        # publish and checkpoint — it is uncommitted, so discard it or the
+        # rename below raises ENOTEMPTY and wedges the consumer
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
         os.replace(tmp, out_dir)  # atomic publish of the new generation
         rows = ray.data.read_parquet(out_dir).count()
         new_ckpt = {

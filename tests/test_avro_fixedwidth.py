@@ -156,3 +156,34 @@ def test_registry(ray_session, tmp_path):
     assert registry.converter("constant")("ignored").count() == 1
     with pytest.raises(KeyError):
         registry.converter("nope")
+
+
+def test_avro_negative_metadata_block_count_with_size():
+    # Avro spec: a negative map/array block count is followed by a varint
+    # byte size; other writers emit this form and it must parse.
+    import io as _io
+    import json as _json
+
+    from geomesa_ray.sources import avro as _avro
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    meta_items = [(b"avro.schema", _json.dumps(schema).encode()),
+                  (b"avro.codec", b"null")]
+    body = _io.BytesIO()
+    for k, v in meta_items:
+        _avro._write_long(body, len(k)); body.write(k)
+        _avro._write_long(body, len(v)); body.write(v)
+    payload = body.getvalue()
+
+    buf = _io.BytesIO()
+    buf.write(_avro.MAGIC)
+    _avro._write_long(buf, -len(meta_items))   # negative count form
+    _avro._write_long(buf, len(payload))       # varint byte size
+    buf.write(payload)
+    _avro._write_long(buf, 0)                  # end of map
+    sync = bytes(range(16))
+    buf.write(sync)
+    buf.seek(0)
+    got_schema, codec, got_sync = _avro._read_header(buf)
+    assert got_schema == schema and codec == "null" and got_sync == sync

@@ -129,3 +129,53 @@ def test_convexity_helper():
     assert is_convex(RECT_A.shell)
     assert is_convex(TRI_A.shell)
     assert not is_convex(CONCAVE.shell)
+
+
+def test_holed_subject_intersection_keeps_hole():
+    # 10x10 subject with a 2x2 hole clipped by a 6x6 rect: area must be 32
+    subj = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                   holes=[[(4, 4), (4, 6), (6, 6), (6, 4)]])
+    clip = Polygon([(0, 0), (6, 0), (6, 6), (0, 6)])
+    r = polygon_intersection(subj, clip)
+    assert r is not None and abs(area(r) - 32.0) < 1e-6
+
+
+def test_partially_overlapping_hole_clipped():
+    subj = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                   holes=[[(5, 5), (5, 7), (7, 7), (7, 5)]])
+    clip = Polygon([(0, 0), (6, 0), (6, 6), (0, 6)])
+    r = polygon_intersection(subj, clip)
+    assert r is not None and abs(area(r) - 35.0) < 1e-6  # 36 - 1 overlap
+
+
+def test_holed_clip_intersection():
+    clip = Polygon([(0, 0), (6, 0), (6, 6), (0, 6)],
+                   holes=[[(1, 1), (1, 2), (2, 2), (2, 1)]])
+    subj = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    r = polygon_intersection(subj, clip)
+    assert r is not None and abs(area(r) - 35.0) < 1e-6
+
+
+def test_difference_preserves_subject_holes():
+    subj = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                   holes=[[(4, 4), (4, 6), (6, 6), (6, 4)]])
+    cut = Polygon([(8, 8), (12, 8), (12, 12), (8, 12)])
+    d = polygon_difference(subj, cut)
+    assert d is not None and abs(area(d) - 92.0) < 1e-6  # 100 - 4 - 4
+
+
+def test_holed_subtrahend_raises():
+    subj = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    holed = Polygon([(2, 2), (8, 2), (8, 8), (2, 8)],
+                    holes=[[(4, 4), (4, 5), (5, 5), (5, 4)]])
+    with pytest.raises(NotImplementedError):
+        polygon_difference(subj, holed)
+
+
+def test_hole_consuming_result_ring_drops_it():
+    # hole covers the whole clipped region -> empty result
+    subj = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                   holes=[[(0.0, 0.0), (0.0, 3.0), (3.0, 3.0), (3.0, 0.0)]])
+    clip = Polygon([(0.5, 0.5), (2.5, 0.5), (2.5, 2.5), (0.5, 2.5)])
+    r = polygon_intersection(subj, clip)
+    assert r is None or area(r) < 1e-6

@@ -98,3 +98,21 @@ def test_many_ids_vectorized_reduction(ray_session, dirs):
     assert r["view_rows"] == len(expect)
     got = c.view().to_pandas().set_index("fid")["event_ts"].sort_index()
     assert (got == expect.sort_index()).all()
+
+
+def test_orphan_generation_dir_recovers(ray_session, dirs):
+    # Process dies between the view publish and the checkpoint write: the
+    # next poll recomputes the same generation and must clobber the orphan
+    # dir instead of wedging on ENOTEMPTY.
+    src, state = dirs
+    c = StreamingUpsert(src, state)
+    _segment(os.path.join(src, "seg-000.parquet"), [1, 2], [10, 10], [1.0, 2.0])
+    c.poll()
+    orphan = c._view_dir(c._ckpt["generation"] + 1)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "stale.parquet"), "wb") as f:
+        f.write(b"junk")
+    _segment(os.path.join(src, "seg-001.parquet"), [3], [20], [3.0])
+    r = c.poll()
+    assert r["segments"] == 1 and r["view_rows"] == 3
+    assert sorted(c.view().to_pandas()["fid"]) == [1, 2, 3]

@@ -136,3 +136,26 @@ def test_encode_xz_clamps_out_of_bounds(ray_session):
     )
     out = enc(t)
     assert out["xz2"].to_numpy().min() >= 0  # lenient clamp, no raise
+
+
+def test_xz_scan_custom_ts_col(ray_session, tmp_path):
+    # a layout ingested with a non-default timestamp column must scan with
+    # ts_col= instead of raising KeyError on the literal "ts"
+    tbl = _extents_table(n=800, seed=11).rename_columns(
+        ["ext_id", "xmin", "ymin", "xmax", "ymax", "when_ts"]
+    )
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    pq.write_table(tbl, str(raw / "part-0.parquet"))
+    out = str(tmp_path / "idx")
+    ingest_extents(str(raw), out, ts_col="when_ts", n_groups=1,
+                   target_rows_per_file=400)
+    bbox = (-60.0, -30.0, 60.0, 30.0)
+    interval = (1704672000000, 1705276800000)
+    got = sorted(
+        xz_scan(out, bbox=bbox, interval=interval, columns=["ext_id"],
+                ts_col="when_ts").to_pandas()["ext_id"]
+    )
+    oracle = _oracle_hits(tbl.rename_columns(
+        ["ext_id", "xmin", "ymin", "xmax", "ymax", "ts"]), bbox, interval)
+    assert got == oracle
