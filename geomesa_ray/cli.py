@@ -76,7 +76,13 @@ def cmd_join(args) -> dict:
     from geomesa_ray.stages.join import pip_join_broadcast, pip_join_shuffle
 
     files = sorted(glob.glob(os.path.join(args.index, "group=*", "*.parquet")))
-    points = ray.data.read_parquet(files)
+    # prune the layout-internal index key columns at the read — the join
+    # re-derives its own shuffle cell; only data columns ride the shuffle
+    internal = {"z2", "z3", "z3_bin", "bin", "cell", "shard"}
+    names = pq.read_schema(files[0]).names
+    points = ray.data.read_parquet(
+        files, columns=[n for n in names if n not in internal]
+    )
     polygons = pq.read_table(args.polygons)
     if args.strategy == "broadcast":
         out = pip_join_broadcast(points, polygons, predicate=args.predicate)

@@ -153,7 +153,17 @@ def scan_decided(
     flt = None
     if est.strategy == "attribute" and attr_col is not None:
         flt = pads.field(attr_col) == attr_value
-    ds = ray.data.read_parquet(files, filter=flt)
+    # prune at the read: the query's projection plus what the residual
+    # filters need (mirrors scan()'s columns= pushdown)
+    read_cols = None
+    if query is not None and query.columns is not None:
+        need = set(query.columns)
+        if attr_col is not None:
+            need.add(attr_col)
+        if query.effective_bbox() is not None:
+            need.update(("lon", "lat"))
+        read_cols = sorted(need)
+    ds = ray.data.read_parquet(files, columns=read_cols, filter=flt)
     if query is not None:
         from geomesa_ray.pipelines.filters import BBox, evaluate
 

@@ -41,6 +41,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from geomesa_ray.stages.encode import hash_strings
+from geomesa_ray.stages.shards import default_shards
 
 _MERSENNE = (1 << 61) - 1
 _FNV_OFFSET = np.uint64(14695981039346656037)
@@ -446,6 +447,7 @@ def minhash_lsh_pairs(
     broadcast_min_bytes: int = 64 * 1024 * 1024,
     max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
     stats: dict | None = None,
+    n_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash-LSH, verified by signature Jaccard
     ≥ ``threshold``. Returns a DATASET of (left_id, right_id, est_jaccard)
@@ -496,7 +498,8 @@ def minhash_lsh_pairs(
         order = np.argsort(all_ids)
         sig_ref = ray.put((all_ids[order], np.ascontiguousarray(mat[order])))
 
-    n_shards = 64
+    if n_shards is None:
+        n_shards = default_shards()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         """(id, band_0..band_{B-1}, sig) → (shard, band, key, id[, sig])
@@ -907,7 +910,8 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   concurrency: int = 4,
                   max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
-                  stats: dict | None = None) -> ray.data.Dataset:
+                  stats: dict | None = None,
+                  n_shards: int | None = None) -> ray.data.Dataset:
     """Near-dup pairs with Hamming(simhash) ≤ k, bucketed by 16-bit bands
     (any pair within Hamming 3 shares at least one of 4 bands exactly).
     Returns a Dataset of (left_id, right_id, hamming) sorted by pair —
@@ -919,7 +923,8 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
         concurrency=(1, concurrency),  # autoscale: a full-size pool can starve upstream reads
     )
 
-    n_shards = 64
+    if n_shards is None:
+        n_shards = default_shards()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         n = len(batch)

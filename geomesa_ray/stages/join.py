@@ -37,6 +37,7 @@ import ray
 import ray.data
 
 from geomesa_ray.geometry.index import GridIndex
+from geomesa_ray.stages.shards import default_shards
 from geomesa_ray.geometry.predicates import points_in_polygon
 from geomesa_ray.geometry.wkb import from_wkb
 from geomesa_ray.stages.encode import (
@@ -466,6 +467,7 @@ def pip_join_shuffle(
     id_col: str = "poly_id",
     wkb_col: str = "geom_wkb",
     point_cols: list[str] | None = None,
+    n_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Shuffle PIP join keyed by quadtree cell, with hot-cell salting.
 
@@ -575,7 +577,8 @@ def pip_join_shuffle(
     poly_cells = poly_cells.map_batches(_align, batch_format="pyarrow")
     both = pts.union(poly_cells)
 
-    n_shards = 64
+    if n_shards is None:
+        n_shards = default_shards()
 
     def _add_shard(batch: pa.Table) -> pa.Table:
         cells = batch["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
+from geomesa_ray.stages.shards import default_shards
 
 
 def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -180,6 +181,7 @@ def lsh_cosine_pairs(
     dim: int | None = None,
     max_bucket_rows: int = 10_000,
     stats: dict | None = None,
+    n_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Embedding near-dup pairs: random-hyperplane bucket + exact cosine
     verify inside each bucket. Returns a DATASET of (left_id, right_id,
@@ -194,7 +196,8 @@ def lsh_cosine_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
 
-    n_shards = 64
+    if n_shards is None:
+        n_shards = default_shards()
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch, emb_col))

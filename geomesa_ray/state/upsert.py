@@ -57,7 +57,7 @@ def latest_view(
     id_col: str = "fid",
     time_col: str = "event_ts",
     seq_col: str | None = None,
-    n_shards: int = 64,
+    n_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Reduce an update stream to the latest record per id (ordered=true
     semantics: an older event time never replaces a newer one).
@@ -66,6 +66,10 @@ def latest_view(
     reduces ALL of its ids in one vectorized pass — O(n_shards) group
     calls, never one per distinct id."""
     from geomesa_ray.stages.encode import hash_strings
+    from geomesa_ray.stages.shards import default_shards
+
+    if n_shards is None:
+        n_shards = default_shards()
 
     def add_shard(batch: pa.Table) -> pa.Table:
         col = batch[id_col]

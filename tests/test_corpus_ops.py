@@ -442,3 +442,26 @@ def test_multimodal_pipeline(ray_session):
     assert a1.shape == (20, 10) and np.array_equal(a1, a2)
     with pytest.raises(Exception):  # non-WAV bytes fail in the codec
         DecodeAudio(mode="real")(media.select(["payload"]))
+
+
+def test_pair_sets_invariant_under_shard_count(ray_session, documents):
+    """n_shards only routes reduce work — the pair set must be identical
+    at 4 and 256 shards (and default_shards must scale with CPUs)."""
+    import ray.data
+    from geomesa_ray.stages.dedup import minhash_lsh_pairs, simhash_pairs
+    from geomesa_ray.stages.shards import default_shards
+
+    corpus = _near_dup_corpus(documents)
+    ds = ray.data.from_arrow(corpus)
+
+    def pairset(result):
+        t = pa.Table.from_pandas(result.to_pandas(), preserve_index=False)
+        return set(zip(t["left_id"].to_pylist(), t["right_id"].to_pylist()))
+
+    mh = [pairset(minhash_lsh_pairs(ds, threshold=0.5, n_shards=n))
+          for n in (4, 256)]
+    assert mh[0] == mh[1] and len(mh[0]) > 0
+    sh = [pairset(simhash_pairs(ds, n_shards=n)) for n in (4, 256)]
+    assert sh[0] == sh[1]
+    assert default_shards(mult=4, floor=1, cap=10_000) >= 4
+    assert default_shards() <= 4096
