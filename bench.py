@@ -28,6 +28,7 @@ HEADLINE = [
     # (name, callable-name in geomesa_ray.pipelines.queries)
     "pip_join",
     "pip_join_shuffle",
+    "pip_join_sharded",
     "tile_agg",
     "tile_agg_lines",
     "bbox_scan",

@@ -161,3 +161,91 @@ def rect_wkbs(xmin, ymin, xmax, ymax):
     return pa.Array.from_buffers(
         pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
     )
+
+
+# ---------------------------------------------------------------------------
+# batch parse (zero-copy over an Arrow binary column)
+# ---------------------------------------------------------------------------
+
+def _wkb_views(arr):
+    """Per-row memoryviews over an Arrow binary column's single data
+    buffer — no per-row ``bytes`` copies (``to_pylist`` would copy every
+    blob). Accepts Array or ChunkedArray."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        chunks = arr.chunks
+    else:
+        chunks = [arr]
+    for chunk in chunks:
+        if chunk.null_count:
+            raise ValueError("null geometry in WKB column")
+        if isinstance(chunk, pa.LargeBinaryArray):
+            off_dtype = np.int64
+        else:
+            off_dtype = np.int32
+        bufs = chunk.buffers()
+        offsets = np.frombuffer(
+            bufs[1], dtype=off_dtype,
+            count=len(chunk) + 1, offset=chunk.offset * np.dtype(off_dtype).itemsize,
+        )
+        data = memoryview(bufs[2])
+        for i in range(len(chunk)):
+            yield data[offsets[i]:offsets[i + 1]]
+
+
+def parse_wkbs(arr) -> list[Geometry]:
+    """Parse a whole Arrow binary column of WKB blobs; each ring lands as
+    one ``np.frombuffer`` slice of the shared buffer (copied once into the
+    geometry), with no intermediate Python ``bytes`` objects."""
+    return [_read(mv, 0)[0] for mv in _wkb_views(arr)]
+
+
+def wkb_envelopes(arr) -> np.ndarray:
+    """(n, 4) [xmin, ymin, xmax, ymax] envelopes of a WKB binary column
+    WITHOUT building geometry objects: for (Multi)Polygon only shell rings
+    are scanned (holes cannot extend the envelope); Point/LineString read
+    their coords directly. Falls back to a full parse for other types."""
+    def env_into(mv, pos, out, depth=0):
+        endian = "<" if mv[pos] == 1 else ">"
+        pos += 1
+        (code,) = struct.unpack_from(endian + "I", mv, pos)
+        pos += 4
+        code = code & 0xFF
+        if code == _POINT:
+            x, y = struct.unpack_from(endian + "2d", mv, pos)
+            out[0] = min(out[0], x); out[1] = min(out[1], y)
+            out[2] = max(out[2], x); out[3] = max(out[3], y)
+            return pos + 16
+        if code in (_LINESTRING, _POLYGON):
+            nrings = 1
+            if code == _POLYGON:
+                (nrings,) = struct.unpack_from(endian + "I", mv, pos)
+                pos += 4
+            for r in range(nrings):
+                (npt,) = struct.unpack_from(endian + "I", mv, pos)
+                pos += 4
+                if r == 0 and npt:  # shell bounds dominate hole bounds
+                    c = np.frombuffer(mv, dtype=endian + "f8", count=2 * npt,
+                                      offset=pos).reshape(npt, 2)
+                    out[0] = min(out[0], c[:, 0].min())
+                    out[1] = min(out[1], c[:, 1].min())
+                    out[2] = max(out[2], c[:, 0].max())
+                    out[3] = max(out[3], c[:, 1].max())
+                pos += 16 * npt
+            return pos
+        if code in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION):
+            (n,) = struct.unpack_from(endian + "I", mv, pos)
+            pos += 4
+            for _ in range(n):
+                pos = env_into(mv, pos, out, depth + 1)
+            return pos
+        raise ValueError(f"unsupported WKB geometry code: {code}")
+
+    views = list(_wkb_views(arr))
+    out = np.empty((len(views), 4), dtype=np.float64)
+    for i, mv in enumerate(views):
+        acc = [np.inf, np.inf, -np.inf, -np.inf]
+        env_into(mv, 0, acc)
+        out[i] = acc
+    return out

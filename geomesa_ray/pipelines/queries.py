@@ -293,6 +293,25 @@ def q_pip_join_shuffle(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_pip_join_sharded(sf_dir: str) -> ray.data.Dataset:
+    """The both-sides-large transport: polygon WKB rides the shuffle
+    (broadcast cap forced to 0), pairs identical to pip_join_shuffle."""
+    pts = events_points(sf_dir).map_batches(
+        lambda b: b.append_column(
+            "url", b["event_id"].cast(pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    out = pip_join_shuffle(
+        pts, ray.data.from_arrow(polygons_table()), predicate="intersects",
+        hot_threshold=5000, n_salt=4, point_cols=["event_id"],
+        broadcast_limit_bytes=0,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "poly_id"]), batch_format="pyarrow"
+    )
+
+
 def q_tile_agg(sf_dir: str) -> ray.data.Dataset:
     """256×256 world density (reference default grid), weight = row count."""
     tiles = density(
@@ -1195,6 +1214,7 @@ QUERIES = {
     "attr_filter": q_attr_filter,
     "pip_join": q_pip_join,
     "pip_join_shuffle": q_pip_join_shuffle,
+    "pip_join_sharded": q_pip_join_sharded,
     "tile_agg": q_tile_agg,
     "knn": q_knn,
     "knn_indexed": q_knn_indexed,
@@ -1290,6 +1310,7 @@ SELECT event_id, value FROM events WHERE event_type = 'click' AND value > 10.0
 """,
     "pip_join": _PIP_SQL,
     "pip_join_shuffle": _PIP_SQL,
+    "pip_join_sharded": _PIP_SQL,
     "tile_agg": f"""
 WITH {_DERIVE_SQL.strip()}
 SELECT CAST(LEAST(FLOOR((lon - (-180.0)) / 1.40625), 255) AS BIGINT) AS tile_x,

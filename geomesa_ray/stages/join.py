@@ -39,7 +39,7 @@ import ray.data
 from geomesa_ray.geometry.index import GridIndex
 from geomesa_ray.stages.shards import default_shards
 from geomesa_ray.geometry.predicates import points_in_polygon
-from geomesa_ray.geometry.wkb import from_wkb
+from geomesa_ray.geometry.wkb import from_wkb, parse_wkbs, wkb_envelopes
 from geomesa_ray.stages.encode import (
     DEFAULT_CELL_RES,
     cell_of_z2,
@@ -58,10 +58,10 @@ class PolygonSet:
     def __init__(self, table: pa.Table, id_col: str = "poly_id", wkb_col: str = "geom_wkb"):
         self.id_col = id_col
         self.ids = table[id_col].combine_chunks()
-        self.geoms = [from_wkb(b) for b in table[wkb_col].to_pylist()]
-        self.bounds = np.array(
-            [g.bounds for g in self.geoms], dtype=np.float64
-        ).reshape(-1, 4)
+        # batch parse: per-ring buffer slices over the Arrow column, no
+        # per-row bytes copies or per-coordinate Python
+        self.geoms = parse_wkbs(table[wkb_col])
+        self.bounds = wkb_envelopes(table[wkb_col]).reshape(-1, 4)
         self.grid = GridIndex(self.bounds)
         # carry-through attribute columns (everything except the wkb payload)
         self.attrs = table.drop_columns([wkb_col])
@@ -234,12 +234,13 @@ class _CoverPolygons:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cells_out, salt_out, idx_out = [], [], []
         base = batch["__poly_idx__"].to_numpy()
-        wkbs = batch["geom_wkb"].to_pylist()
-        for i, blob in enumerate(wkbs):
-            g = from_wkb(blob)
-            if covering_cell_count(np.array([g.bounds]), self.cell_res)[0] > self.max_cover:
+        # envelopes only — covering needs bounds, never the full geometry
+        envs = wkb_envelopes(batch["geom_wkb"])
+        covers = covering_cell_count(envs, self.cell_res)
+        for i in range(len(batch)):
+            if covers[i] > self.max_cover:
                 continue  # overflow polygon: handled by broadcast path
-            cells, _res = cells_for_box(*g.bounds, cell_res=self.cell_res,
+            cells, _res = cells_for_box(*envs[i], cell_res=self.cell_res,
                                         max_cells=self.max_cover)
             for c in cells.tolist():
                 k = self.n_salt if c in self.hot else 1
@@ -456,9 +457,18 @@ def choose_join_cell_res(bounds: np.ndarray, target_cells: float = 4.0,
     return max(0, min(res, max_res))
 
 
+def _polygons_to_table(ds: ray.data.Dataset) -> pa.Table:
+    """Collect a (small, under-the-broadcast-cap) polygon Dataset to one
+    driver table."""
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return ds.schema().base_schema.empty_table()
+    return pa.concat_tables(tbls).combine_chunks()
+
+
 def pip_join_shuffle(
     points: ray.data.Dataset,
-    polygons: pa.Table,
+    polygons: "pa.Table | ray.data.Dataset",
     predicate: str = "intersects",
     cell_res: int | None = None,
     n_salt: int = 8,
@@ -468,6 +478,8 @@ def pip_join_shuffle(
     wkb_col: str = "geom_wkb",
     point_cols: list[str] | None = None,
     n_shards: int | None = None,
+    broadcast_limit_bytes: int = 256 * 1024 * 1024,
+    stats: dict | None = None,
 ) -> ray.data.Dataset:
     """Shuffle PIP join keyed by quadtree cell, with hot-cell salting.
 
@@ -475,10 +487,20 @@ def pip_join_shuffle(
     chosen from the polygon size distribution when ``cell_res`` is None
     (coarse cells for big polygons keep replication AND group counts
     bounded); pass an explicit ``cell_res`` to reuse a precomputed ``cell``
-    column from EncodeKeys. Polygon geometries are broadcast (``ray.put``)
+    column from EncodeKeys. Each (point, polygon) output pair is emitted
+    exactly once (see module doc).
+
+    **Polygon transport** (reference analog: RelationUtils.scala:30-54
+    partitions BOTH RDDs): a polygon side at most ``broadcast_limit_bytes``
+    is packed into a :class:`PolygonSet` and broadcast once (``ray.put``),
     so the shuffle moves only (cell, salt, role, poly_idx) int rows for
-    the polygon side; each (point, polygon) output pair is emitted exactly
-    once (see module doc).
+    the polygon side. Above the cap — or whenever a Dataset's size can't
+    be established — the polygon payload RIDES THE SHUFFLE instead: each
+    covering-cell replica row carries the WKB + attribute columns, every
+    shard batch-parses its own replicas (zero-copy Arrow buffer slices),
+    and the driver never materializes or parses the polygon side at all.
+    Pass a ``stats`` dict to observe the decision
+    (``stats['polygon_transport']`` = ``'broadcast'`` | ``'sharded'``).
 
     ``point_cols`` projects the point side BEFORE the shuffle (prune-early:
     the all-to-all exchange then moves only the requested columns plus
@@ -487,6 +509,42 @@ def pip_join_shuffle(
     """
     if predicate not in PREDICATES:
         raise ValueError(f"predicate must be one of {PREDICATES}, got {predicate!r}")
+    if isinstance(polygons, ray.data.Dataset):
+        try:
+            size = polygons.size_bytes()
+        except Exception:
+            size = None
+        if size is not None and size <= broadcast_limit_bytes:
+            polygons = _polygons_to_table(polygons)
+    elif polygons.nbytes > broadcast_limit_bytes:
+        polygons = ray.data.from_arrow(polygons)
+    sharded = isinstance(polygons, ray.data.Dataset)
+    if stats is not None:
+        stats["polygon_transport"] = "sharded" if sharded else "broadcast"
+    common = dict(
+        predicate=predicate, cell_res=cell_res, n_salt=n_salt,
+        hot_threshold=hot_threshold, max_cover=max_cover, id_col=id_col,
+        wkb_col=wkb_col, point_cols=point_cols, n_shards=n_shards,
+    )
+    if sharded:
+        return _pip_join_shuffle_sharded(points, polygons, **common)
+    return _pip_join_shuffle_broadcast(points, polygons, **common)
+
+
+def _pip_join_shuffle_broadcast(
+    points: ray.data.Dataset,
+    polygons: pa.Table,
+    predicate: str,
+    cell_res: int | None,
+    n_salt: int,
+    hot_threshold: int,
+    max_cover: int,
+    id_col: str,
+    wkb_col: str,
+    point_cols: list[str] | None,
+    n_shards: int | None,
+) -> ray.data.Dataset:
+    """Broadcast-polygon arm: shuffle rows carry 4 ints per polygon copy."""
     polygons = polygons.append_column(
         "__poly_idx__", pa.array(np.arange(len(polygons)), pa.int64())
     )
@@ -600,3 +658,257 @@ def pip_join_shuffle(
         fn_kwargs={"polys_ref": polys_ref, "predicate": predicate, "overflow": overflow},
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# sharded polygon transport (both sides large)
+# ---------------------------------------------------------------------------
+
+_ROLE_POLY_ALL = 2  # overflow polygon replica addressed to one explicit shard
+
+
+def _pip_join_shuffle_sharded(
+    points: ray.data.Dataset,
+    polygons: ray.data.Dataset,
+    predicate: str,
+    cell_res: int | None,
+    n_salt: int,
+    hot_threshold: int,
+    max_cover: int,
+    id_col: str,
+    wkb_col: str,
+    point_cols: list[str] | None,
+    n_shards: int | None,
+) -> ray.data.Dataset:
+    """Dataset-native polygon arm: WKB + attributes ride the shuffle rows.
+
+    Each covering-cell replica carries its full polygon payload; shards
+    batch-parse their own replicas (``parse_wkbs``: zero-copy Arrow buffer
+    slices). Replica parse is per-copy (typ. ~4 cells/polygon) — the price
+    of never holding the polygon side on the driver or in one broadcast
+    object. Oversized polygons (covering > ``max_cover`` cells) are
+    addressed to EVERY shard exactly once via an explicit shard override
+    and probed against the whole shard, preserving the exactly-once pair
+    contract (a point lives in exactly one (cell, salt) group = one shard).
+    """
+    if n_shards is None:
+        n_shards = default_shards()
+    reuse_cell = cell_res is not None
+    if cell_res is None:
+        # bounded sample of polygon envelopes picks the cell resolution
+        env_parts = [
+            wkb_envelopes(b[wkb_col])
+            for b in polygons.limit(50_000).select_columns([wkb_col]).iter_batches(
+                batch_format="pyarrow"
+            )
+            if len(b)
+        ]
+        benv = np.concatenate(env_parts) if env_parts else np.empty((0, 4))
+        cell_res = choose_join_cell_res(benv)
+
+    def _ensure_cell(batch: pa.Table) -> pa.Table:
+        if reuse_cell and "cell" in batch.schema.names:
+            return batch
+        if "z2" in batch.schema.names:
+            z2 = batch["z2"].to_numpy(zero_copy_only=False)
+        else:
+            from geomesa_ray.curves.sfc import Z2SFC
+
+            z2 = Z2SFC().index(
+                batch["lon"].to_numpy(zero_copy_only=False),
+                batch["lat"].to_numpy(zero_copy_only=False),
+                lenient=True,
+            )
+        cells = pa.array(cell_of_z2(z2, cell_res), pa.int64())
+        if "cell" in batch.schema.names:
+            return batch.set_column(batch.schema.get_field_index("cell"), "cell", cells)
+        return batch.append_column("cell", cells)
+
+    if point_cols is not None:
+        needed = list(dict.fromkeys(point_cols + ["lon", "lat", "url"]))
+
+        def _project(batch: pa.Table) -> pa.Table:
+            keep = [c for c in needed + ["cell", "z2"] if c in batch.schema.names]
+            return batch.select(keep)
+
+        points = points.map_batches(_project, batch_format="pyarrow")
+    points = points.map_batches(_ensure_cell, batch_format="pyarrow")
+    hot = {
+        c: n for c, n in hot_cell_histogram(points).items() if n >= hot_threshold
+    }
+    hot_ref = ray.put(set(hot))
+
+    def _key_points(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        hotset = _resolve_broadcast(hot_ref)
+        if hotset:
+            salt = (hash_strings(batch["url"]) % np.uint64(n_salt)).astype(np.int8)
+            is_hot = np.isin(cells, np.fromiter(hotset, dtype=np.int64))
+            salt = np.where(is_hot, salt, np.int8(0))
+        else:
+            salt = np.zeros(n, dtype=np.int8)
+        return (
+            batch.append_column("salt", pa.array(salt, pa.int8()))
+            .append_column("role", pa.array(np.full(n, _ROLE_POINT), pa.int8()))
+            .append_column("__ovr__", pa.array(np.full(n, -1, np.int32), pa.int32()))
+        )
+
+    pts = points.map_batches(_key_points, batch_format="pyarrow")
+    pt_schema = pts.schema().base_schema
+
+    poly_schema = polygons.schema().base_schema
+    attr_names = [n for n in poly_schema.names if n != wkb_col]
+    payload_names = list(poly_schema.names)
+    combined = pa.schema(
+        list(pt_schema)
+        + [pa.field(f"__p_{n}", poly_schema.field(n).type) for n in payload_names]
+    )
+
+    def _pts_align(batch: pa.Table) -> pa.Table:
+        arrays = [batch[f.name] if f.name in batch.schema.names
+                  else pa.nulls(len(batch), f.type) for f in combined]
+        return pa.Table.from_arrays(arrays, schema=combined)
+
+    def _cover_payload(batch: pa.Table) -> pa.Table:
+        envs = wkb_envelopes(batch[wkb_col])
+        covers = covering_cell_count(envs, cell_res)
+        hotset = _resolve_broadcast(hot_ref)
+        rows, cells_out, salt_out, role_out, ovr_out = [], [], [], [], []
+        for i in range(len(batch)):
+            if covers[i] > max_cover:
+                # one replica per shard, explicitly addressed
+                for s in range(n_shards):
+                    rows.append(i); cells_out.append(-1); salt_out.append(0)
+                    role_out.append(_ROLE_POLY_ALL); ovr_out.append(s)
+                continue
+            cells, _res = cells_for_box(*envs[i], cell_res=cell_res,
+                                        max_cells=max_cover)
+            for c in cells.tolist():
+                k = n_salt if c in hotset else 1
+                for s in range(k):
+                    rows.append(i); cells_out.append(c); salt_out.append(s)
+                    role_out.append(_ROLE_POLY); ovr_out.append(-1)
+        taken = batch.take(pa.array(rows, pa.int64()))
+        n = len(rows)
+        arrays = []
+        for f in combined:
+            if f.name == "cell":
+                arrays.append(pa.array(cells_out, f.type))
+            elif f.name == "salt":
+                arrays.append(pa.array(salt_out, f.type))
+            elif f.name == "role":
+                arrays.append(pa.array(role_out, f.type))
+            elif f.name == "__ovr__":
+                arrays.append(pa.array(ovr_out, f.type))
+            elif f.name.startswith("__p_") and f.name[4:] in taken.schema.names:
+                arrays.append(taken[f.name[4:]].cast(f.type))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(arrays, schema=combined)
+
+    poly_rows = polygons.map_batches(_cover_payload, batch_format="pyarrow")
+    both = pts.map_batches(_pts_align, batch_format="pyarrow").union(poly_rows)
+
+    def _add_shard(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = batch["salt"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ovr = batch["__ovr__"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            shard = (
+                ((cells * np.uint64(0x9E3779B97F4A7C15)) ^ s) >> np.uint64(32)
+            ) % np.uint64(n_shards)
+        shard = np.where(ovr >= 0, ovr, shard.astype(np.int64)).astype(np.int32)
+        return batch.append_column("__shard__", pa.array(shard, pa.int32()))
+
+    return both.map_batches(_add_shard, batch_format="pyarrow").groupby(
+        "__shard__"
+    ).map_groups(
+        _join_shard_group_payload,
+        fn_kwargs={
+            "predicate": predicate,
+            "wkb_col": wkb_col,
+            "attr_names": attr_names,
+        },
+        batch_format="pyarrow",
+    )
+
+
+def _join_shard_group_payload(group: pa.Table, predicate: str, wkb_col: str,
+                              attr_names: list[str]) -> pa.Table:
+    """map_groups fn for the sharded-payload transport: parse this shard's
+    polygon replicas (batch, zero-copy), segment by (cell, salt), probe,
+    and emit point columns + polygon attribute columns."""
+    helper = ["cell", "salt", "role", "__ovr__", "__shard__"]
+    payload_cols = [n for n in group.schema.names if n.startswith("__p_")]
+    point_names = [
+        n for n in group.schema.names if n not in helper and not n.startswith("__p_")
+    ]
+
+    def out_schema() -> pa.Schema:
+        fields = [group.schema.field(n) for n in point_names]
+        for n in attr_names:
+            out_name = f"poly_{n}" if n in point_names else n
+            fields.append(pa.field(out_name, group.schema.field(f"__p_{n}").type))
+        return pa.schema(fields)
+
+    if len(group) == 0:
+        return out_schema().empty_table()
+    cells = group["cell"].to_numpy(zero_copy_only=False)
+    salt = group["salt"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((salt, cells))
+    group = group.take(pa.array(order, pa.int64()))
+    cells, salt = cells[order], salt[order]
+    role = group["role"].to_numpy(zero_copy_only=False)
+    is_pt = role == _ROLE_POINT
+    is_ovr = role == _ROLE_POLY_ALL
+    poly_pos = np.nonzero(~is_pt)[0]
+    if len(poly_pos) == 0 or not is_pt.any():
+        return out_schema().empty_table()
+    geoms = parse_wkbs(group[f"__p_{wkb_col}"].take(pa.array(poly_pos, pa.int64())))
+    px = group["lon"].to_numpy(zero_copy_only=False)
+    py = group["lat"].to_numpy(zero_copy_only=False)
+    include_boundary = predicate in ("intersects", "covers")
+
+    starts = np.nonzero(
+        np.concatenate([[True], (cells[1:] != cells[:-1]) | (salt[1:] != salt[:-1])])
+    )[0]
+    ends = np.concatenate([starts[1:], [len(cells)]])
+
+    pt_parts, poly_parts = [], []
+    for s, e in zip(starts, ends):
+        seg_pt = np.nonzero(is_pt[s:e])[0] + s
+        if len(seg_pt) == 0:
+            continue
+        seg_poly = np.nonzero(~is_pt[s:e] & ~is_ovr[s:e])[0] + s
+        for pos in seg_poly.tolist():
+            g = geoms[np.searchsorted(poly_pos, pos)]
+            mask = points_in_polygon(
+                px[seg_pt], py[seg_pt], g, include_boundary=include_boundary
+            )
+            hits = seg_pt[np.nonzero(mask)[0]]
+            if len(hits):
+                pt_parts.append(hits)
+                poly_parts.append(np.full(len(hits), pos, dtype=np.int64))
+    ovr_pos = np.nonzero(is_ovr)[0]
+    if len(ovr_pos):
+        all_pts = np.nonzero(is_pt)[0]
+        for pos in ovr_pos.tolist():
+            g = geoms[np.searchsorted(poly_pos, pos)]
+            mask = points_in_polygon(
+                px[all_pts], py[all_pts], g, include_boundary=include_boundary
+            )
+            hits = all_pts[np.nonzero(mask)[0]]
+            if len(hits):
+                pt_parts.append(hits)
+                poly_parts.append(np.full(len(hits), pos, dtype=np.int64))
+    if not pt_parts:
+        return out_schema().empty_table()
+    pt_idx = np.concatenate(pt_parts)
+    pl_idx = np.concatenate(poly_parts)
+    left = group.take(pa.array(pt_idx, pa.int64())).select(point_names)
+    right = group.take(pa.array(pl_idx, pa.int64()))
+    for n in attr_names:
+        out_name = f"poly_{n}" if n in point_names else n
+        left = left.append_column(out_name, right[f"__p_{n}"])
+    return left.select(out_schema().names)

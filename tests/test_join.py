@@ -122,3 +122,78 @@ def test_shuffle_join_strict_contains(ray_session, polygons):
     assert ("edge", "fix_boxRef") in inter and ("inside", "fix_boxRef") in inter
     assert ("outside", "fix_boxRef") not in inter
     assert cont == [("inside", "fix_boxRef")]
+
+
+def test_sharded_polygon_transport_matches_oracle(ray_session, points_table, polygons):
+    """Above the broadcast cap the polygon WKB rides the shuffle: same
+    pairs, same attrs, exactly-once — and the driver never builds a
+    PolygonSet (stats records the transport decision)."""
+    import ray.data
+
+    stats = {}
+    joined = pip_join_shuffle(
+        ray.data.from_arrow(points_table),
+        ray.data.from_arrow(polygons),
+        predicate="intersects",
+        hot_threshold=100,
+        n_salt=4,
+        broadcast_limit_bytes=0,
+        stats=stats,
+    )
+    assert stats["polygon_transport"] == "sharded"
+    got = _pairs_of(joined)
+    expect = oracle_pairs(points_table, polygons, "intersects")
+    assert len(got) == len(expect)  # exactly-once (incl. overflow polygons)
+    assert set(got) == expect
+    assert "category" in joined.schema().names and "name" in joined.schema().names
+
+
+def test_small_polygon_dataset_auto_broadcasts(ray_session, points_table, polygons):
+    import ray.data
+
+    stats = {}
+    joined = pip_join_shuffle(
+        ray.data.from_arrow(points_table),
+        ray.data.from_arrow(polygons),
+        predicate="intersects",
+        stats=stats,
+    )
+    assert stats["polygon_transport"] == "broadcast"
+    assert set(_pairs_of(joined)) == oracle_pairs(points_table, polygons, "intersects")
+
+
+def test_oversized_polygon_table_routes_to_sharded(ray_session, points_table, polygons):
+    import ray.data
+
+    stats = {}
+    joined = pip_join_shuffle(
+        ray.data.from_arrow(points_table),
+        polygons,  # pa.Table input above the (zeroed) cap
+        predicate="contains",
+        broadcast_limit_bytes=0,
+        stats=stats,
+    )
+    assert stats["polygon_transport"] == "sharded"
+    assert set(_pairs_of(joined)) == oracle_pairs(points_table, polygons, "contains")
+
+
+def test_sharded_overflow_polygons_probe_every_shard(ray_session, points_table, polygons):
+    """max_cover=1 forces most polygons through the per-shard overflow
+    replicas; the pair set must still match exactly once each."""
+    import ray.data
+
+    stats = {}
+    joined = pip_join_shuffle(
+        ray.data.from_arrow(points_table),
+        ray.data.from_arrow(polygons),
+        predicate="intersects",
+        max_cover=1,
+        n_shards=7,
+        broadcast_limit_bytes=0,
+        stats=stats,
+    )
+    assert stats["polygon_transport"] == "sharded"
+    got = _pairs_of(joined)
+    expect = oracle_pairs(points_table, polygons, "intersects")
+    assert len(got) == len(expect)
+    assert set(got) == expect
