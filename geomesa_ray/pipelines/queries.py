@@ -312,6 +312,50 @@ def q_pip_join_sharded(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _ivf_layout(sf_dir: str, n_cells: int = 16) -> str:
+    """Cached IVF-partitioned embedding layout (built once per sf_dir)."""
+    import hashlib
+    import os
+
+    from geomesa_ray.stages.similarity import ingest_ivf
+
+    key = hashlib.sha1(f"{sf_dir}|{n_cells}".encode()).hexdigest()[:10]
+    out = f"/tmp/geomesa_ray_ivf_{key}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ingest_ivf(ds, out, n_cells=n_cells, sample_rows=5000)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_ann_ivf_indexed(sf_dir: str) -> pa.Table:
+    """IVF over the PARTITIONED layout: the probe plans a file list from
+    the probed cells (file-level pruning, the 100-TB path). Pinned at the
+    exhaustive probe so the exact-search SQL oracle verifies the whole
+    layout round-trip (train → partitioned write → plan → scan → top-k);
+    file-pruning at partial probe is asserted in tests/test_corpus_ops.py."""
+    import pyarrow.parquet as pq
+
+    from geomesa_ray.stages.similarity import ann_ivf_indexed
+
+    out = _ivf_layout(sf_dir, n_cells=16)
+    q = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+            pc.equal(pc.field("vec_id"), 0)
+        )["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    res = ann_ivf_indexed(out, q[None, :], 10, n_probe=16).to_pandas().sort_values("rank")
+    return pa.table(
+        {
+            "vec_id": pa.array(res["vec_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(res["rank"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_tile_agg(sf_dir: str) -> ray.data.Dataset:
     """256×256 world density (reference default grid), weight = row count."""
     tiles = density(
@@ -1232,6 +1276,7 @@ QUERIES = {
     "quality_scores": q_quality,
     "langid": q_langid,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "fingerprints": q_fingerprints,
     "tube_select": q_tube_select,
     "dedup_keep": q_dedup_keep,
@@ -1609,6 +1654,7 @@ def _corpus_oracles() -> None:
     ORACLE_SQL["fingerprints"] = oracles.fingerprints_sql()
     # exhaustive-probe IVF ≡ exact search (see q_ann_ivf docstring)
     ORACLE_SQL["ann_ivf_topk"] = ORACLE_SQL["ann_topk"]
+    ORACLE_SQL["ann_ivf_indexed"] = ORACLE_SQL["ann_topk"]
 
 
 _corpus_oracles()

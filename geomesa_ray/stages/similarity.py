@@ -281,3 +281,89 @@ def lsh_cosine_pairs(
     from geomesa_ray.stages.dedup import _finalize_pairs
 
     return _finalize_pairs(pairs, "cosine", "max", stats)
+
+
+# ---------------------------------------------------------------------------
+# IVF-partitioned layout (file-level pruning for the probe)
+# ---------------------------------------------------------------------------
+
+def ingest_ivf(
+    vectors: ray.data.Dataset,
+    out_dir: str,
+    n_cells: int = 64,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Write an IVF-partitioned embedding layout: hive-style
+    ``ivf_cell=<c>/`` directories (one per coarse cell) plus the trained
+    centroids under ``_meta/``. The probe then plans a FILE LIST from the
+    probed cells — the scale analog of the geo layouts' manifest pruning
+    (every other index here prunes files; the row-level ``ann_ivf``
+    filter is only the unindexed fallback)."""
+    import os
+
+    if centroids is None:
+        centroids = train_centroids(
+            vectors, n_cells=n_cells, sample_rows=sample_rows, iters=iters,
+            seed=seed, emb_col=emb_col,
+        )
+    ds = assign_cells(vectors, centroids, emb_col=emb_col)
+    ds.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    meta = os.path.join(out_dir, "_meta")
+    os.makedirs(meta, exist_ok=True)
+    np.save(os.path.join(meta, "centroids.npy"), centroids)
+    return centroids
+
+
+def load_ivf_centroids(out_dir: str) -> np.ndarray:
+    import os
+
+    return np.load(os.path.join(out_dir, "_meta", "centroids.npy"))
+
+
+def plan_ivf_files(out_dir: str, cells) -> tuple[list[str], int]:
+    """(files for the probed cells, total file count in the layout)."""
+    import glob as _glob
+    import os
+
+    total = len(_glob.glob(os.path.join(out_dir, "ivf_cell=*", "*.parquet")))
+    files: list[str] = []
+    for c in sorted(int(c) for c in set(np.asarray(cells).ravel().tolist())):
+        files.extend(
+            sorted(_glob.glob(os.path.join(out_dir, f"ivf_cell={c}", "*.parquet")))
+        )
+    return files, total
+
+
+def ann_ivf_indexed(
+    out_dir: str,
+    query_matrix: np.ndarray,
+    k: int,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    stats: dict | None = None,
+) -> ray.data.Dataset:
+    """IVF ANN over the partitioned layout: only the probed cells' FILES
+    are read (``stats['files_read']`` / ``['files_total']`` expose the
+    pruning). Exhaustive probe (``n_probe >= n_cells``) reads everything
+    and equals exact search."""
+    centroids = load_ivf_centroids(out_dir)
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    cq = np.argsort(-(qmat @ _normalize(centroids).T), axis=1)[:, :n_probe]
+    files, total = plan_ivf_files(out_dir, cq)
+    if stats is not None:
+        stats["files_read"] = len(files)
+        stats["files_total"] = total
+    if not files:
+        return ray.data.from_arrow(
+            pa.table({"query_idx": pa.array([], pa.int32()),
+                      id_col: pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int32())})
+        )
+    ds = ray.data.read_parquet(files, columns=[id_col, emb_col])
+    return ann_brute(ds, query_matrix, k, id_col=id_col, emb_col=emb_col)

@@ -465,3 +465,33 @@ def test_pair_sets_invariant_under_shard_count(ray_session, documents):
     assert sh[0] == sh[1]
     assert default_shards(mult=4, floor=1, cap=10_000) >= 4
     assert default_shards() <= 4096
+
+
+def test_ivf_partitioned_layout_prunes_files(ray_session, embeddings, tmp_path):
+    """The IVF layout prunes at the FILE level: a partial probe reads
+    strictly fewer files than the layout holds, and the exhaustive probe
+    over the layout equals exact brute-force search."""
+    import ray.data
+    from geomesa_ray.stages.similarity import (
+        ann_brute,
+        ann_ivf_indexed,
+        ingest_ivf,
+    )
+
+    out = str(tmp_path / "ivf")
+    ds = ray.data.from_arrow(embeddings)
+    ingest_ivf(ds, out, n_cells=8, sample_rows=2000)
+    q = np.asarray(embeddings["embedding"][0].as_py(), dtype=np.float64)[None, :]
+
+    stats = {}
+    part = ann_ivf_indexed(out, q, 10, n_probe=2, stats=stats)
+    assert 0 < stats["files_read"] < stats["files_total"]
+    assert len(part.to_pandas()) == 10
+
+    stats_full = {}
+    full = ann_ivf_indexed(out, q, 10, n_probe=8, stats=stats_full)
+    assert stats_full["files_read"] == stats_full["files_total"]
+    exact = ann_brute(ds, q, 10).to_pandas()
+    got = full.to_pandas()
+    assert list(got["vec_id"]) == list(exact["vec_id"])
+    assert np.allclose(got["cosine"], exact["cosine"])
