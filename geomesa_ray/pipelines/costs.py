@@ -79,23 +79,44 @@ def estimate_attribute(out_dir: str, value, counts: Optional[dict]) -> CostEstim
     return CostEstimate("attribute", total * sel, f"selectivity={sel:.4f}")
 
 
+def estimate_attribute_indexed(attr_layout: str, value) -> CostEstimate:
+    """Literal cost of the attr-layout scan = rows of the files its
+    manifest pruner keeps (same contract as estimate_spatial)."""
+    from geomesa_ray.pipelines.attrindex import load_attr_manifest, plan_attr_files
+
+    files = set(plan_attr_files(attr_layout, value=value))
+    rows = sum(
+        fs.rows
+        for e in load_attr_manifest(attr_layout).values()
+        for fs in e.files
+        if fs.path in files
+    )
+    return CostEstimate("attribute", rows, f"indexed: {len(files)} files")
+
+
 def decide(
     out_dir: str,
     query: Optional[Query] = None,
     attr_value=None,
     attr_counts: Optional[dict] = None,
     period: TimePeriod = TimePeriod.WEEK,
+    attr_layout: Optional[str] = None,
 ) -> CostEstimate:
     """Pick the cheapest applicable strategy (StrategyDecider.scala:153-163:
     cost-compare all candidate indices, min wins; ties prefer the more
     selective index family — here spatial, matching the reference's
-    priority ordering)."""
+    priority ordering). With an ``attr_layout`` (pipelines/attrindex.py),
+    the attribute candidate is costed from its manifest's pruned files
+    instead of a selectivity guess — and scan_decided routes to it."""
     candidates = [CostEstimate("full", float(layout_total_rows(out_dir)))]
     if query is not None and (query.bbox is not None or query.geometry is not None
                               or query.interval is not None):
         candidates.append(estimate_spatial(out_dir, query, period))
     if attr_value is not None:
-        candidates.append(estimate_attribute(out_dir, attr_value, attr_counts))
+        if attr_layout is not None:
+            candidates.append(estimate_attribute_indexed(attr_layout, attr_value))
+        else:
+            candidates.append(estimate_attribute(out_dir, attr_value, attr_counts))
     order = {"spatial": 0, "attribute": 1, "full": 2}
     return min(candidates, key=lambda c: (c.est_rows, order[c.strategy]))
 
@@ -125,6 +146,7 @@ def scan_decided(
     attr_value=None,
     attr_counts: Optional[dict] = None,
     period: TimePeriod = TimePeriod.WEEK,
+    attr_layout: Optional[str] = None,
 ) -> tuple[ray.data.Dataset, CostEstimate]:
     """Run the query under the decided strategy; the FULL predicate
     (spatial + attribute) is always applied, so the choice only moves
@@ -132,7 +154,8 @@ def scan_decided(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    est = decide(out_dir, query, attr_value, attr_counts, period)
+    est = decide(out_dir, query, attr_value, attr_counts, period,
+                 attr_layout=attr_layout)
     if est.strategy == "spatial":
         ds = scan(out_dir, query, period)
         if attr_col is not None and attr_value is not None:
@@ -142,6 +165,30 @@ def scan_decided(
                 ),
                 batch_format="pyarrow",
             )
+        return ds, est
+    if est.strategy == "attribute" and attr_layout is not None:
+        # the attr-sorted layout: manifest prunes files, reader pushes the
+        # equality down; only the spatial residual remains
+        from geomesa_ray.pipelines.attrindex import attr_scan
+
+        read_cols = None
+        if query is not None and query.columns is not None:
+            need = set(query.columns)
+            if query.effective_bbox() is not None:
+                need.update(("lon", "lat"))
+            read_cols = sorted(need)
+        ds = attr_scan(attr_layout, value=attr_value, columns=read_cols)
+        if query is not None:
+            from geomesa_ray.pipelines.filters import BBox, evaluate
+
+            bbox = query.effective_bbox()
+            if bbox is not None:
+                ds = ds.map_batches(
+                    lambda b: b.filter(
+                        pa.array(evaluate(BBox(*bbox), b))
+                    ),
+                    batch_format="pyarrow",
+                )
         return ds, est
     # attribute / full: scan everything (attribute equality pushed down to
     # the parquet reader), then the spatial residual

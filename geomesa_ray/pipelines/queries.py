@@ -268,6 +268,44 @@ def q_attr_filter(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _attr_layout(sf_dir: str) -> str:
+    """Cached attr-sorted events layout (attrindex.py; built once per
+    sf_dir, resumable)."""
+    import hashlib
+    import os
+
+    from geomesa_ray.pipelines.attrindex import ingest_attr
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/geomesa_ray_attr_idx_{key}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        ingest_attr(
+            f"{sf_dir}/events.parquet", out, attr_col="event_type",
+            n_groups=1, target_rows_per_file=20_000,
+            columns=["event_id", "event_type", "value"],
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_attr_indexed_filter(sf_dir: str) -> ray.data.Dataset:
+    """attr_filter via the attribute-index LAYOUT: the manifest prunes to
+    the files whose [attr_min, attr_max] covers 'click' (reference
+    AttributeIndexKeySpace contiguous-range scan analog) instead of
+    full-scanning; same oracle as attr_filter."""
+    from geomesa_ray.pipelines.attrindex import attr_scan
+
+    out = _attr_layout(sf_dir)
+    ds = attr_scan(out, value="click", columns=["event_id", "value"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["value"], 10.0))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_pip_join(sf_dir: str) -> ray.data.Dataset:
     out = pip_join_broadcast(
         events_points(sf_dir), polygons_table(), predicate="intersects"
@@ -1256,6 +1294,7 @@ QUERIES = {
     "bbox_scan": q_bbox_scan,
     "bbox_time_scan": q_bbox_time_scan,
     "attr_filter": q_attr_filter,
+    "attr_indexed_filter": q_attr_indexed_filter,
     "pip_join": q_pip_join,
     "pip_join_shuffle": q_pip_join_shuffle,
     "pip_join_sharded": q_pip_join_sharded,
@@ -1351,6 +1390,9 @@ WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBO
   AND ts >= TIMESTAMP '{TS_LO}' AND ts < TIMESTAMP '{TS_HI}'
 """,
     "attr_filter": """
+SELECT event_id, value FROM events WHERE event_type = 'click' AND value > 10.0
+""",
+    "attr_indexed_filter": """
 SELECT event_id, value FROM events WHERE event_type = 'click' AND value > 10.0
 """,
     "pip_join": _PIP_SQL,

@@ -123,3 +123,110 @@ def test_choose_layout_picks_by_cost(ray_session, dual_layouts):
     name, est = choose_layout(dual_layouts, Query(bbox=(0.0, 45.0, 6.0, 52.0)))
     assert name == "z2"  # bbox-only query: the spatial layout is cheaper
     assert est.strategy == "spatial"
+
+
+# ---------------------------------------------------------------------------
+# attribute-index layout (attrindex.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def attr_layout_dir(tmp_path_factory, ray_session, layout):
+    """Attr-sorted layout over the SAME rows as the z layout (lang key)."""
+    import glob
+    import os
+
+    out = tmp_path_factory.mktemp("cost_attr_idx")
+    from geomesa_ray.pipelines.attrindex import ingest_attr
+
+    files = sorted(glob.glob(os.path.join(layout, "group=*", "*.parquet")))
+    ingest_attr(files, str(out), attr_col="lang", n_groups=2,
+                target_rows_per_file=500)
+    return str(out)
+
+
+def test_attr_layout_prunes_files(ray_session, layout, attr_layout_dir):
+    import glob
+    import os
+
+    from geomesa_ray.pipelines.attrindex import attr_scan, plan_attr_files
+
+    total = len(glob.glob(os.path.join(attr_layout_dir, "group=*", "*.parquet")))
+    # a rare language must not scan everything
+    import pyarrow.parquet as pq
+
+    langs = pq.read_table(
+        glob.glob(os.path.join(layout, "group=*", "*.parquet")),
+        columns=["lang"],
+    )["lang"].to_pandas().value_counts()
+    rare = langs.index[-1]
+    pruned = plan_attr_files(attr_layout_dir, value=rare)
+    assert 0 < len(pruned) < total
+    # results equal a brute filter over the z layout
+    got = sorted(attr_scan(attr_layout_dir, value=rare).to_pandas()["url"])
+    import ray.data
+
+    brute = ray.data.read_parquet(
+        glob.glob(os.path.join(layout, "group=*", "*.parquet"))
+    ).filter(lambda r: r["lang"] == rare).to_pandas()
+    assert got == sorted(brute["url"]) and len(got) > 0
+
+
+def test_attr_layout_range_scan(ray_session, attr_layout_dir, layout):
+    import glob
+    import os
+
+    import ray.data
+
+    from geomesa_ray.pipelines.attrindex import attr_scan
+
+    got = sorted(attr_scan(attr_layout_dir, lo="de", hi="en").to_pandas()["url"])
+    brute = ray.data.read_parquet(
+        glob.glob(os.path.join(layout, "group=*", "*.parquet"))
+    ).filter(lambda r: "de" <= r["lang"] <= "en").to_pandas()
+    assert got == sorted(brute["url"])
+
+
+def test_decider_routes_to_attr_layout(ray_session, layout, attr_layout_dir):
+    """With an attr layout, the attribute candidate is costed from pruned
+    files and scan_decided runs the pruned path — same rows as spatial."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    langs = pq.read_table(
+        glob.glob(os.path.join(layout, "group=*", "*.parquet")),
+        columns=["lang"],
+    )["lang"].to_pandas().value_counts()
+    rare = langs.index[-1]
+    q = Query(bbox=(-180.0, -90.0, 180.0, 90.0))
+    ds, est = scan_decided(
+        layout, q, attr_col="lang", attr_value=rare, attr_layout=attr_layout_dir
+    )
+    assert est.strategy == "attribute" and "indexed" in est.detail
+    got = sorted(ds.to_pandas()["url"])
+    ds_s, est_s = scan_decided(
+        layout, Query(bbox=(-180.0, -90.0, 180.0, 90.0)), attr_col="lang",
+        attr_value=rare, attr_counts={rare: 10**9},  # force spatial/full path
+    )
+    assert est_s.strategy != "attribute" or "indexed" not in est_s.detail
+    other = sorted(ds_s.to_pandas()["url"])
+    assert got == other and len(got) > 0
+
+
+def test_attr_ingest_resume_skips_complete_groups(ray_session, layout, tmp_path):
+    import glob
+    import os
+
+    from geomesa_ray.pipelines.attrindex import ingest_attr, load_attr_manifest
+
+    files = sorted(glob.glob(os.path.join(layout, "group=*", "*.parquet")))
+    out = str(tmp_path / "attr_resume")
+    m1 = ingest_attr(files, out, attr_col="lang", n_groups=2,
+                     target_rows_per_file=500)
+    t1 = {k: e.wall_time_s for k, e in m1.items()}
+    m2 = ingest_attr(files, out, attr_col="lang", n_groups=2,
+                     target_rows_per_file=500)
+    assert {k: e.wall_time_s for k, e in m2.items()} == t1  # untouched
+    assert sorted(load_attr_manifest(out)) == [0, 1]
