@@ -102,6 +102,63 @@ def test_minhash_lsh_pairs(ray_session, documents):
         assert j in keep  # original (min id) kept
 
 
+def test_minhash_broadcast_arm_matches_and_spares_driver(ray_session, documents):
+    """Forced signature-broadcast arm: identical pair set to the
+    carry-signature arm, and the (ids, matrix) pair is assembled in a
+    remote task — the driver's Python heap never holds the matrix."""
+    import tracemalloc
+
+    import ray.data
+    from geomesa_ray.stages.dedup import minhash_lsh_pairs
+
+    corpus = _near_dup_corpus(documents)
+
+    def pairset(pairs):
+        df = pairs.to_pandas()
+        return set(zip(df["left_id"].tolist(), df["right_id"].tolist()))
+
+    ds = ray.data.from_arrow(corpus)
+    carry = pairset(minhash_lsh_pairs(ds, threshold=0.5))
+
+    # pad the corpus with unique filler docs so the signature matrix is
+    # big enough (~12 MB) that a driver-side build would dominate the
+    # tracemalloc peak, without changing the planted pair set
+    n_pad = 6_000
+    rng = np.random.default_rng(7)
+    pad_texts = [
+        " ".join(f"w{v:05d}" for v in rng.integers(0, 99_999, size=20))
+        for _ in range(n_pad)
+    ]
+    padded = pa.table(
+        {
+            "doc_id": pa.array(
+                corpus["doc_id"].to_pylist()
+                + [10_000 + i for i in range(n_pad)],
+                pa.int64(),
+            ),
+            "text": pa.array(corpus["text"].to_pylist() + pad_texts),
+        }
+    )
+    num_perm = 128
+    sig_bytes = len(padded) * num_perm * 8
+    tracemalloc.start()
+    bcast = pairset(
+        minhash_lsh_pairs(
+            ray.data.from_arrow(padded),
+            threshold=0.5,
+            num_perm=num_perm,
+            broadcast_min_bytes=0,  # force the broadcast arm
+        )
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert carry <= bcast
+    # driver-side Python allocations must not include the signature matrix
+    # (it is assembled in a remote task); generous slack for Ray
+    # bookkeeping churn — the old driver-side build peaked >= 2x sig_bytes.
+    assert peak < sig_bytes // 2, (peak, sig_bytes)
+
+
 def test_simhash_pairs(ray_session, documents):
     import ray.data
     from geomesa_ray.stages.dedup import simhash_pairs
