@@ -1128,6 +1128,88 @@ def q_avro_events_by_type(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_sqlite_customer_stats(sf_dir: str) -> ray.data.Dataset:
+    """JDBC-analog converter round-trip: customers are loaded into a
+    sqlite database once (cached per sf_dir), re-ingested through the
+    rowid-range-partitioned :func:`geomesa_ray.sources.jdbc.read_sqlite`
+    (reference JdbcConverter.scala:29-147 semantics), and aggregated per
+    nation — proving the SQL-source conversion path against the
+    parquet-derived oracle."""
+    import hashlib
+    import os
+    import sqlite3
+
+    import pyarrow.parquet as pq
+
+    from geomesa_ray.sources.jdbc import read_sqlite
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/geomesa_ray_sqlite_{key}"
+    db = os.path.join(out, "customer.db")
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        tbl = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+        )
+        conn = sqlite3.connect(db)
+        conn.execute(
+            "CREATE TABLE IF NOT EXISTS customer("
+            "c_custkey INTEGER PRIMARY KEY, c_nationkey INTEGER, "
+            "c_mktsegment TEXT)"
+        )
+        conn.execute("DELETE FROM customer")
+        conn.executemany(
+            "INSERT INTO customer VALUES (?, ?, ?)",
+            zip(
+                tbl["c_custkey"].to_pylist(),
+                tbl["c_nationkey"].to_pylist(),
+                tbl["c_mktsegment"].to_pylist(),
+            ),
+        )
+        conn.commit()
+        conn.close()
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds, _spec = read_sqlite(db, table="customer", partitions=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        bld = pc.equal(batch["c_mktsegment"], "BUILDING").to_numpy(
+            zero_copy_only=False
+        )
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq))
+        nb = np.bincount(inv, weights=bld.astype(np.float64), minlength=len(uniq))
+        return pa.table(
+            {
+                "c_nationkey": pa.array(uniq.astype(np.int32), pa.int32()),
+                "n": pa.array(n, pa.int64()),
+                "n_building": pa.array(nb.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .sum(["n", "n_building"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_nationkey": b["c_nationkey"],
+                "n": b["sum(n)"].cast(pa.int64()),
+                "n_building": b["sum(n_building)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_dedup_keep(sf_dir: str) -> ray.data.Dataset:
     """End-to-end near-dup dedup: MinHash-LSH pairs → distributed
     min-label-propagation clustering → anti-join keep list (doc_ids of
@@ -1323,6 +1405,7 @@ QUERIES = {
     "tile_agg_lines": q_tile_agg_lines,
     "clip_area": q_clip_area,
     "avro_events_by_type": q_avro_events_by_type,
+    "sqlite_customer_stats": q_sqlite_customer_stats,
     "value_histogram": q_value_histogram,
     "filter_scan": q_filter_scan,
     "merged_view_counts": q_merged_view_counts,
@@ -1479,6 +1562,11 @@ SELECT DISTINCT d.event_id FROM derived d JOIN track t
 """,
     "avro_events_by_type": """
 SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+""",
+    "sqlite_customer_stats": """
+SELECT c_nationkey, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building
+FROM customer GROUP BY c_nationkey
 """,
     "value_histogram": """
 WITH b AS (

@@ -47,6 +47,7 @@ def _ensure_builtins() -> None:
     if _CONVERTERS:
         return
     from geomesa_ray.sources import avro as _avro
+    from geomesa_ray.sources import jdbc as _jdbc
     from geomesa_ray.sources import readers as _readers
     from geomesa_ray.stages import export as _export
     from geomesa_ray.stages import export2 as _export2
@@ -59,6 +60,7 @@ def _ensure_builtins() -> None:
             "xml": _readers.read_xml,
             "shapefile": _readers.read_shapefile_ds,
             "avro": _avro.read_avro,
+            "jdbc": _jdbc.read_sqlite,
         }
     )
     _EXPORTERS.update(

@@ -1,0 +1,88 @@
+"""SQL-database (JDBC-analog) converter over sqlite3."""
+
+import sqlite3
+
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.sources.jdbc import read_sqlite
+
+
+@pytest.fixture(scope="module")
+def example_db(tmp_path_factory):
+    """Mirror of the reference JdbcConverterTest fixture table
+    (JdbcConverterTest.scala:57-58): id BIGINT, name VARCHAR,
+    dtg TIMESTAMP, lat/lon DOUBLE."""
+    path = str(tmp_path_factory.mktemp("jdbc") / "example.db")
+    conn = sqlite3.connect(path)
+    conn.execute(
+        "CREATE TABLE example(id INTEGER PRIMARY KEY, name TEXT, "
+        "dtg TEXT, lat REAL, lon REAL)"
+    )
+    conn.executemany(
+        "INSERT INTO example VALUES (?, ?, ?, ?, ?)",
+        [
+            (i, f"name{i}", f"2017-02-03T00:0{i}:01.000Z", 60.0 + i, 40.0)
+            for i in range(10)
+        ],
+    )
+    conn.commit()
+    conn.close()
+    return path
+
+
+def test_table_read_typed(ray_session, example_db):
+    ds, spec = read_sqlite(example_db, table="example", partitions=3)
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert "dtg:Date" in spec
+    tbl = tbl.sort_by("id")
+    assert tbl["id"].to_pylist() == list(range(10))
+    assert tbl["name"].to_pylist() == [f"name{i}" for i in range(10)]
+    assert pa.types.is_timestamp(tbl.schema.field("dtg").type)
+    assert tbl["lat"].to_pylist() == [60.0 + i for i in range(10)]
+    # every row exactly once across the 3 rowid-range partitions
+    assert len(tbl) == 10
+
+
+def test_sql_statements_arm(ray_session, example_db):
+    """Newline-separated statements, one partition each (StatementIterator
+    parity, JdbcConverter.scala:73-101)."""
+    sql = "SELECT id, name FROM example WHERE id < 5\nSELECT id, name FROM example WHERE id >= 5"
+    ds, spec = read_sqlite(example_db, sql=sql)
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("id")
+    assert tbl["id"].to_pylist() == list(range(10))
+    assert spec.startswith("id:")
+
+
+def test_explicit_spec_and_empty_table(ray_session, example_db, tmp_path):
+    ds, _ = read_sqlite(
+        example_db,
+        table="example",
+        spec="id:Long,name:String,lat:Double",
+    )
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert tbl.schema.names == ["id", "name", "lat"]
+    assert tbl.schema.field("id").type == pa.int64()
+
+    path = str(tmp_path / "empty.db")
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE t(a INTEGER)")
+    conn.commit()
+    conn.close()
+    ds, _ = read_sqlite(path, table="t", spec="a:Integer")
+    assert sum(len(b) for b in ds.iter_batches(batch_format="pyarrow")) == 0
+
+
+def test_bad_args(example_db):
+    with pytest.raises(ValueError):
+        read_sqlite(example_db)
+    with pytest.raises(ValueError):
+        read_sqlite(example_db, table="x; DROP TABLE example")
+
+
+def test_registry_resolves_jdbc(ray_session, example_db):
+    from geomesa_ray.registry import converter
+
+    fn = converter("jdbc")
+    ds, _ = fn(example_db, table="example")
+    assert sum(len(b) for b in ds.iter_batches(batch_format="pyarrow")) == 10
