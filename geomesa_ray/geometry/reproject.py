@@ -6,10 +6,19 @@ Implemented without a CRS library (none is available in this environment):
 * EPSG:4326 ↔ every UTM zone (EPSG:32601-32660 north, 32701-32760 south)
   via the ellipsoidal Transverse Mercator in Krüger's n-series to 6th
   order (Karney 2011 formulation — sub-millimeter within a zone);
+* EPSG:4326 ↔ ellipsoidal Lambert Conformal Conic (2SP) and Albers
+  Equal-Area conics (Snyder, *Map Projections — A Working Manual*, USGS
+  PP 1395, pp. 98-110), parameterized by proj-style constants; a table of
+  common codes ships built in (EPSG:5070 CONUS Albers, EPSG:2154
+  Lambert-93, EPSG:3083 Texas Centric Albers, EPSG:3978 Canada Atlas
+  Lambert) and :func:`register_crs` adds others. NAD83/RGF93 datums are
+  treated as WGS84 (GRS80 ellipsoid constants; the datum shift is < 2 m,
+  standard practice without a grid-shift file);
 * any supported pair, composed through EPSG:4326.
 
 Unknown CRS codes raise ``NotImplementedError``, keeping the extension
-point explicit.
+point explicit (reference: arbitrary-CRS reprojection via GeoTools,
+index/utils/Reprojection.scala / GeometricDistanceFunctions.scala:21-41).
 """
 
 from __future__ import annotations
@@ -113,6 +122,162 @@ def utm_to_lonlat(e, n, zone: int, south: bool) -> tuple[np.ndarray, np.ndarray]
     return lon0 + np.degrees(lam), np.degrees(phi)
 
 
+# --- conic projections (ellipsoidal LCC 2SP + Albers; Snyder PP 1395) -------
+
+_GRS80_F = 1.0 / 298.257222101  # NAD83 / RGF93 ellipsoid flattening
+
+# proj-style parameters per EPSG code; angles in degrees
+_CONIC_CRS: dict[str, dict] = {
+    # NAD83 / Conus Albers
+    "EPSG:5070": dict(proj="aea", lat_1=29.5, lat_2=45.5, lat_0=23.0,
+                      lon_0=-96.0, x_0=0.0, y_0=0.0, a=6378137.0, f=_GRS80_F),
+    # RGF93 / Lambert-93
+    "EPSG:2154": dict(proj="lcc", lat_1=49.0, lat_2=44.0, lat_0=46.5,
+                      lon_0=3.0, x_0=700000.0, y_0=6600000.0,
+                      a=6378137.0, f=_GRS80_F),
+    # NAD83 / Texas Centric Albers Equal Area
+    "EPSG:3083": dict(proj="aea", lat_1=27.5, lat_2=35.0, lat_0=18.0,
+                      lon_0=-100.0, x_0=1500000.0, y_0=6000000.0,
+                      a=6378137.0, f=_GRS80_F),
+    # NAD83 / Canada Atlas Lambert
+    "EPSG:3978": dict(proj="lcc", lat_1=49.0, lat_2=77.0, lat_0=49.0,
+                      lon_0=-95.0, x_0=0.0, y_0=0.0,
+                      a=6378137.0, f=_GRS80_F),
+}
+
+
+def register_crs(code: str, **params) -> None:
+    """Register a conic CRS by proj-style constants: ``proj`` ("lcc" or
+    "aea"), ``lat_1``/``lat_2`` standard parallels, ``lat_0``/``lon_0``
+    origin, ``x_0``/``y_0`` false offsets, ``a`` semi-major, ``f``
+    flattening — the SPI-analog extension point for CRSes outside the
+    built-in table."""
+    if params.get("proj") not in ("lcc", "aea"):
+        raise ValueError("proj must be 'lcc' or 'aea'")
+    _CONIC_CRS[code.upper()] = params
+
+
+def _lcc_consts(p: dict):
+    e = np.sqrt(2 * p["f"] - p["f"] ** 2)
+    phi1, phi2 = np.radians(p["lat_1"]), np.radians(p["lat_2"])
+    phi0 = np.radians(p["lat_0"])
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - (e * np.sin(phi)) ** 2)
+
+    def t(phi):
+        es = e * np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (e / 2)
+
+    if abs(phi1 - phi2) < 1e-12:
+        n = np.sin(phi1)
+    else:
+        n = (np.log(m(phi1)) - np.log(m(phi2))) / (np.log(t(phi1)) - np.log(t(phi2)))
+    F = m(phi1) / (n * t(phi1) ** n)
+    rho0 = p["a"] * F * t(phi0) ** n
+    return e, n, F, rho0, t
+
+
+def lonlat_to_lcc(lon, lat, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal Lambert Conformal Conic 2SP forward (Snyder 15-1..15-10)."""
+    e, n, F, rho0, t = _lcc_consts(p)
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64))
+    rho = p["a"] * F * t(phi) ** n
+    theta = n * (lam - np.radians(p["lon_0"]))
+    x = rho * np.sin(theta) + p["x_0"]
+    y = rho0 - rho * np.cos(theta) + p["y_0"]
+    return x, y
+
+
+def lcc_to_lonlat(x, y, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """LCC 2SP inverse (Snyder 15-11 + iterated 7-9)."""
+    e, n, F, rho0, _t = _lcc_consts(p)
+    xp = np.asarray(x, np.float64) - p["x_0"]
+    yp = rho0 - (np.asarray(y, np.float64) - p["y_0"])
+    rho = np.sign(n) * np.sqrt(xp**2 + yp**2)
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    t_ = (rho / (p["a"] * F)) ** (1 / n)
+    lam = theta / n + np.radians(p["lon_0"])
+    phi = np.pi / 2 - 2 * np.arctan(t_)
+    for _ in range(8):
+        es = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t_ * ((1 - es) / (1 + es)) ** (e / 2))
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _aea_consts(p: dict):
+    e = np.sqrt(2 * p["f"] - p["f"] ** 2)
+    phi1, phi2 = np.radians(p["lat_1"]), np.radians(p["lat_2"])
+    phi0 = np.radians(p["lat_0"])
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - (e * np.sin(phi)) ** 2)
+
+    def q(phi):
+        es = e * np.sin(phi)
+        return (1 - e**2) * (
+            np.sin(phi) / (1 - es**2) - (1 / (2 * e)) * np.log((1 - es) / (1 + es))
+        )
+
+    if abs(phi1 - phi2) < 1e-12:
+        n = np.sin(phi1)
+    else:
+        n = (m(phi1) ** 2 - m(phi2) ** 2) / (q(phi2) - q(phi1))
+    C = m(phi1) ** 2 + n * q(phi1)
+    rho0 = p["a"] * np.sqrt(C - n * q(phi0)) / n
+    return e, n, C, rho0, q
+
+
+def lonlat_to_aea(lon, lat, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal Albers Equal-Area forward (Snyder 14-1..14-12)."""
+    e, n, C, rho0, q = _aea_consts(p)
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64))
+    rho = p["a"] * np.sqrt(C - n * q(phi)) / n
+    theta = n * (lam - np.radians(p["lon_0"]))
+    x = rho * np.sin(theta) + p["x_0"]
+    y = rho0 - rho * np.cos(theta) + p["y_0"]
+    return x, y
+
+
+def aea_to_lonlat(x, y, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Albers inverse (Snyder 14-19..14-21 + iterated 3-16)."""
+    e, n, C, rho0, q_fn = _aea_consts(p)
+    xp = np.asarray(x, np.float64) - p["x_0"]
+    yp = rho0 - (np.asarray(y, np.float64) - p["y_0"])
+    rho = np.sqrt(xp**2 + yp**2)
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    q_ = (C - (rho * n / p["a"]) ** 2) / n
+    lam = theta / n + np.radians(p["lon_0"])
+    # iterate Snyder 3-16 for phi from the authalic q
+    phi = np.arcsin(np.clip(q_ / 2, -1.0, 1.0))
+    for _ in range(8):
+        s = np.sin(phi)
+        es = e * s
+        one = 1 - es**2
+        phi = phi + one**2 / (2 * np.cos(phi)) * (
+            q_ / (1 - e**2) - s / one + (1 / (2 * e)) * np.log((1 - es) / (1 + es))
+        )
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _conic_fns(code: str):
+    """(to_4326, from_4326) for a registered conic code, else None."""
+    p = _CONIC_CRS.get(code)
+    if p is None:
+        return None
+    if p["proj"] == "lcc":
+        return (
+            lambda x, y: lcc_to_lonlat(x, y, p),
+            lambda lon, lat: lonlat_to_lcc(lon, lat, p),
+        )
+    return (
+        lambda x, y: aea_to_lonlat(x, y, p),
+        lambda lon, lat: lonlat_to_aea(lon, lat, p),
+    )
+
+
 def _parse_utm(code: str):
     """EPSG:326xx/327xx → (zone, south) or None."""
     if not code.startswith("EPSG:"):
@@ -154,6 +319,9 @@ def _to_4326(code: str):
     if utm is not None:
         zone, south = utm
         return lambda x, y: utm_to_lonlat(x, y, zone, south)
+    conic = _conic_fns(code)
+    if conic is not None:
+        return conic[0]
     raise NotImplementedError(f"unsupported CRS {code}")
 
 
@@ -166,6 +334,9 @@ def _from_4326(code: str):
     if utm is not None:
         zone, south = utm
         return lambda lon, lat: lonlat_to_utm(lon, lat, zone, south)
+    conic = _conic_fns(code)
+    if conic is not None:
+        return conic[1]
     raise NotImplementedError(f"unsupported CRS {code}")
 
 
@@ -187,7 +358,8 @@ def transform_fn(src: str, dst: str):
 class Reproject:
     """map_batches stage: transform (x_col, y_col) between CRSes, writing
     ``out_x``/``out_y`` columns (defaults overwrite in place). Supported:
-    EPSG:4326, EPSG:3857, all UTM zones EPSG:326xx/327xx, and any pair of
+    EPSG:4326, EPSG:3857, all UTM zones EPSG:326xx/327xx, the built-in +
+    :func:`register_crs` conic CRSes (LCC 2SP / Albers), and any pair of
     those (composed through 4326)."""
 
     def __init__(self, src: str, dst: str, x_col: str = "lon", y_col: str = "lat",

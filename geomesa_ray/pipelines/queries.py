@@ -680,6 +680,74 @@ def q_reproject(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_reproject_conic(sf_dir: str) -> ray.data.Dataset:
+    """Reproject through a non-UTM conic CRS (EPSG:5070 CONUS Albers,
+    ellipsoidal Snyder formulas) and bin into 10 km grid cells. The cell
+    ids are hash-safe: the oracle embeds the *identical* repr'd projection
+    constants and mirrors the per-row arithmetic, so the only divergence
+    is a few libm ulps (~1e-8 m) against a 1e4 m cell width."""
+    from geomesa_ray.geometry.reproject import Reproject
+
+    ds = events_points(sf_dir)
+    proj = Reproject("EPSG:4326", "EPSG:5070", out_x="ax", out_y="ay")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        batch = proj(batch)
+        x = batch["ax"].to_numpy(zero_copy_only=False)
+        y = batch["ay"].to_numpy(zero_copy_only=False)
+        cx = np.floor(x / 10000.0).astype(np.int64)
+        cy = np.floor(y / 10000.0).astype(np.int64)
+        uniq, counts = np.unique(cx * 100000 + cy, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(cells, batch_format="pyarrow").groupby("cell").sum(["n"])
+    return agg.map_batches(
+        lambda b: pa.table({"cell": b["cell"], "n": b["sum(n)"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def _reproject_conic_oracle_sql() -> str:
+    """Mirror lonlat_to_aea for EPSG:5070 op-for-op with the exact same
+    (repr-round-tripped) constants the numpy path derives."""
+    from geomesa_ray.geometry.reproject import _CONIC_CRS, _aea_consts
+
+    p = _CONIC_CRS["EPSG:5070"]
+    e, n, C, rho0, _q = _aea_consts(p)
+    e = float(e)
+    one_m_e2 = float(1 - e**2)
+    inv_2e = float(1 / (2 * e))
+    lon0 = float(np.radians(p["lon_0"]))
+    return f"""
+WITH {_DERIVE_SQL.strip()},
+proj AS (
+  SELECT
+    {repr(float(p['a']))} * SQRT({repr(float(C))} - {repr(float(n))} * (
+      {repr(one_m_e2)} * (
+        SIN(RADIANS(lat)) / (1 - ({repr(e)} * SIN(RADIANS(lat))) * ({repr(e)} * SIN(RADIANS(lat))))
+        - {repr(inv_2e)} * LN((1 - {repr(e)} * SIN(RADIANS(lat))) / (1 + {repr(e)} * SIN(RADIANS(lat))))
+      )
+    )) / {repr(float(n))} AS rho,
+    {repr(float(n))} * (RADIANS(lon) - {repr(lon0)}) AS theta
+  FROM derived
+),
+xy AS (
+  SELECT rho * SIN(theta) + {repr(float(p['x_0']))} AS ax,
+         {repr(float(rho0))} - rho * COS(theta) + {repr(float(p['y_0']))} AS ay
+  FROM proj
+)
+SELECT CAST(FLOOR(ax / 10000.0) AS BIGINT) * 100000
+       + CAST(FLOOR(ay / 10000.0) AS BIGINT) AS cell,
+       COUNT(*) AS n
+FROM xy GROUP BY cell
+"""
+
+
 def q_z2_encode(sf_dir: str) -> ray.data.Dataset:
     """The core Z2 index encoder verified bit-for-bit against an
     independent SQL implementation: normalize (floor((x-min)*bins/range),
@@ -1415,6 +1483,7 @@ QUERIES = {
     "z3_encode": q_z3_encode,
     "z3_histogram": q_z3_histogram,
     "reproject": q_reproject,
+    "reproject_conic": q_reproject_conic,
     "xz_bbox_time_scan": q_xz_bbox_time_scan,
 }
 
@@ -1721,6 +1790,8 @@ ORACLE_SQL["reproject"] = f"""
 WITH {_DERIVE_SQL.strip()}
 SELECT event_id, 6378137.0 * RADIANS(lon) AS mx FROM derived
 """
+
+ORACLE_SQL["reproject_conic"] = _reproject_conic_oracle_sql()
 
 ORACLE_SQL["filter_scan"] = f"""
 WITH {_DERIVE_SQL.strip()}

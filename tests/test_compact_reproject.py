@@ -145,3 +145,140 @@ def test_extract_error_modes():
 
     with pytest.raises(ValueError, match="unparsable"):
         ExtractGeo(error_mode="raise")(pages)
+
+
+# ---------------------------------------------------------------------------
+# conic CRSes (LCC 2SP + Albers, Snyder PP 1395)
+# ---------------------------------------------------------------------------
+
+_CONIC_DOMAINS = {
+    "EPSG:5070": (-125.0, -66.0, 24.0, 49.0),
+    "EPSG:2154": (-5.0, 9.0, 41.0, 51.0),
+    "EPSG:3083": (-107.0, -93.0, 25.5, 37.0),
+    "EPSG:3978": (-141.0, -52.0, 41.0, 84.0),
+}
+
+
+@pytest.mark.parametrize("code", sorted(_CONIC_DOMAINS))
+def test_conic_roundtrip_1e9(code):
+    from geomesa_ray.geometry.reproject import transform_fn
+
+    w, e, s, n = _CONIC_DOMAINS[code]
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(w, e, 2000)
+    lat = rng.uniform(s, n, 2000)
+    fwd = transform_fn("EPSG:4326", code)
+    inv = transform_fn(code, "EPSG:4326")
+    lo, la = inv(*fwd(lon, lat))
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+
+def test_conic_origin_maps_to_false_offsets():
+    """Exact invariant from the formulas: (lon_0, lat_0) → (x_0, y_0)."""
+    from geomesa_ray.geometry.reproject import _CONIC_CRS, transform_fn
+
+    for code, p in _CONIC_CRS.items():
+        x, y = transform_fn("EPSG:4326", code)(
+            np.array([p["lon_0"]]), np.array([p["lat_0"]])
+        )
+        assert abs(x[0] - p["x_0"]) < 1e-6, code
+        assert abs(y[0] - p["y_0"]) < 1e-6, code
+
+
+def test_lambert93_published_value():
+    """Paris (2.3522 E, 48.8566 N) in RGF93 / Lambert-93 — pinned to the
+    published grid value to centimeter precision."""
+    from geomesa_ray.geometry.reproject import transform_fn
+
+    x, y = transform_fn("EPSG:4326", "EPSG:2154")(
+        np.array([2.3522]), np.array([48.8566])
+    )
+    assert abs(x[0] - 652469.02) < 0.05
+    assert abs(y[0] - 6862035.26) < 0.05
+
+
+def test_lcc_unit_scale_at_standard_parallels():
+    """Conformal scale factor h = k must be 1 on both standard parallels
+    (finite-difference along the meridian, ellipsoidal radius M)."""
+    from geomesa_ray.geometry.reproject import _CONIC_CRS, lonlat_to_lcc
+
+    p = _CONIC_CRS["EPSG:2154"]
+    a, f = p["a"], p["f"]
+    e2 = 2 * f - f * f
+    for lat in (p["lat_1"], p["lat_2"]):
+        d = 1e-6  # degrees
+        x1, y1 = lonlat_to_lcc(np.array([3.0]), np.array([lat - d]), p)
+        x2, y2 = lonlat_to_lcc(np.array([3.0]), np.array([lat + d]), p)
+        ds = np.hypot(x2 - x1, y2 - y1)[0]
+        phi = np.radians(lat)
+        M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        truth = M * np.radians(2 * d)
+        assert abs(ds / truth - 1) < 1e-6
+
+
+def test_albers_preserves_area_element():
+    """Equal-area property: the numerical Jacobian det of (x,y) w.r.t.
+    (lam, phi) equals the ellipsoidal area element
+    a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2(phi))^2."""
+    from geomesa_ray.geometry.reproject import _CONIC_CRS, lonlat_to_aea
+
+    p = _CONIC_CRS["EPSG:5070"]
+    a, f = p["a"], p["f"]
+    e2 = 2 * f - f * f
+    rng = np.random.default_rng(3)
+    for lon, lat in zip(rng.uniform(-120, -70, 5), rng.uniform(25, 48, 5)):
+        d = 1e-6
+        x0, y0 = lonlat_to_aea(np.array([lon]), np.array([lat]), p)
+        xl, yl = lonlat_to_aea(np.array([lon + d]), np.array([lat]), p)
+        xp, yp = lonlat_to_aea(np.array([lon]), np.array([lat + d]), p)
+        dd = np.radians(d)
+        J = abs(
+            (xl - x0) / dd * (yp - y0) / dd - (xp - x0) / dd * (yl - y0) / dd
+        )[0]
+        phi = np.radians(lat)
+        truth = a * a * (1 - e2) * np.cos(phi) / (1 - e2 * np.sin(phi) ** 2) ** 2
+        assert abs(J / truth - 1) < 1e-4, (lon, lat)
+
+
+def test_register_crs_and_composed_pair():
+    from geomesa_ray.geometry.reproject import (
+        _CONIC_CRS,
+        register_crs,
+        transform_fn,
+    )
+
+    register_crs(
+        "TEST:LCC1SP",
+        proj="lcc",
+        lat_1=45.0,
+        lat_2=45.0,  # degenerate pair → 1SP (n = sin(lat_1))
+        lat_0=45.0,
+        lon_0=10.0,
+        x_0=0.0,
+        y_0=0.0,
+        a=6378137.0,
+        f=1 / 298.257223563,
+    )
+    try:
+        fn = transform_fn("TEST:LCC1SP", "EPSG:4326")
+        lon, lat = fn(*transform_fn("EPSG:4326", "TEST:LCC1SP")(
+            np.array([11.5]), np.array([46.5])
+        ))
+        assert abs(lon[0] - 11.5) < 1e-9 and abs(lat[0] - 46.5) < 1e-9
+        # composed: UTM zone 31N -> CONUS Albers straight through 4326
+        comp = transform_fn("EPSG:32614", "EPSG:5070")
+        from geomesa_ray.geometry.reproject import lonlat_to_utm
+
+        e_, n_ = lonlat_to_utm(np.array([-98.0]), np.array([35.0]), 14, False)
+        x, y = comp(e_, n_)
+        direct = transform_fn("EPSG:4326", "EPSG:5070")(
+            np.array([-98.0]), np.array([35.0])
+        )
+        assert abs(x[0] - direct[0][0]) < 1e-6
+        assert abs(y[0] - direct[1][0]) < 1e-6
+    finally:
+        _CONIC_CRS.pop("TEST:LCC1SP", None)
+
+    with pytest.raises(ValueError):
+        register_crs("TEST:BAD", proj="merc")
