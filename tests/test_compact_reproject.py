@@ -70,7 +70,7 @@ def test_reprojection_roundtrip():
     out = Reproject("EPSG:4326", "EPSG:3857", out_x="mx", out_y="my")(batch)
     assert out["mx"].to_numpy().tolist() == x.tolist()
     with pytest.raises(NotImplementedError):
-        Reproject("EPSG:4326", "EPSG:2154")
+        Reproject("EPSG:4326", "EPSG:27700")  # not in the UTM/conic tables
 
 
 def test_utm_transverse_mercator():
