@@ -1,10 +1,12 @@
-"""Pure-stdlib media codecs: PNG (zlib) and WAV (wave module).
+"""Pure-stdlib media codecs: PNG (zlib), baseline JPEG, and WAV.
 
 No image/audio libraries ship in this environment, but PNG is DEFLATE
-(zlib, stdlib) plus well-specified per-scanline filters, and WAV is raw
-PCM behind a RIFF header — both implementable from the public specs.
-These power the multimodal stages' ``mode="real"`` path for
-png/wav payloads; other formats (jpeg/mp3/mp4) still raise, documented.
+(zlib, stdlib) plus well-specified per-scanline filters, baseline JPEG is
+Huffman + IDCT over the published T.81 spec (see
+:mod:`geomesa_ray.sources.jpeg`), and WAV is raw PCM behind a RIFF header
+— all implementable from the public specs. These power the multimodal
+stages' ``mode="real"`` path for png/jpeg/wav payloads; mp3/mp4 still
+raise, documented.
 
 PNG support: 8-bit depth, grayscale / RGB / RGBA, no interlace, all five
 scanline filters on decode (the encoder writes filter 0).
@@ -20,6 +22,21 @@ import zlib
 import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+from geomesa_ray.sources.jpeg import (  # noqa: E402  (re-export: one codec namespace)
+    JPEG_MAGIC,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def image_decode(data: bytes) -> np.ndarray:
+    """Magic-dispatched image decode: PNG or baseline JPEG → (h, w, c) uint8."""
+    if data[:8] == PNG_MAGIC:
+        return png_decode(data)
+    if data[:2] == JPEG_MAGIC:
+        return jpeg_decode(data)
+    raise NotImplementedError("unsupported image format (PNG/JPEG only)")
 
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # colortype → channels (8-bit only)
 

@@ -2,12 +2,13 @@
 
 Binary payloads ride as opaque ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages. ``mode="real"`` decodes PNG images and WAV audio
-with the pure-stdlib codecs in :mod:`geomesa_ray.sources.codecs`
-(zlib/wave — no external image/audio library exists in this
-environment); other formats (jpeg/mp3/mp4) raise ``NotImplementedError``
-there, and ``mode="fake"`` produces deterministic bytes-derived outputs
-so the plumbing stays testable for the formats we cannot decode.
+``map_batches`` stages. ``mode="real"`` decodes PNG and baseline JPEG
+images and WAV audio with the pure-stdlib codecs in
+:mod:`geomesa_ray.sources.codecs` / :mod:`geomesa_ray.sources.jpeg`
+(no external image/audio library exists in this environment); mp3/mp4
+raise ``NotImplementedError`` there, and ``mode="fake"`` produces
+deterministic bytes-derived outputs so the plumbing stays testable for
+the formats we cannot decode.
 
 Batch-size guidance: payloads are large, so these stages run with SMALL
 ``batch_size`` (default 64) and actor pools; at scale, block size should be
@@ -59,13 +60,13 @@ class DecodeImage:
         self.payload_col = payload_col
         if mode == "real":
             # codec bound once per actor (the model-load slot)
-            from geomesa_ray.sources.codecs import png_decode, resize_nearest
+            from geomesa_ray.sources.codecs import image_decode, resize_nearest
 
-            self._decode = png_decode
+            self._decode = image_decode
             self._resize = resize_nearest
 
     def _real_pixels(self, payload: bytes) -> np.ndarray:
-        img = self._decode(payload)  # PNG only; others raise in the codec
+        img = self._decode(payload)  # PNG/baseline JPEG; others raise
         if img.shape[2] == 1:
             img = np.repeat(img, 3, axis=2)
         elif img.shape[2] == 4:
@@ -226,6 +227,20 @@ def synth_media(n: int, seed: int = 42, fmt: str = "fake") -> pa.Table:
         payloads = [
             png_encode(rng.integers(0, 256, (int(h), int(w), 3), dtype=np.uint8))
             for h, w in sizes
+        ]
+        media_type, duration = "image", 0
+    elif fmt == "jpeg":
+        from geomesa_ray.sources.codecs import jpeg_encode
+
+        sizes = rng.integers(8, 64, (n, 2))
+        subs = ["444", "422", "420"]
+        payloads = [
+            jpeg_encode(
+                rng.integers(0, 256, (int(h), int(w), 3), dtype=np.uint8),
+                quality=90,
+                subsampling=subs[i % 3],
+            )
+            for i, (h, w) in enumerate(sizes)
         ]
         media_type, duration = "image", 0
     elif fmt == "wav":

@@ -136,3 +136,105 @@ def test_real_mode_raises_on_undedcodable_format(ray_session):
     media = synth_media(2, seed=7, fmt="fake")  # opaque bytes, not PNG
     with pytest.raises(Exception):
         DecodeImage(mode="real")(media)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (pure-stdlib T.81 codec)
+# ---------------------------------------------------------------------------
+
+
+def _handmade_gray_jpeg() -> bytes:
+    """A byte-by-byte hand-assembled 8x8 grayscale baseline JPEG,
+    independent of jpeg_encode: identity quant table, two tiny Huffman
+    tables, DC=20 (-> every pixel 20/8 + 128 = 130.5 -> 130), EOB."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    # DQT tq=0, all ones (identity dequant)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    # SOF0: 8-bit, 8x8, 1 component (id 1, 1x1 sampling, qt 0)
+    out += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+    # DHT DC class0 id0: one 2-bit code -> symbol 5 (category 5)
+    out += b"\xff\xc4" + struct.pack(">H", 20) + b"\x00" + bytes([0, 1] + [0] * 14) + bytes([5])
+    # DHT AC class1 id0: one 2-bit code -> symbol 0x00 (EOB)
+    out += b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" + bytes([0, 1] + [0] * 14) + bytes([0x00])
+    # SOS: 1 comp (id 1, DC table 0 / AC table 0)
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    # entropy: DC code '00' + magnitude 10100 (=20, category 5) + EOB '00'
+    # bits: 00 10100 00 -> 001010000 + 7 one-pad = 0010 1000 0111 1111
+    out += bytes([0b00101000, 0b01111111])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_handmade_fixture_decodes_exactly():
+    from geomesa_ray.sources.jpeg import jpeg_decode
+
+    img = jpeg_decode(_handmade_gray_jpeg())
+    assert img.shape == (8, 8, 1)
+    # DC-only block: IDCT gives 20/8 + 128 = 130.5 everywhere; np.round
+    # (half-to-even) -> 130
+    assert (img == 130).all()
+
+
+def test_jpeg_roundtrip_all_paths():
+    from geomesa_ray.sources.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(11)
+    h, w = 37, 53  # non-multiple-of-MCU dims exercise edge padding
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    for sub in ("444", "422", "420"):
+        for ri in (0, 3):
+            dec = jpeg_decode(
+                jpeg_encode(img, quality=90, subsampling=sub, restart_interval=ri)
+            )
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            # smooth gradients survive q90 quantization almost exactly;
+            # chroma subsampling averages 2px neighborhoods
+            assert err.max() <= (2 if sub == "444" else 8), (sub, ri)
+    # grayscale
+    g = (128 + 60 * np.sin(np.linspace(0, 3, 64))[None, :]
+         * np.cos(np.linspace(0, 2, 48))[:, None]).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(g, quality=95))
+    assert dec.shape == (48, 64, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    # random noise content still round-trips within JPEG's lossy envelope
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(noise, quality=95))
+    assert dec.shape == noise.shape
+
+
+def test_jpeg_rejects_non_baseline():
+    import struct
+
+    from geomesa_ray.sources.jpeg import jpeg_decode
+
+    prog = bytearray(b"\xff\xd8")
+    prog += b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(prog))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+
+
+def test_multimodal_real_jpeg_pipeline(ray_session):
+    import ray.data
+
+    from geomesa_ray.stages.multimodal import decode_pipeline, synth_media
+
+    media = synth_media(9, seed=8, fmt="jpeg")
+    out = decode_pipeline(
+        ray.data.from_arrow(media), mode="real", concurrency=2, batch_size=4
+    ).to_pandas()
+    assert len(out) == 9
+    assert all(len(f) == 14 for f in out["features"])
+    out2 = decode_pipeline(
+        ray.data.from_arrow(media), mode="real", concurrency=2, batch_size=4
+    ).to_pandas()
+    a = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    np.testing.assert_array_equal(a, b)
