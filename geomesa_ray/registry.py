@@ -61,6 +61,7 @@ def _ensure_builtins() -> None:
             "shapefile": _readers.read_shapefile_ds,
             "avro": _avro.read_avro,
             "jdbc": _jdbc.read_sqlite,
+            "osm": _readers.read_osm,
         }
     )
     _EXPORTERS.update(

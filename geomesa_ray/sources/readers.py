@@ -250,3 +250,108 @@ def read_xml(
         else:
             out[f.name] = pc.cast(col, f.type)
     return ray.data.from_arrow(pa.table(out)), spec
+
+
+def read_osm(path: str, entity: str = "nodes") -> ray.data.Dataset:
+    """OpenStreetMap XML (.osm) converter (geomesa-convert-osm analog).
+
+    The reference ships osm-nodes / osm-ways SFTs
+    (geomesa-tools/conf/sfts/osm/reference.conf): nodes become Points with
+    ``user``/``tags``(JSON)/``dtg``, ways resolve their ``<nd ref=...>``
+    node references into LineStrings. ``entity`` selects "nodes" or
+    "ways". Single-file parse resolves way refs against the in-file node
+    map (OSM extracts are self-contained); at planet scale the resolve
+    step is the nodes⨝refs hash join over Datasets instead.
+    """
+    import json as _json
+    import xml.etree.ElementTree as ET
+
+    import pyarrow.compute as pc
+
+    if entity not in ("nodes", "ways"):
+        raise ValueError("entity must be 'nodes' or 'ways'")
+
+    node_ids: list[int] = []
+    node_lon: list[float] = []
+    node_lat: list[float] = []
+    node_user: list = []
+    node_ts: list = []
+    node_tags: list = []
+    coords: dict[int, tuple[float, float]] = {}
+    way_rows: list[dict] = []
+
+    for _event, elem in ET.iterparse(path, events=("end",)):
+        if elem.tag == "node":
+            nid = int(elem.get("id"))
+            lon = float(elem.get("lon"))
+            lat = float(elem.get("lat"))
+            coords[nid] = (lon, lat)
+            if entity == "nodes":
+                node_ids.append(nid)
+                node_lon.append(lon)
+                node_lat.append(lat)
+                node_user.append(elem.get("user"))
+                node_ts.append(elem.get("timestamp"))
+                node_tags.append(
+                    _json.dumps(
+                        {t.get("k"): t.get("v") for t in elem.findall("tag")},
+                        sort_keys=True,
+                    )
+                )
+            elem.clear()
+        elif elem.tag == "way":
+            if entity == "ways":
+                tags = {t.get("k"): t.get("v") for t in elem.findall("tag")}
+                way_rows.append(
+                    {
+                        "osm_id": int(elem.get("id")),
+                        "user": elem.get("user"),
+                        "name": tags.get("name"),
+                        "dtg": elem.get("timestamp"),
+                        "tags": _json.dumps(tags, sort_keys=True),
+                        "refs": [int(nd.get("ref")) for nd in elem.findall("nd")],
+                    }
+                )
+            elem.clear()
+
+    def _ts(col: list) -> pa.Array:
+        naive = pc.cast(
+            pa.array(
+                [None if v is None else v.replace("Z", "") for v in col],
+                pa.string(),
+            ),
+            pa.timestamp("ms"),
+        )
+        return pc.assume_timezone(naive, "UTC")
+
+    if entity == "nodes":
+        tbl = pa.table(
+            {
+                "osm_id": pa.array(node_ids, pa.int64()),
+                "user": pa.array(node_user, pa.string()),
+                "tags": pa.array(node_tags, pa.string()),
+                "dtg": _ts(node_ts),
+                "lon": pa.array(node_lon, pa.float64()),
+                "lat": pa.array(node_lat, pa.float64()),
+            }
+        )
+        return ray.data.from_arrow(tbl)
+
+    from geomesa_ray.geometry.base import LineString
+    from geomesa_ray.geometry.wkt import to_wkt
+
+    wkts = []
+    for row in way_rows:
+        pts = [coords[r] for r in row["refs"] if r in coords]
+        wkts.append(to_wkt(LineString(pts)) if len(pts) >= 2 else None)
+    tbl = pa.table(
+        {
+            "osm_id": pa.array([r["osm_id"] for r in way_rows], pa.int64()),
+            "user": pa.array([r["user"] for r in way_rows], pa.string()),
+            "name": pa.array([r["name"] for r in way_rows], pa.string()),
+            "tags": pa.array([r["tags"] for r in way_rows], pa.string()),
+            "dtg": _ts([r["dtg"] for r in way_rows]),
+            "geometry_wkt": pa.array(wkts, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(tbl)

@@ -187,3 +187,70 @@ def test_avro_negative_metadata_block_count_with_size():
     buf.seek(0)
     got_schema, codec, got_sync = _avro._read_header(buf)
     assert got_schema == schema and codec == "null" and got_sync == sync
+
+
+# ---------------------------------------------------------------------------
+# OSM XML converter
+# ---------------------------------------------------------------------------
+
+_OSM_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6" generator="test">
+  <node id="1" lat="48.0" lon="2.0" user="alice" timestamp="2020-01-01T10:00:00Z">
+    <tag k="amenity" v="cafe"/>
+    <tag k="name" v="Chez Test"/>
+  </node>
+  <node id="2" lat="48.1" lon="2.1" user="bob" timestamp="2020-01-02T11:30:00Z"/>
+  <node id="3" lat="48.2" lon="2.2" user="bob" timestamp="2020-01-02T12:00:00Z"/>
+  <way id="10" user="carol" timestamp="2020-02-01T00:00:00Z">
+    <nd ref="1"/>
+    <nd ref="2"/>
+    <nd ref="3"/>
+    <tag k="highway" v="residential"/>
+    <tag k="name" v="Rue du Test"/>
+  </way>
+  <way id="11" user="carol" timestamp="2020-02-02T00:00:00Z">
+    <nd ref="1"/>
+    <nd ref="999"/>
+  </way>
+</osm>
+"""
+
+
+def test_osm_nodes(ray_session, tmp_path):
+    import json
+
+    from geomesa_ray.sources.readers import read_osm
+
+    p = tmp_path / "test.osm"
+    p.write_text(_OSM_XML)
+    tbl = pa.concat_tables(
+        read_osm(str(p), entity="nodes").iter_batches(batch_format="pyarrow")
+    ).sort_by("osm_id")
+    assert tbl["osm_id"].to_pylist() == [1, 2, 3]
+    assert tbl["lon"].to_pylist() == [2.0, 2.1, 2.2]
+    assert tbl["user"].to_pylist() == ["alice", "bob", "bob"]
+    assert json.loads(tbl["tags"][0].as_py()) == {
+        "amenity": "cafe",
+        "name": "Chez Test",
+    }
+    assert pa.types.is_timestamp(tbl.schema.field("dtg").type)
+
+
+def test_osm_ways_resolve_linestrings(ray_session, tmp_path):
+    from geomesa_ray.sources.readers import read_osm
+
+    p = tmp_path / "test.osm"
+    p.write_text(_OSM_XML)
+    tbl = pa.concat_tables(
+        read_osm(str(p), entity="ways").iter_batches(batch_format="pyarrow")
+    ).sort_by("osm_id")
+    assert tbl["osm_id"].to_pylist() == [10, 11]
+    assert tbl["name"].to_pylist() == ["Rue du Test", None]
+    wkt = tbl["geometry_wkt"][0].as_py()
+    assert wkt.startswith("LINESTRING") and "2 48" in wkt and "2.2 48.2" in wkt
+    # way 11 has a dangling ref -> only 1 resolvable point -> null geometry
+    assert tbl["geometry_wkt"][1].as_py() is None
+
+    from geomesa_ray.registry import converter
+
+    assert converter("osm") is read_osm
