@@ -36,7 +36,7 @@ def image_decode(data: bytes) -> np.ndarray:
         return png_decode(data)
     if data[:2] == JPEG_MAGIC:
         return jpeg_decode(data)
-    raise NotImplementedError("unsupported image format (PNG/JPEG only)")
+    raise ValueError("unrecognized image payload (PNG/JPEG magic expected)")
 
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # colortype → channels (8-bit only)
 
