@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_topk",
     "pricing_summary",
     "token_counts",
+    "reproject_conic",
 ]
 
 

@@ -113,6 +113,23 @@ def cmd_compact(args) -> dict:
     return {"compacted_groups": done}
 
 
+def cmd_convert(args) -> dict:
+    """``geomesa convert`` analog: run a registered format converter over
+    the input and land typed Parquet (the reference CLI's convert command
+    streams any SimpleFeatureConverter into an export —
+    geomesa-tools ConvertCommand behavior)."""
+    import json as _json
+
+    from geomesa_ray.registry import converter
+
+    fn = converter(args.format)
+    kwargs = _json.loads(args.options) if args.options else {}
+    out = fn(args.input, **kwargs)
+    ds = out[0] if isinstance(out, tuple) else out  # (ds, spec) readers
+    ds.write_parquet(args.out)
+    return {"rows": ds.count(), "format": args.format}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="geomesa_ray")
     ap.add_argument("--address", default=os.environ.get("RAY_ADDRESS", "local"))
@@ -153,6 +170,16 @@ def main(argv=None) -> int:
     p.add_argument("--index", required=True)
     p.add_argument("--target-rows", type=int, default=1_000_000)
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("convert")
+    p.add_argument("--format", required=True,
+                   help="registered converter name (geojson/delimited/"
+                        "fixed-width/xml/shapefile/avro/jdbc/osm)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--options", default=None,
+                   help='JSON kwargs for the converter, e.g. \'{"table": "t"}\'')
+    p.set_defaults(fn=cmd_convert)
 
     args = ap.parse_args(argv)
     _init(args)

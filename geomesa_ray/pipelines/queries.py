@@ -705,11 +705,42 @@ def q_reproject_conic(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    agg = ds.map_batches(cells, batch_format="pyarrow").groupby("cell").sum(["n"])
-    return agg.map_batches(
-        lambda b: pa.table({"cell": b["cell"], "n": b["sum(n)"].cast(pa.int64())}),
-        batch_format="pyarrow",
-    )
+    def merge(batch: pa.Table) -> pa.Table:
+        """Vectorized per-batch cell-count reduction (one tree-merge step —
+        the bounded grid output never justifies Ray's multi-second
+        sort-aggregate fixed cost)."""
+        c = batch["cell"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        if len(c) == 0:
+            return batch
+        order = np.argsort(c, kind="stable")
+        c, n = c[order], n[order]
+        starts = np.nonzero(np.concatenate([[True], c[1:] != c[:-1]]))[0]
+        return pa.table(
+            {
+                "cell": pa.array(c[starts], pa.int64()),
+                "n": pa.array(np.add.reduceat(n, starts), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(cells, batch_format="pyarrow").map_batches(
+        merge, batch_format="pyarrow", batch_size=4_000_000
+    ).materialize()
+    rounds = 0
+    while out.num_blocks() > 1 and rounds < 10:
+        out = out.repartition(max(1, out.num_blocks() // 8)).map_batches(
+            merge, batch_format="pyarrow", batch_size=4_000_000
+        ).materialize()
+        rounds += 1
+    if out.num_blocks() > 1:  # unbounded-cell fallback: exact shuffle agg
+        agg = out.groupby("cell").sum(["n"])
+        return agg.map_batches(
+            lambda b: pa.table(
+                {"cell": b["cell"], "n": b["sum(n)"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    return out
 
 
 def _reproject_conic_oracle_sql() -> str:

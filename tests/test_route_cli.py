@@ -92,3 +92,17 @@ def test_cli_end_to_end(tmp_path):
     assert r4["tiles"] > 0
     r5 = run("compact", "--index", str(idx))
     assert isinstance(r5["compacted_groups"], list)
+
+    gj = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+         "properties": {"name": "a", "v": 1}},
+        {"type": "Feature", "geometry": {"type": "Point", "coordinates": [3.0, 4.0]},
+         "properties": {"name": "b", "v": 2}},
+    ]}
+    src = tmp_path / "in.geojson"
+    src.write_text(json.dumps(gj))
+    r6 = run("convert", "--format", "geojson", "--input", str(src),
+             "--out", str(tmp_path / "converted"))
+    assert r6 == {"rows": 2, "format": "geojson", "wall_sec": r6["wall_sec"]}
+    t = pq.read_table(str(tmp_path / "converted"))
+    assert t.num_rows == 2 and {"lon", "lat", "name", "v"} <= set(t.schema.names)
