@@ -1468,6 +1468,88 @@ def q_latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_line_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide line-level (CCNet-style) dedup. The synthetic docs are
+    single-line, so the query derives its line structure deterministically:
+    words become lines (``sep=' '``), giving massive cross-doc duplication
+    (a ~35-word vocabulary over 500 docs) that genuinely exercises the
+    first-occurrence shuffle; the oracle mirrors the same split."""
+    from geomesa_ray.stages.corpus import line_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return line_dedup(ds, sep=" ")
+
+
+def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Within-doc repetition signals (Gopher-style gates) over word-level
+    'lines' (same deterministic derivation as line_dedup)."""
+    from geomesa_ray.stages.corpus import line_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return line_stats(ds, sep=" ")
+
+
+def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction (emails / IPv4 / phone runs) via Arrow RE2 kernels.
+    The synthetic docs carry no PII, so the query injects a deterministic
+    per-doc-id suffix (docs with ``doc_id % 3 != 0``) that the oracle
+    derives with the identical concatenation; DuckDB's regexp functions
+    are also RE2, so replacement spans match byte-for-byte."""
+    from geomesa_ray.stages.corpus import redact_pii
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["doc_id"].cast(pa.string())
+        m7 = pa.array((ids % 7).astype(np.int64)).cast(pa.string())
+        m200 = pa.array((ids % 200).astype(np.int64)).cast(pa.string())
+        m250 = pa.array((ids % 250).astype(np.int64)).cast(pa.string())
+        tel = pa.array((1000 + ids % 9000).astype(np.int64)).cast(pa.string())
+        suffixed = pc.binary_join_element_wise(
+            batch["text"], " contact u", s, "@ex", m7, ".org ip 10.",
+            m200, ".0.", m250, " tel +1 555 ", tel, "",
+        )
+        text = pc.if_else(pa.array(ids % 3 == 0), batch["text"], suffixed)
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    return redact_pii(ds.map_batches(augment, batch_format="pyarrow"))
+
+
+def q_ann_pq_topk(sf_dir: str) -> pa.Table:
+    """PQ ANN (ADC scan over uint8 codes + exact re-rank) pinned to the
+    exhaustive configuration: ``n_cand`` covers the corpus, so every row
+    survives to the re-rank and the result equals exact search — the same
+    oracle-pinning device as ann_ivf_topk. The non-degenerate recall
+    behaviour is property-tested in tests/test_pq.py."""
+    import pyarrow.parquet as pq
+
+    from geomesa_ray.stages.similarity import ann_pq, encode_pq, train_pq
+
+    q = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+            pc.equal(pc.field("vec_id"), 0)
+        )["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    books = train_pq(ds, n_sub=8, n_codes=64)
+    coded = encode_pq(ds, books)
+    res = (
+        ann_pq(coded, q[None, :], 10, books, n_cand=10_000_000)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(res["vec_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(res["rank"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "proximity_join": q_proximity_join,
     "semi_join": q_semi_join,
@@ -1516,6 +1598,10 @@ QUERIES = {
     "reproject": q_reproject,
     "reproject_conic": q_reproject_conic,
     "xz_bbox_time_scan": q_xz_bbox_time_scan,
+    "line_dedup": q_line_dedup,
+    "repetition_stats": q_repetition_stats,
+    "pii_redact": q_pii_redact,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 _DERIVE_SQL = """
@@ -1890,3 +1976,78 @@ def _corpus_oracles() -> None:
 
 
 _corpus_oracles()
+
+
+_WORD_LINES_SQL = """
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS line_no,
+         unnest(string_split(text, ' ')) AS line
+  FROM documents
+)
+"""
+
+ORACLE_SQL["line_dedup"] = f"""
+WITH {_WORD_LINES_SQL.strip()}, ranked AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
+FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
+ORACLE_SQL["repetition_stats"] = f"""
+WITH {_WORD_LINES_SQL.strip()}, flags AS (
+  SELECT doc_id, length(line) AS c,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY line_no) AS rn
+  FROM lines
+)
+SELECT doc_id,
+  count(*)::BIGINT AS n_lines,
+  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_lines,
+  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
+    AS dup_line_frac,
+  CASE WHEN sum(c) = 0 THEN 0.0
+       ELSE sum(CASE WHEN rn > 1 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE
+  END AS dup_char_frac
+FROM flags GROUP BY doc_id
+"""
+
+
+def _pii_oracle_sql() -> str:
+    """PII redaction mirrored: the identical deterministic suffix
+    derivation, then each RE2 pattern counted-then-replaced in the same
+    order (DuckDB's regexp engine is also RE2 — spans match exactly)."""
+    from geomesa_ray.stages.corpus import PII_PATTERNS
+
+    steps = ["""s0 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text
+         ELSE text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org ip 10.'
+              || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 250 AS VARCHAR) || ' tel +1 555 '
+              || CAST(1000 + doc_id % 9000 AS VARCHAR)
+    END AS text
+  FROM documents)"""]
+    prev, prev_text, count_cols = "s0", "text", []
+    for i, (name, pattern, token) in enumerate(PII_PATTERNS, start=1):
+        pat = pattern.replace("'", "''")
+        carry = (", " + ", ".join(count_cols)) if count_cols else ""
+        steps.append(f"""s{i} AS (
+  SELECT doc_id{carry},
+         len(regexp_extract_all({prev_text}, '{pat}'))::BIGINT AS n_{name},
+         regexp_replace({prev_text}, '{pat}', '{token}', 'g') AS text_{i}
+  FROM {prev})""")
+        prev, prev_text = f"s{i}", f"text_{i}"
+        count_cols.append(f"n_{name}")
+    return ("WITH " + ",\n".join(steps)
+            + f"\nSELECT doc_id, {', '.join(count_cols)}, {prev_text} AS text"
+            + f"\nFROM {prev}\n")
+
+
+ORACLE_SQL["pii_redact"] = _pii_oracle_sql()
+
+# exhaustive-candidate PQ ≡ exact search (see q_ann_pq_topk docstring)
+ORACLE_SQL["ann_pq_topk"] = ORACLE_SQL["ann_topk"]

@@ -367,3 +367,172 @@ def ann_ivf_indexed(
         )
     ds = ray.data.read_parquet(files, columns=[id_col, emb_col])
     return ann_brute(ds, query_matrix, k, id_col=id_col, emb_col=emb_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the 100-TB memory path for ANN
+# ---------------------------------------------------------------------------
+#
+# At corpus scale the float embeddings don't fit the scan budget: a
+# 64-dim float32 vector is 256 B, its PQ code (8 subspaces × uint8) is
+# 8 B — a 32× scan-size reduction. The scan stage reads codes only and
+# scores them against a per-query ADC lookup table (one (n_sub, n_codes)
+# gather + segment sum — no matmul over raw vectors); only the surviving
+# candidates are re-ranked with exact cosine. Composes with the IVF
+# layout: partition files by coarse cell, store codes in the files, keep
+# raw embeddings for the re-rank fetch.
+
+def train_pq(
+    vectors: ray.data.Dataset,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic per-subspace k-means codebooks, shape
+    ``(n_sub, n_codes, d // n_sub)``, trained on a driver-side sample of
+    the NORMALIZED vectors (so summed sub-dot-products approximate the
+    cosine)."""
+    sample = vectors.limit(sample_rows).to_pandas()
+    m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    n, d = m.shape
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    d_sub = d // n_sub
+    n_codes = min(n_codes, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_sub, n_codes, d_sub), dtype=np.float64)
+    for s in range(n_sub):
+        sub = m[:, s * d_sub:(s + 1) * d_sub]
+        cent = sub[rng.choice(n, n_codes, replace=False)]
+        for _ in range(iters):
+            # nearest centroid by L2 == max (dot - ||c||²/2)
+            scores = sub @ cent.T - 0.5 * np.sum(cent * cent, axis=1)
+            assign = np.argmax(scores, axis=1)
+            for c in range(n_codes):
+                sel = sub[assign == c]
+                if len(sel):
+                    cent[c] = sel.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def encode_pq(vectors: ray.data.Dataset, codebooks: np.ndarray,
+              emb_col: str = "embedding") -> ray.data.Dataset:
+    """One streaming pass adding a ``pq_code`` fixed-width binary column
+    (one uint8 per subspace). The raw embedding column is kept for exact
+    re-ranking of candidates."""
+    import ray as _ray
+
+    books_ref = _ray.put(np.ascontiguousarray(codebooks))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = _resolve_ref(books_ref)
+        n_sub, n_codes, d_sub = books.shape
+        m = _normalize(_emb_matrix(batch, emb_col))
+        codes = np.empty((len(m), n_sub), dtype=np.uint8)
+        for s in range(n_sub):
+            sub = m[:, s * d_sub:(s + 1) * d_sub]
+            scores = sub @ books[s].T - 0.5 * np.sum(books[s] * books[s], axis=1)
+            codes[:, s] = np.argmax(scores, axis=1).astype(np.uint8)
+        return batch.append_column(
+            "pq_code", pa.Array.from_buffers(
+                pa.binary(n_sub), len(m),
+                [None, pa.py_buffer(codes.tobytes())],
+            )
+        )
+
+    return vectors.map_batches(encode, batch_format="pyarrow")
+
+
+def _resolve_ref(ref):
+    import ray as _ray
+
+    return _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+
+
+def _adc_scores(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """(n, Q) approximate dot products: gather each row's per-subspace LUT
+    entry and sum — vectorized over the whole batch."""
+    n_sub = codes.shape[1]
+    # lut: (Q, n_sub, n_codes) → score[n, q] = Σ_s lut[q, s, codes[n, s]]
+    out = lut[:, 0, codes[:, 0]]
+    for s in range(1, n_sub):
+        out = out + lut[:, s, codes[:, s]]
+    return out.T  # (n, Q)
+
+
+def ann_pq(
+    vectors: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    k: int,
+    codebooks: np.ndarray,
+    n_cand: int = 100,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    batch_size: int = 50_000,
+) -> ray.data.Dataset:
+    """PQ ANN with exact re-rank: per-batch ADC partial top-``n_cand``
+    per query (codes-only scoring), then the per-query group re-ranks its
+    ≤ n_cand·n_blocks survivors by exact cosine and keeps top-k (ties by
+    ascending id — same contract as :func:`ann_brute`). With
+    ``n_cand >= corpus rows`` every row survives to the re-rank, so the
+    result equals exact search (the oracle-pinned configuration)."""
+    import ray as _ray
+
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    n_sub, n_codes, d_sub = codebooks.shape
+    # per-query LUT of sub-dot-products against every codebook entry
+    lut = np.stack([
+        qmat[:, s * d_sub:(s + 1) * d_sub] @ codebooks[s].T
+        for s in range(n_sub)
+    ], axis=1)  # (Q, n_sub, n_codes)
+    lut_ref = _ray.put(np.ascontiguousarray(lut))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lt = _resolve_ref(lut_ref)
+        arr = batch["pq_code"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        codes = np.frombuffer(arr.buffers()[1], dtype=np.uint8).reshape(
+            -1, n_sub
+        )[arr.offset:arr.offset + len(arr)]
+        scores = _adc_scores(codes, lt)  # (n, Q)
+        n, q = scores.shape
+        kk = min(n_cand, n)
+        idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+        qs, rows = [], []
+        for j in range(q):
+            qs.append(np.full(kk, j, dtype=np.int32))
+            rows.append(idx[:, j])
+        take = pa.array(np.concatenate(rows), pa.int64())
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(qs), pa.int32()),
+                id_col: batch[id_col].take(take),
+                emb_col: batch[emb_col].take(take),
+            }
+        )
+
+    def rerank(group: pa.Table) -> pa.Table:
+        qi = int(group["query_idx"][0].as_py())
+        m = _normalize(_emb_matrix(group, emb_col))
+        sims = m @ qmat[qi]
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_idx": pa.array(np.full(len(order), qi, np.int32), pa.int32()),
+                id_col: pa.array(ids[order], pa.int64()),
+                "cosine": pa.array(sims[order], pa.float64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32), pa.int32()),
+            }
+        )
+
+    partials = vectors.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=batch_size)
+    return partials.groupby("query_idx").map_groups(
+        rerank, batch_format="pyarrow"
+    )
