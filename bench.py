@@ -48,6 +48,9 @@ HEADLINE = [
     "pricing_summary",
     "token_counts",
     "reproject_conic",
+    "line_dedup",
+    "pii_redact",
+    "ann_pq_topk",
 ]
 
 
