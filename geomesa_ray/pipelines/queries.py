@@ -394,6 +394,55 @@ def q_ann_ivf_indexed(sf_dir: str) -> pa.Table:
     )
 
 
+def _ivf_pq_layout(sf_dir: str, n_cells: int = 16) -> str:
+    """Cached IVF+PQ composed layout (built once per sf_dir)."""
+    import hashlib
+    import os
+
+    from geomesa_ray.stages.similarity import ingest_ivf_pq
+
+    key = hashlib.sha1(f"{sf_dir}|{n_cells}|pq".encode()).hexdigest()[:10]
+    out = f"/tmp/geomesa_ray_ivfpq_{key}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ingest_ivf_pq(ds, out, n_cells=n_cells, n_sub=8, n_codes=64,
+                      sample_rows=5000)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_ann_ivf_pq_topk(sf_dir: str) -> pa.Table:
+    """The composed 100-TB ANN layout (IVF file pruning × PQ codes-only
+    scan × targeted exact-rerank fetch), pinned at the exhaustive
+    configuration (n_probe = n_cells, n_cand ≥ corpus) so the exact-search
+    SQL oracle verifies the full two-phase path; partial-probe pruning and
+    non-degenerate recall are asserted in tests/test_pq.py."""
+    import pyarrow.parquet as pq
+
+    from geomesa_ray.stages.similarity import ann_ivf_pq_indexed
+
+    out = _ivf_pq_layout(sf_dir, n_cells=16)
+    q = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+            pc.equal(pc.field("vec_id"), 0)
+        )["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    res = (
+        ann_ivf_pq_indexed(out, q[None, :], 10, n_probe=16, n_cand=10_000_000)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(res["vec_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(res["rank"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_tile_agg(sf_dir: str) -> ray.data.Dataset:
     """256×256 world density (reference default grid), weight = row count."""
     tiles = density(
@@ -1602,6 +1651,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
 }
 
 _DERIVE_SQL = """
@@ -2051,3 +2101,4 @@ ORACLE_SQL["pii_redact"] = _pii_oracle_sql()
 
 # exhaustive-candidate PQ ≡ exact search (see q_ann_pq_topk docstring)
 ORACLE_SQL["ann_pq_topk"] = ORACLE_SQL["ann_topk"]
+ORACLE_SQL["ann_ivf_pq_topk"] = ORACLE_SQL["ann_topk"]

@@ -105,7 +105,20 @@ def line_dedup(ds: ray.data.Dataset, text_col: str = "text",
         n_shards = default_shards()
 
     def explode(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
         t = explode_lines(batch, text_col, id_col, sep)
+        # combiner: only a line's batch-local min (doc_id, line_no) can be
+        # the global winner, so drop every other occurrence BEFORE the
+        # shuffle — on repetitive corpora this collapses the shuffle volume
+        # to ~the distinct-line count per batch.
+        t = (
+            pl.from_arrow(t)
+            .sort(["line", id_col, "line_no"])
+            .unique(subset=["line"], keep="first", maintain_order=True)
+            .to_arrow()
+            .cast(t.schema)
+        )
         shard = (hash_strings(t["line"]) % np.uint64(n_shards)).astype(np.int64)
         return t.append_column("__shard__", pa.array(shard, pa.int64()))
 

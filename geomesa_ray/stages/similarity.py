@@ -536,3 +536,167 @@ def ann_pq(
     return partials.groupby("query_idx").map_groups(
         rerank, batch_format="pyarrow"
     )
+
+
+def ingest_ivf_pq(
+    vectors: ray.data.Dataset,
+    out_dir: str,
+    n_cells: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """The composed 100-TB ANN layout: IVF cell partitioning (file-level
+    probe pruning) + PQ codes stored next to the raw vectors (codes-only
+    scan, 32× smaller than the float column). One training pass on a
+    sample, one streaming assign+encode pass, one partitioned write."""
+    import os
+
+    centroids = train_centroids(
+        vectors, n_cells=n_cells, sample_rows=sample_rows, iters=iters,
+        seed=seed, emb_col=emb_col,
+    )
+    books = train_pq(
+        vectors, n_sub=n_sub, n_codes=n_codes, sample_rows=sample_rows,
+        iters=iters, seed=seed, emb_col=emb_col,
+    )
+    ds = encode_pq(assign_cells(vectors, centroids, emb_col=emb_col),
+                   books, emb_col=emb_col)
+    ds.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    meta = os.path.join(out_dir, "_meta")
+    os.makedirs(meta, exist_ok=True)
+    np.save(os.path.join(meta, "centroids.npy"), centroids)
+    np.save(os.path.join(meta, "pq_codebooks.npy"), books)
+    return centroids, books
+
+
+def ann_ivf_pq_indexed(
+    out_dir: str,
+    query_matrix: np.ndarray,
+    k: int,
+    n_probe: int = 8,
+    n_cand: int = 100,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    stats: dict | None = None,
+) -> pa.Table:
+    """Two-phase indexed ANN over the IVF+PQ layout:
+
+    1. codes-only scan — read ONLY ``(id, pq_code)`` from the probed
+       cells' files (file pruning × column pruning), score by ADC, keep
+       the global top-``n_cand`` candidates per query;
+    2. targeted fetch — re-read just those files' ``(id, embedding)``
+       rows for the candidate ids (bounded: ≤ n_cand × Q rows survive)
+       and re-rank by exact cosine.
+
+    With ``n_probe >= n_cells`` and ``n_cand >= corpus`` this equals
+    exact search (the oracle-pinned configuration)."""
+    import os
+
+    centroids = np.load(os.path.join(out_dir, "_meta", "centroids.npy"))
+    books = np.load(os.path.join(out_dir, "_meta", "pq_codebooks.npy"))
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    cq = np.argsort(-(qmat @ _normalize(centroids).T), axis=1)[:, :n_probe]
+    files, total = plan_ivf_files(out_dir, cq)
+    if stats is not None:
+        stats["files_read"] = len(files)
+        stats["files_total"] = total
+    empty = pa.table(
+        {"query_idx": pa.array([], pa.int32()), id_col: pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int32())}
+    )
+    if not files:
+        return empty
+
+    n_sub, n_codes, d_sub = books.shape
+    lut = np.stack([
+        qmat[:, s * d_sub:(s + 1) * d_sub] @ books[s].T for s in range(n_sub)
+    ], axis=1)
+    import ray as _ray
+
+    lut_ref = _ray.put(np.ascontiguousarray(lut))
+
+    def adc_partial(batch: pa.Table) -> pa.Table:
+        lt = _resolve_ref(lut_ref)
+        arr = batch["pq_code"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        codes = np.frombuffer(arr.buffers()[1], dtype=np.uint8).reshape(
+            -1, n_sub
+        )[arr.offset:arr.offset + len(arr)]
+        scores = _adc_scores(codes, lt)
+        n, q = scores.shape
+        kk = min(n_cand, n)
+        idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+        qs = np.repeat(np.arange(q, dtype=np.int32), kk)
+        rows = idx.T.ravel()
+        return pa.table(
+            {
+                "query_idx": pa.array(qs, pa.int32()),
+                id_col: batch[id_col].take(pa.array(rows, pa.int64())),
+                "adc": pa.array(scores[rows, np.repeat(np.arange(q), kk)],
+                                pa.float64()),
+            }
+        )
+
+    def cand_topk(group: pa.Table) -> pa.Table:
+        sims = group["adc"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:n_cand]
+        return group.take(pa.array(order, pa.int64()))
+
+    cands = (
+        ray.data.read_parquet(files, columns=[id_col, "pq_code"])
+        .map_batches(adc_partial, batch_format="pyarrow")
+        .groupby("query_idx")
+        .map_groups(cand_topk, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    import ray as _ray2
+
+    cand_tables = [t for t in _ray2.get(cands) if t.num_rows]
+    if not cand_tables:
+        return empty
+    cand = pa.concat_tables(cand_tables)
+    wanted_ids = np.unique(cand[id_col].to_numpy(zero_copy_only=False))
+    wanted_ref = _ray.put(wanted_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        w = _resolve_ref(wanted_ref)
+        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), w)
+        return batch.filter(pa.array(mask))
+
+    fetched = pa.concat_tables(
+        _ray2.get(
+            ray.data.read_parquet(files, columns=[id_col, emb_col])
+            .map_batches(fetch, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    # exact re-rank (driver-side: ≤ n_cand × Q candidate rows by contract)
+    m = _normalize(_emb_matrix(fetched, emb_col))
+    fids = fetched[id_col].to_numpy(zero_copy_only=False)
+    pos = {int(v): i for i, v in enumerate(fids)}
+    out_q, out_i, out_c, out_r = [], [], [], []
+    cq_ids = cand["query_idx"].to_numpy(zero_copy_only=False)
+    cd_ids = cand[id_col].to_numpy(zero_copy_only=False)
+    for qi in np.unique(cq_ids):
+        ids_q = np.unique(cd_ids[cq_ids == qi])
+        rows = np.array([pos[int(v)] for v in ids_q], dtype=np.int64)
+        sims = m[rows] @ qmat[qi]
+        order = np.lexsort((ids_q, -sims))[:k]
+        out_q.append(np.full(len(order), qi, np.int32))
+        out_i.append(ids_q[order])
+        out_c.append(sims[order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int32))
+    return pa.table(
+        {
+            "query_idx": pa.array(np.concatenate(out_q), pa.int32()),
+            id_col: pa.array(np.concatenate(out_i), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            "rank": pa.array(np.concatenate(out_r), pa.int32()),
+        }
+    )

@@ -67,6 +67,47 @@ def test_ann_pq_exhaustive_equals_brute(emb_ds, books):
     )
 
 
+@pytest.fixture(scope="module")
+def ivf_pq_dir(emb_ds, tmp_path_factory):
+    from geomesa_ray.stages.similarity import ingest_ivf_pq
+
+    out = str(tmp_path_factory.mktemp("ivfpq") / "layout")
+    ingest_ivf_pq(emb_ds, out, n_cells=8, n_sub=8, n_codes=32,
+                  sample_rows=5000, iters=5)
+    return out
+
+
+def test_ann_ivf_pq_exhaustive_equals_brute(emb_ds, ivf_pq_dir):
+    from geomesa_ray.stages.similarity import ann_brute, ann_ivf_pq_indexed
+
+    q = _query_vec()[None, :]
+    brute = ann_brute(emb_ds, q, 10).to_pandas().sort_values("rank")
+    stats = {}
+    got = ann_ivf_pq_indexed(
+        ivf_pq_dir, q, 10, n_probe=8, n_cand=10_000, stats=stats
+    ).to_pandas().sort_values("rank")
+    assert stats["files_read"] == stats["files_total"]  # exhaustive probe
+    assert got["vec_id"].tolist() == brute["vec_id"].tolist()
+    np.testing.assert_allclose(
+        got["cosine"].to_numpy(), brute["cosine"].to_numpy(), rtol=1e-12
+    )
+
+
+def test_ann_ivf_pq_partial_probe_prunes_files(emb_ds, ivf_pq_dir):
+    """The scale claim: a partial probe must read strictly fewer files
+    than the layout holds, and still recover most of the true top-10."""
+    from geomesa_ray.stages.similarity import ann_brute, ann_ivf_pq_indexed
+
+    q = _query_vec()[None, :]
+    brute = set(ann_brute(emb_ds, q, 10).to_pandas()["vec_id"])
+    stats = {}
+    got = ann_ivf_pq_indexed(
+        ivf_pq_dir, q, 10, n_probe=3, n_cand=100, stats=stats
+    ).to_pandas()
+    assert stats["files_read"] < stats["files_total"]
+    assert len(set(got["vec_id"]) & brute) >= 6
+
+
 def test_ann_pq_recall(emb_ds, books):
     """Non-degenerate config: ADC pre-selection with a bounded candidate
     set still recovers most of the true top-10."""
