@@ -1538,6 +1538,24 @@ def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
     return line_stats(ds, sep=" ")
 
 
+def _pii_augment(batch: pa.Table) -> pa.Table:
+    """Deterministic PII-suffix injection (docs with ``doc_id % 3 != 0``)
+    mirrored verbatim by ``_PII_AUG_SQL`` — the synthetic docs carry no
+    PII, so redaction queries derive some."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = batch["doc_id"].cast(pa.string())
+    m7 = pa.array((ids % 7).astype(np.int64)).cast(pa.string())
+    m200 = pa.array((ids % 200).astype(np.int64)).cast(pa.string())
+    m250 = pa.array((ids % 250).astype(np.int64)).cast(pa.string())
+    tel = pa.array((1000 + ids % 9000).astype(np.int64)).cast(pa.string())
+    suffixed = pc.binary_join_element_wise(
+        batch["text"], " contact u", s, "@ex", m7, ".org ip 10.",
+        m200, ".0.", m250, " tel +1 555 ", tel, "",
+    )
+    text = pc.if_else(pa.array(ids % 3 == 0), batch["text"], suffixed)
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
 def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
     """PII redaction (emails / IPv4 / phone runs) via Arrow RE2 kernels.
     The synthetic docs carry no PII, so the query injects a deterministic
@@ -1547,22 +1565,44 @@ def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.corpus import redact_pii
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return redact_pii(ds.map_batches(_pii_augment, batch_format="pyarrow"))
 
-    def augment(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = batch["doc_id"].cast(pa.string())
-        m7 = pa.array((ids % 7).astype(np.int64)).cast(pa.string())
-        m200 = pa.array((ids % 200).astype(np.int64)).cast(pa.string())
-        m250 = pa.array((ids % 250).astype(np.int64)).cast(pa.string())
-        tel = pa.array((1000 + ids % 9000).astype(np.int64)).cast(pa.string())
-        suffixed = pc.binary_join_element_wise(
-            batch["text"], " contact u", s, "@ex", m7, ".org ip 10.",
-            m200, ".0.", m250, " tel +1 555 ", tel, "",
+
+def q_clean_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Flagship training-data cleaning chain, ONE streaming pipeline:
+    exact dedup (min-doc_id per distinct text) → deterministic PII
+    injection → RE2 redaction → quality scoring over the redacted text →
+    quality-gate filter. Every stage's arithmetic is the oracle-verified
+    kernel of its standalone query; the oracle composes the same SQL
+    pieces."""
+    from geomesa_ray.stages.corpus import redact_pii
+    from geomesa_ray.stages.dedup import exact_dedup
+    from geomesa_ray.stages.textstats import QualityScorer
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    deduped = exact_dedup(ds).map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    redacted = redact_pii(deduped.map_batches(_pii_augment, batch_format="pyarrow"))
+    scorer = QualityScorer()
+
+    def score_and_gate(batch: pa.Table) -> pa.Table:
+        scored = scorer(batch)
+        keep = pc.greater_equal(scored["quality_score"], pa.scalar(0.68))
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_email": batch["n_email"],
+                "n_ip": batch["n_ip"],
+                "n_phone": batch["n_phone"],
+                "n_tokens": scored["n_tokens"].cast(pa.int64()),
+                "quality_score": scored["quality_score"],
+                "text": batch["text"],
+            }
         )
-        text = pc.if_else(pa.array(ids % 3 == 0), batch["text"], suffixed)
-        return pa.table({"doc_id": batch["doc_id"], "text": text})
+        return out.filter(keep)
 
-    return redact_pii(ds.map_batches(augment, batch_format="pyarrow"))
+    return redacted.map_batches(score_and_gate, batch_format="pyarrow")
 
 
 def q_ann_pq_topk(sf_dir: str) -> pa.Table:
@@ -1652,6 +1692,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+    "clean_corpus": q_clean_corpus,
 }
 
 _DERIVE_SQL = """
@@ -1971,15 +2012,16 @@ ORDER BY event_id
 """
 
 
-def _quality_oracle_sql() -> str:
-    """Quality scoring as pure SQL: the kernel's RE2 counts, ratios and the
-    clip/abs score formula reproduced with identical IEEE-double op order
-    (LEAST/GREATEST = np.clip; verified bit-exact)."""
+def _quality_ctes(src: str) -> str:
+    """Quality-score CTE chain (``qc``, ``qs``, ``qfinal``) over ``src``:
+    the kernel's RE2 counts, ratios and the clip/abs score formula
+    reproduced with identical IEEE-double op order (LEAST/GREATEST =
+    np.clip; verified bit-exact). Composable — clean_corpus reuses it
+    over its redacted CTE."""
     from geomesa_ray.stages.textstats import _STOPWORDS
 
     all_stop = "|".join(sorted(set().union(*_STOPWORDS.values())))
-    return f"""
-WITH c AS (
+    return f"""qc AS (
   SELECT doc_id,
     GREATEST(length(text), 1)::DOUBLE AS chars_nz,
     len(regexp_extract_all(text, '\\w+'))::DOUBLE AS ntok,
@@ -1989,25 +2031,29 @@ WITH c AS (
     len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS digit_c,
     len(regexp_extract_all(text, '[.,;:!?''"()\\-]'))::DOUBLE AS punct_c,
     len(regexp_extract_all(lower(text), '\\b({all_stop})\\b'))::DOUBLE AS stop_c
-  FROM documents
-), s AS (
+  FROM {src}
+), qs AS (
   SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
     stop_c / toks_nz AS stopword_ratio,
     CASE WHEN ntok > 0 THEN wchars / toks_nz ELSE 0.0 END AS mean_tok,
     alpha_c / chars_nz AS alpha, digit_c / chars_nz AS digit,
     punct_c / chars_nz AS punct
-  FROM c
+  FROM qc
+), qfinal AS (
+  SELECT doc_id, n_tokens, stopword_ratio,
+    0.35 * LEAST(GREATEST(stopword_ratio / 0.4, 0), 1)
+    + 0.25 * LEAST(GREATEST(1 - ABS(mean_tok - 4.5) / 4.5, 0), 1)
+    + 0.20 * LEAST(GREATEST(alpha / 0.7, 0), 1)
+    + 0.10 * (1 - LEAST(GREATEST(digit / 0.2, 0), 1))
+    + 0.10 * (1 - LEAST(GREATEST(punct / 0.25, 0), 1)) AS quality_score
+  FROM qs
+)"""
+
+
+ORACLE_SQL["quality_scores"] = (
+    "WITH " + _quality_ctes("documents")
+    + "\nSELECT doc_id, n_tokens, stopword_ratio, quality_score FROM qfinal"
 )
-SELECT doc_id, n_tokens, stopword_ratio,
-  0.35 * LEAST(GREATEST(stopword_ratio / 0.4, 0), 1)
-  + 0.25 * LEAST(GREATEST(1 - ABS(mean_tok - 4.5) / 4.5, 0), 1)
-  + 0.20 * LEAST(GREATEST(alpha / 0.7, 0), 1)
-  + 0.10 * (1 - LEAST(GREATEST(digit / 0.2, 0), 1))
-  + 0.10 * (1 - LEAST(GREATEST(punct / 0.25, 0), 1)) AS quality_score
-FROM s"""
-
-
-ORACLE_SQL["quality_scores"] = _quality_oracle_sql()
 
 
 def _corpus_oracles() -> None:
@@ -2065,13 +2111,16 @@ FROM flags GROUP BY doc_id
 """
 
 
-def _pii_oracle_sql() -> str:
-    """PII redaction mirrored: the identical deterministic suffix
-    derivation, then each RE2 pattern counted-then-replaced in the same
-    order (DuckDB's regexp engine is also RE2 — spans match exactly)."""
+def _pii_ctes(src: str) -> tuple[str, str, list[str]]:
+    """PII redaction CTE chain over ``src``: the identical deterministic
+    suffix derivation (mirror of :func:`_pii_augment`), then each RE2
+    pattern counted-then-replaced in the same order (DuckDB's regexp
+    engine is also RE2 — spans match exactly). Returns (ctes, final CTE
+    name, count column names); the final CTE carries doc_id, the counts
+    and the fully-redacted ``text``."""
     from geomesa_ray.stages.corpus import PII_PATTERNS
 
-    steps = ["""s0 AS (
+    steps = [f"""s0 AS (
   SELECT doc_id,
     CASE WHEN doc_id % 3 = 0 THEN text
          ELSE text || ' contact u' || CAST(doc_id AS VARCHAR)
@@ -2080,7 +2129,7 @@ def _pii_oracle_sql() -> str:
               || CAST(doc_id % 250 AS VARCHAR) || ' tel +1 555 '
               || CAST(1000 + doc_id % 9000 AS VARCHAR)
     END AS text
-  FROM documents)"""]
+  FROM {src})"""]
     prev, prev_text, count_cols = "s0", "text", []
     for i, (name, pattern, token) in enumerate(PII_PATTERNS, start=1):
         pat = pattern.replace("'", "''")
@@ -2092,12 +2141,44 @@ def _pii_oracle_sql() -> str:
   FROM {prev})""")
         prev, prev_text = f"s{i}", f"text_{i}"
         count_cols.append(f"n_{name}")
-    return ("WITH " + ",\n".join(steps)
-            + f"\nSELECT doc_id, {', '.join(count_cols)}, {prev_text} AS text"
-            + f"\nFROM {prev}\n")
+    steps.append(
+        f"redacted AS (SELECT doc_id, {', '.join(count_cols)}, "
+        f"{prev_text} AS text FROM {prev})"
+    )
+    return ",\n".join(steps), "redacted", count_cols
+
+
+def _pii_oracle_sql() -> str:
+    ctes, final, counts = _pii_ctes("documents")
+    return (f"WITH {ctes}\nSELECT doc_id, {', '.join(counts)}, text"
+            f"\nFROM {final}\n")
 
 
 ORACLE_SQL["pii_redact"] = _pii_oracle_sql()
+
+
+def _clean_corpus_oracle_sql() -> str:
+    """clean_corpus composed from the already-verified pieces: exact
+    dedup (min doc_id per distinct text) → PII CTE chain → quality CTE
+    chain over the REDACTED text → quality-gate filter."""
+    pii, final, counts = _pii_ctes("dd")
+    return f"""
+WITH dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+{pii},
+{_quality_ctes(final)}
+SELECT r.doc_id, {', '.join('r.' + c for c in counts)},
+       q.n_tokens, q.quality_score, r.text
+FROM {final} r JOIN qfinal q ON r.doc_id = q.doc_id
+WHERE q.quality_score >= 0.68
+"""
+
+
+ORACLE_SQL["clean_corpus"] = _clean_corpus_oracle_sql()
 
 # exhaustive-candidate PQ ≡ exact search (see q_ann_pq_topk docstring)
 ORACLE_SQL["ann_pq_topk"] = ORACLE_SQL["ann_topk"]

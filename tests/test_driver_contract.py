@@ -30,6 +30,10 @@ SUBSET = [
     "semi_join",
     "langid",
     "quality_scores",
+    "line_dedup",
+    "repetition_stats",
+    "pii_redact",
+    "clean_corpus",
 ]
 
 
