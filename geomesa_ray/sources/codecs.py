@@ -23,7 +23,12 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-from geomesa_ray.sources.jpeg import (  # noqa: E402  (re-export: one codec namespace)
+from geomesa_ray.sources.gif import (  # noqa: E402  (re-export: one codec namespace)
+    GIF_MAGIC,
+    gif_decode,
+    gif_encode,
+)
+from geomesa_ray.sources.jpeg import (  # noqa: E402
     JPEG_MAGIC,
     jpeg_decode,
     jpeg_encode,
@@ -31,12 +36,15 @@ from geomesa_ray.sources.jpeg import (  # noqa: E402  (re-export: one codec name
 
 
 def image_decode(data: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: PNG or baseline JPEG → (h, w, c) uint8."""
+    """Magic-dispatched image decode: PNG, baseline JPEG or GIF (first
+    frame) → (h, w, c) uint8."""
     if data[:8] == PNG_MAGIC:
         return png_decode(data)
     if data[:2] == JPEG_MAGIC:
         return jpeg_decode(data)
-    raise ValueError("unrecognized image payload (PNG/JPEG magic expected)")
+    if data[:4] == GIF_MAGIC:
+        return gif_decode(data)[0]
+    raise ValueError("unrecognized image payload (PNG/JPEG/GIF magic expected)")
 
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # colortype → channels (8-bit only)
 

@@ -159,22 +159,49 @@ class DecodeAudio:
 
 
 class SampleFrames:
-    """Actor stage (video): payload → ``n_frames`` evenly-spaced fake frames
-    (one output row per frame: frame_idx + pixels)."""
+    """Actor stage (video/animation): payload → ``n_frames`` evenly-spaced
+    frames (one output row per frame: frame_idx + pixels).
+
+    ``mode="real"`` decodes animated GIF payloads (sources/gif.py) and
+    samples their true frames, nearest-resized to (out_h, out_w); mp4 has
+    no in-environment decoder so real mode raises for it (documented
+    capability edge — the fake path keeps the plumbing testable)."""
 
     def __init__(self, n_frames: int = 4, out_h: int = 16, out_w: int = 16,
-                 payload_col: str = "payload", id_col: str = "media_id"):
+                 payload_col: str = "payload", id_col: str = "media_id",
+                 mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
         self.n_frames = n_frames
         self.out_h = out_h
         self.out_w = out_w
         self.payload_col = payload_col
         self.id_col = id_col
 
+    def _real_frames(self, p: bytes) -> list[np.ndarray]:
+        from geomesa_ray.sources.codecs import resize_nearest
+        from geomesa_ray.sources.gif import GIF_MAGIC, gif_decode
+
+        if p[:4] != GIF_MAGIC:
+            raise NotImplementedError(
+                "real frame sampling supports GIF only (no mp4 decoder in env)"
+            )
+        frames = gif_decode(p)
+        picks = np.linspace(0, len(frames) - 1, self.n_frames).round().astype(int)
+        return [resize_nearest(frames[i], self.out_h, self.out_w) for i in picks]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, pix = [], [], []
         for mid, p in zip(
             batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()
         ):
+            if self.mode == "real":
+                for f, frame in enumerate(self._real_frames(p)):
+                    ids.append(mid)
+                    fidx.append(f)
+                    pix.append(frame.ravel())
+                continue
             for f in range(self.n_frames):
                 ids.append(mid)
                 fidx.append(f)
@@ -243,6 +270,19 @@ def synth_media(n: int, seed: int = 42, fmt: str = "fake") -> pa.Table:
             for i, (h, w) in enumerate(sizes)
         ]
         media_type, duration = "image", 0
+    elif fmt == "gif":
+        from geomesa_ray.sources.gif import gif_encode
+
+        sizes = rng.integers(8, 48, (n, 2))
+        payloads = []
+        for h, w in sizes:
+            # ≤ 16 distinct colors per animation (GIF palette bound)
+            pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+            frames = [
+                pal[rng.integers(0, 16, (int(h), int(w)))] for _ in range(4)
+            ]
+            payloads.append(gif_encode(frames))
+        media_type, duration = "video", 16
     elif fmt == "wav":
         from geomesa_ray.sources.codecs import wav_encode
 
