@@ -1556,6 +1556,15 @@ def _pii_augment(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "text": text})
 
 
+def q_top_ngram_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher top-2-gram repetition signal per doc (count + char
+    fraction), word n-grams over the space-separated text."""
+    from geomesa_ray.stages.corpus import top_ngram_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return top_ngram_stats(ds, n=2)
+
+
 def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
     """PII redaction (emails / IPv4 / phone runs) via Arrow RE2 kernels.
     The synthetic docs carry no PII, so the query injects a deterministic
@@ -1693,6 +1702,7 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "clean_corpus": q_clean_corpus,
+    "top_ngram_stats": q_top_ngram_stats,
 }
 
 _DERIVE_SQL = """
@@ -2179,6 +2189,34 @@ WHERE q.quality_score >= 0.68
 
 
 ORACLE_SQL["clean_corpus"] = _clean_corpus_oracle_sql()
+
+ORACLE_SQL["top_ngram_stats"] = """
+WITH words AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS p,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM words
+), counts AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c, length(g)::BIGINT AS lg
+  FROM grams WHERE g IS NOT NULL GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, g, c, lg,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+  FROM counts
+)
+SELECT d.doc_id,
+       coalesce(t.g, '') AS top_gram,
+       coalesce(t.c, 0)::BIGINT AS gram_count,
+       CASE WHEN length(d.text) = 0 OR t.c IS NULL THEN 0.0
+            ELSE (t.c * t.lg)::DOUBLE / length(d.text)::DOUBLE
+       END AS top_gram_char_frac
+FROM documents d
+LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+"""
 
 # exhaustive-candidate PQ ≡ exact search (see q_ann_pq_topk docstring)
 ORACLE_SQL["ann_pq_topk"] = ORACLE_SQL["ann_topk"]

@@ -193,6 +193,64 @@ def line_stats(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def top_ngram_stats(ds: ray.data.Dataset, n: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = " ") -> ray.data.Dataset:
+    """Gopher-style top-n-gram repetition signal: per doc, the most
+    frequent contiguous word n-gram (ties broken by lexicographically
+    smallest gram) and the character fraction it accounts for
+    (``count × len(gram) / len(text)``). Docs with < n words emit
+    ``('', 0, 0.0)``.
+
+    Purely per-doc → one vectorized map_batches, no shuffle; the fraction
+    is a single exact-integer division (bit-deterministic, so the SQL
+    oracle hash-matches)."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = explode_lines(batch, text_col, id_col, sep)
+        lf = pl.from_arrow(t).sort([id_col, "line_no"])
+        gram = pl.col("line")
+        for i in range(1, n):
+            gram = gram + sep + pl.col("line").shift(-i).over(id_col)
+        grams = (
+            lf.with_columns(gram.alias("g"))
+            .drop_nulls("g")
+            .group_by([id_col, "g"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .sort([id_col, "c", "g"], descending=[False, True, False])
+            .unique(subset=[id_col], keep="first", maintain_order=True)
+        )
+        text_len = pc.utf8_length(batch[text_col]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        base = pl.DataFrame(
+            {id_col: batch[id_col].to_numpy(zero_copy_only=False),
+             "text_len": text_len}
+        )
+        joined = base.join(grams, on=id_col, how="left").sort(id_col)
+        g = joined["g"].fill_null("").to_numpy()
+        c = joined["c"].fill_null(0).to_numpy().astype(np.int64)
+        tl = joined["text_len"].to_numpy().astype(np.int64)
+        glen = np.array([len(x) for x in g], dtype=np.int64)
+        frac = np.where((tl > 0) & (c > 0),
+                        (c * glen).astype(np.float64) / np.maximum(tl, 1).astype(np.float64),
+                        0.0)
+        return pa.table(
+            {
+                id_col: pa.array(joined[id_col].to_numpy(), pa.int64()),
+                "top_gram": pa.array(g, pa.string()),
+                "gram_count": pa.array(c, pa.int64()),
+                "top_gram_char_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 # PII patterns — RE2 syntax, valid verbatim in both Arrow (RE2) and DuckDB
 # (also RE2), so Ray and the SQL oracle replace the exact same spans.
 # Applied in this order; counts are taken on the text as it stands before

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from geomesa_ray.stages.shards import default_shards
 
@@ -536,6 +537,67 @@ def ann_pq(
     return partials.groupby("query_idx").map_groups(
         rerank, batch_format="pyarrow"
     )
+
+
+def embedding_dedup_keep(
+    vectors: ray.data.Dataset,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    stats: dict | None = None,
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup dedup end-to-end: LSH bucket + exact
+    cosine verify (:func:`lsh_cosine_pairs`) → distributed connected
+    components → anti-join keep filter. Each component survives only at
+    its min-id row. Same Dataset-native shape as the MinHash dedup_keep
+    chain (stages/dedup.py) — no driver materialization."""
+    from geomesa_ray.stages.dedup import cluster_pairs_dataset, dedup_keep
+
+    pairs = lsh_cosine_pairs(
+        vectors, n_planes=n_planes, threshold=threshold, seed=seed,
+        id_col=id_col, emb_col=emb_col, stats=stats, n_shards=n_shards,
+    ).map_batches(
+        # strip mega-bucket marker rows (left_id = -1) before clustering
+        lambda b: b.filter(pc.greater_equal(b["left_id"], pa.scalar(0))),
+        batch_format="pyarrow",
+    )
+    labels = cluster_pairs_dataset(pairs)
+
+    # Ray's hash join rejects list<float> non-key columns, so the vector
+    # rides the anti-join as fixed-width binary and is unpacked after.
+    def pack(batch: pa.Table) -> pa.Table:
+        arr = batch[emb_col].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        d = len(arr[0]) if len(arr) else 0
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+        packed = pa.Array.from_buffers(
+            pa.binary(4 * d), len(arr), [None, pa.py_buffer(flat.tobytes())]
+        )
+        idx = batch.schema.get_field_index(emb_col)
+        return batch.set_column(idx, "__emb_bin__", packed)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        arr = batch["__emb_bin__"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        d = arr.type.byte_width // 4
+        flat = np.frombuffer(arr.buffers()[1], dtype=np.float32)[
+            arr.offset * d:(arr.offset + len(arr)) * d
+        ]
+        lst = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float32()), d
+        ).cast(pa.list_(pa.float32()))
+        idx = batch.schema.get_field_index("__emb_bin__")
+        return batch.set_column(idx, emb_col, lst)
+
+    kept = dedup_keep(
+        vectors.map_batches(pack, batch_format="pyarrow"), labels, id_col=id_col
+    )
+    return kept.map_batches(unpack, batch_format="pyarrow")
 
 
 def ingest_ivf_pq(

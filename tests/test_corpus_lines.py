@@ -110,6 +110,40 @@ def test_line_stats_brute(ray_session):
             dup_c / total_c if total_c else 0.0)
 
 
+def test_top_ngram_stats_brute(ray_session):
+    import collections
+
+    import ray.data
+
+    from geomesa_ray.stages.corpus import top_ngram_stats
+
+    texts = [
+        "a b a b a b c",          # "a b" x3 beats "b a" x2
+        "x y x y",                # tie "x y"(2) vs "y x"(1)
+        "p q r",                  # all grams count 1 → lexicographic min
+        "solo",                   # < 2 words
+        "",                       # empty text
+        "z z z z",                # self-repeat "z z" x3
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = {r["doc_id"]: r for r in top_ngram_stats(
+        ray.data.from_arrow(t), n=2).take_all()}
+    for i, s in enumerate(texts):
+        w = s.split(" ")
+        if len(w) < 2:
+            exp_g, exp_c, exp_f = "", 0, 0.0
+        else:
+            grams = [w[j] + " " + w[j + 1] for j in range(len(w) - 1)]
+            cnt = collections.Counter(grams)
+            exp_g = min(cnt, key=lambda g: (-cnt[g], g))
+            exp_c = cnt[exp_g]
+            exp_f = exp_c * len(exp_g) / len(s)
+        r = out[i]
+        assert (r["top_gram"], r["gram_count"]) == (exp_g, exp_c), (i, s, r)
+        assert r["top_gram_char_frac"] == pytest.approx(exp_f)
+
+
 PII_SAMPLES = [
     "mail john.doe+x@sub.example.co.uk now",
     "server 10.0.0.1 and 192.168.255.255 up",

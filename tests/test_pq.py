@@ -108,6 +108,35 @@ def test_ann_ivf_pq_partial_probe_prunes_files(emb_ds, ivf_pq_dir):
     assert len(set(got["vec_id"]) & brute) >= 6
 
 
+def test_embedding_dedup_keep(ray_session):
+    """Planted near-duplicate vectors (tiny perturbations) must collapse
+    to their min-id representative; distant vectors all survive."""
+    import pyarrow as pa
+    import ray.data
+
+    from geomesa_ray.stages.similarity import embedding_dedup_keep
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = [base[i] for i in range(30)]
+    # ids 30..39: near-dups of ids 0..9 (cosine ≈ 1)
+    for i in range(10):
+        vecs.append(base[i] + 1e-4 * rng.standard_normal(64))
+    ids = list(range(40))
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    out = embedding_dedup_keep(
+        ray.data.from_arrow(t), threshold=0.999, n_shards=4
+    ).to_pandas()
+    kept = set(out["vec_id"])
+    assert set(range(30)) <= kept          # all originals survive
+    assert kept.isdisjoint(range(30, 40))  # every planted dup dropped
+
+
 def test_ann_pq_recall(emb_ds, books):
     """Non-degenerate config: ADC pre-selection with a bounded candidate
     set still recovers most of the true top-10."""
