@@ -127,7 +127,17 @@ def cmd_convert(args) -> dict:
     out = fn(args.input, **kwargs)
     ds = out[0] if isinstance(out, tuple) else out  # (ds, spec) readers
     ds.write_parquet(args.out)
-    return {"rows": ds.count(), "format": args.format}
+    # count from the written footers — ds.count() would re-execute the
+    # whole lazy converter pipeline a second time
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    rows = sum(
+        _pq.ParquetFile(p).metadata.num_rows
+        for p in _glob.glob(os.path.join(args.out, "*.parquet"))
+    )
+    return {"rows": rows, "format": args.format}
 
 
 def main(argv=None) -> int:

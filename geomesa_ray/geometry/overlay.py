@@ -334,7 +334,13 @@ def _gh_rings(subject: np.ndarray, clip: np.ndarray, op: str) -> list[np.ndarray
 def _attach_holes(rings: list[np.ndarray], holes) -> list[Polygon]:
     """Re-attach input holes to GH result rings: each hole is clipped
     against each result ring and attached where it overlaps; a ring whose
-    holes consume (essentially) all of its area is dropped."""
+    holes consume (essentially) all of its area is dropped.
+
+    Attached holes are made PAIRWISE DISJOINT: each new hole piece first
+    subsumes any already-attached hole it fully covers, then is
+    difference-clipped against the remaining ones — overlapping input
+    holes (e.g. coincident holes of both operands in an intersection)
+    subtract their union's area once, not twice."""
     polys: list[Polygon] = []
     for r in rings:
         rp = Polygon(r)
@@ -349,8 +355,32 @@ def _attach_holes(rings: list[np.ndarray], holes) -> list[Polygon]:
                 continue
             parts = inter.parts if isinstance(inter, MultiPolygon) else [inter]
             for p in parts:
-                if abs(ring_area(p.shell)) > _EPS:
-                    attached.append(p.shell)
+                if abs(ring_area(p.shell)) <= _EPS:
+                    continue
+                pp = Polygon(p.shell)
+                # an existing hole wholly inside the new piece is subsumed
+                attached = [
+                    e for e in attached
+                    if polygon_difference(Polygon(e), pp) is not None
+                ]
+                # clip the piece against the surviving holes so the
+                # attached set stays disjoint (pieces of e ⊄ pp carry no
+                # nested holes: e inside a piece would imply e inside pp)
+                pieces = [p.shell]
+                for e in attached:
+                    nxt: list[np.ndarray] = []
+                    ep = Polygon(e)
+                    for q in pieces:
+                        d = polygon_difference(Polygon(q), ep)
+                        if d is None:
+                            continue
+                        dparts = d.parts if isinstance(d, MultiPolygon) else [d]
+                        nxt.extend(
+                            dp.shell for dp in dparts
+                            if abs(ring_area(dp.shell)) > _EPS
+                        )
+                    pieces = nxt
+                attached.extend(pieces)
         if attached:
             net = r_area - sum(abs(ring_area(h)) for h in attached)
             if net <= _EPS:

@@ -50,13 +50,47 @@ def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest")
 
 
+def _enc_stat(v):
+    """Type-preserving JSON encoding for attr min/max: JSON natives pass
+    through; datetime/date/bytes get a type tag so a reloaded manifest
+    compares against typed query values (str vs datetime would raise)."""
+    import base64
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return {"$t": "datetime", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"$t": "date", "v": v.isoformat()}
+    if isinstance(v, (bytes, bytearray)):
+        return {"$t": "bytes", "v": base64.b64encode(bytes(v)).decode()}
+    return v
+
+
+def _dec_stat(v):
+    import base64
+    import datetime as _dt
+
+    if isinstance(v, dict) and "$t" in v:
+        if v["$t"] == "datetime":
+            return _dt.datetime.fromisoformat(v["v"])
+        if v["$t"] == "date":
+            return _dt.date.fromisoformat(v["v"])
+        if v["$t"] == "bytes":
+            return base64.b64decode(v["v"])
+    return v
+
+
 def _write_entry(out_dir: str, entry: AttrGroupEntry) -> None:
     d = _manifest_dir(out_dir)
     os.makedirs(d, exist_ok=True)
     final = os.path.join(d, f"group-{entry.group:05d}.json")
+    raw = asdict(entry)
+    for fs in raw["files"]:
+        fs["attr_min"] = _enc_stat(fs["attr_min"])
+        fs["attr_max"] = _enc_stat(fs["attr_max"])
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
-        json.dump(asdict(entry), f, default=str)
+        json.dump(raw, f, default=str)
     os.replace(tmp, final)
 
 
@@ -70,6 +104,9 @@ def load_attr_manifest(out_dir: str) -> dict[int, AttrGroupEntry]:
             continue
         with open(os.path.join(d, name)) as f:
             raw = json.load(f)
+        for fs in raw.get("files", []):
+            fs["attr_min"] = _dec_stat(fs["attr_min"])
+            fs["attr_max"] = _dec_stat(fs["attr_max"])
         raw["files"] = [AttrFileStats(**fs) for fs in raw.get("files", [])]
         entry = AttrGroupEntry(**raw)
         out[entry.group] = entry

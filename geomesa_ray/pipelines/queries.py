@@ -28,6 +28,23 @@ from geomesa_ray.stages.density import density
 from geomesa_ray.stages.join import pip_join_broadcast, pip_join_shuffle
 from geomesa_ray.stages.stats import StatSpec, compute_stats
 
+def _cached_layout(tag: str, key_src: str, build) -> str:
+    """Build-once /tmp layout cache shared by the indexed-layout queries:
+    ``build(out_dir)`` runs only when the ``_READY`` marker is absent (the
+    marker write is the commit point, so an interrupted build reruns)."""
+    import hashlib
+    import os
+
+    key = hashlib.sha1(key_src.encode()).hexdigest()[:10]
+    out = f"/tmp/geomesa_ray_{tag}_{key}"
+    if not os.path.exists(os.path.join(out, "_READY")):
+        os.makedirs(out, exist_ok=True)
+        build(out)
+        with open(os.path.join(out, "_READY"), "w") as f:
+            f.write("ok")
+    return out
+
+
 # fixed query geometry constants (shared with the SQL strings)
 BBOX = (-10.0, 40.0, 30.0, 60.0)
 TS_LO = "2024-01-05 00:00:00"
@@ -92,27 +109,21 @@ def events_extents(sf_dir: str) -> ray.data.Dataset:
 def _xz_extents_layout(sf_dir: str) -> str:
     """Cached XZ2/XZ3-keyed layout of the derived extents (resumable
     ingest, xz2-sorted group files + manifest key stats)."""
-    import hashlib
     import os
 
     import pyarrow.parquet as pq
 
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/geomesa_ray_xz_idx_{key}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
+    def build(out: str) -> None:
         from geomesa_ray.pipelines.xzindex import ingest_extents
 
-        os.makedirs(out, exist_ok=True)
         raw = os.path.join(out, "raw.parquet")
         parts = [b for b in events_extents(sf_dir).iter_batches(batch_format="pyarrow")]
         pq.write_table(pa.concat_tables(parts), raw)
         ingest_extents(
             raw, out, ts_col="ts", n_groups=2, target_rows_per_file=20_000
         )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return out
+
+    return _cached_layout("xz_idx", sf_dir, build)
 
 
 XZ_BBOX = (-10.0, 30.0, 25.0, 55.0)
@@ -271,23 +282,13 @@ def q_attr_filter(sf_dir: str) -> ray.data.Dataset:
 def _attr_layout(sf_dir: str) -> str:
     """Cached attr-sorted events layout (attrindex.py; built once per
     sf_dir, resumable)."""
-    import hashlib
-    import os
-
     from geomesa_ray.pipelines.attrindex import ingest_attr
 
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/geomesa_ray_attr_idx_{key}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
-        ingest_attr(
-            f"{sf_dir}/events.parquet", out, attr_col="event_type",
-            n_groups=1, target_rows_per_file=20_000,
-            columns=["event_id", "event_type", "value"],
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return out
+    return _cached_layout("attr_idx", sf_dir, lambda out: ingest_attr(
+        f"{sf_dir}/events.parquet", out, attr_col="event_type",
+        n_groups=1, target_rows_per_file=20_000,
+        columns=["event_id", "event_type", "value"],
+    ))
 
 
 def q_attr_indexed_filter(sf_dir: str) -> ray.data.Dataset:
@@ -352,20 +353,13 @@ def q_pip_join_sharded(sf_dir: str) -> ray.data.Dataset:
 
 def _ivf_layout(sf_dir: str, n_cells: int = 16) -> str:
     """Cached IVF-partitioned embedding layout (built once per sf_dir)."""
-    import hashlib
-    import os
-
     from geomesa_ray.stages.similarity import ingest_ivf
 
-    key = hashlib.sha1(f"{sf_dir}|{n_cells}".encode()).hexdigest()[:10]
-    out = f"/tmp/geomesa_ray_ivf_{key}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
+    def build(out: str) -> None:
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         ingest_ivf(ds, out, n_cells=n_cells, sample_rows=5000)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return out
+
+    return _cached_layout("ivf", f"{sf_dir}|{n_cells}", build)
 
 
 def q_ann_ivf_indexed(sf_dir: str) -> pa.Table:
@@ -396,21 +390,14 @@ def q_ann_ivf_indexed(sf_dir: str) -> pa.Table:
 
 def _ivf_pq_layout(sf_dir: str, n_cells: int = 16) -> str:
     """Cached IVF+PQ composed layout (built once per sf_dir)."""
-    import hashlib
-    import os
-
     from geomesa_ray.stages.similarity import ingest_ivf_pq
 
-    key = hashlib.sha1(f"{sf_dir}|{n_cells}|pq".encode()).hexdigest()[:10]
-    out = f"/tmp/geomesa_ray_ivfpq_{key}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
+    def build(out: str) -> None:
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         ingest_ivf_pq(ds, out, n_cells=n_cells, n_sub=8, n_codes=64,
                       sample_rows=5000)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return out
+
+    return _cached_layout("ivfpq", f"{sf_dir}|{n_cells}|pq", build)
 
 
 def q_ann_ivf_pq_topk(sf_dir: str) -> pa.Table:
@@ -464,18 +451,13 @@ def q_tile_agg(sf_dir: str) -> ray.data.Dataset:
 def _indexed_events_layout(sf_dir: str) -> str:
     """Cached z-ordered layout of the derived events points (built once per
     sf_dir via the resumable ingest; reruns skip complete groups)."""
-    import hashlib
     import os
 
     import pyarrow.parquet as pq
 
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/geomesa_ray_events_idx_{key}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
+    def build(out: str) -> None:
         from geomesa_ray.pipelines.ingest import ingest_pages
 
-        os.makedirs(out, exist_ok=True)
         raw = os.path.join(out, "raw.parquet")
         # materialize the derived points (small per sf tier) with a string id
         # and the layout's canonical timestamp column name (scan filters on
@@ -492,9 +474,8 @@ def _indexed_events_layout(sf_dir: str) -> str:
             raw, out, extract=False, id_col="url", ts_col="warc_ts",
             target_rows_per_file=20_000, n_groups=2,
         )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return out
+
+    return _cached_layout("events_idx", sf_dir, build)
 
 
 def q_knn_indexed(sf_dir: str) -> pa.Table:
@@ -1242,18 +1223,13 @@ def q_avro_events_by_type(sf_dir: str) -> ray.data.Dataset:
     files (from-scratch writer, deflate codec), re-ingested through the
     from-scratch Avro reader, and aggregated — proving the full Avro
     conversion path against the parquet-derived oracle."""
-    import hashlib
     import os
 
     import pyarrow.parquet as pq
 
     from geomesa_ray.sources.avro import read_avro, write_avro_file
 
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/geomesa_ray_avro_{key}"
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
-        os.makedirs(out, exist_ok=True)
+    def build(out_dir: str) -> None:
         tbl = pq.read_table(
             f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
         )
@@ -1261,11 +1237,11 @@ def q_avro_events_by_type(sf_dir: str) -> ray.data.Dataset:
         for i in range(0, len(tbl), shard):
             write_avro_file(
                 tbl.slice(i, shard),
-                os.path.join(out, f"part-{i // shard:04d}.avro"),
+                os.path.join(out_dir, f"part-{i // shard:04d}.avro"),
                 codec="deflate",
             )
-        with open(marker, "w") as f:
-            f.write("ok")
+
+    out = _cached_layout("avro", sf_dir, build)
     ds = read_avro(out)
     agg = ds.groupby("event_type").count()
     return agg.map_batches(
@@ -1283,7 +1259,6 @@ def q_sqlite_customer_stats(sf_dir: str) -> ray.data.Dataset:
     (reference JdbcConverter.scala:29-147 semantics), and aggregated per
     nation — proving the SQL-source conversion path against the
     parquet-derived oracle."""
-    import hashlib
     import os
     import sqlite3
 
@@ -1291,17 +1266,12 @@ def q_sqlite_customer_stats(sf_dir: str) -> ray.data.Dataset:
 
     from geomesa_ray.sources.jdbc import read_sqlite
 
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/geomesa_ray_sqlite_{key}"
-    db = os.path.join(out, "customer.db")
-    marker = os.path.join(out, "_READY")
-    if not os.path.exists(marker):
-        os.makedirs(out, exist_ok=True)
+    def build(out_dir: str) -> None:
         tbl = pq.read_table(
             f"{sf_dir}/customer.parquet",
             columns=["c_custkey", "c_nationkey", "c_mktsegment"],
         )
-        conn = sqlite3.connect(db)
+        conn = sqlite3.connect(os.path.join(out_dir, "customer.db"))
         conn.execute(
             "CREATE TABLE IF NOT EXISTS customer("
             "c_custkey INTEGER PRIMARY KEY, c_nationkey INTEGER, "
@@ -1318,10 +1288,11 @@ def q_sqlite_customer_stats(sf_dir: str) -> ray.data.Dataset:
         )
         conn.commit()
         conn.close()
-        with open(marker, "w") as f:
-            f.write("ok")
 
-    ds, _spec = read_sqlite(db, table="customer", partitions=4)
+    out = _cached_layout("sqlite", sf_dir, build)
+    ds, _spec = read_sqlite(
+        os.path.join(out, "customer.db"), table="customer", partitions=4
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np

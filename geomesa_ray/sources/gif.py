@@ -206,9 +206,10 @@ def gif_decode(data: bytes) -> list[np.ndarray]:
         prev_region = region.copy()
         canvas[iy:iy + ih, ix:ix + iw] = rgb
         frames.append(canvas.copy())
-        if disposal == 2:  # restore to background
+        if disposal == 2:  # restore to background (bg_idx indexes the GLOBAL
+            # color table per the spec — never a frame-local palette)
             canvas[iy:iy + ih, ix:ix + iw] = (
-                pal[bg_idx] if gct is not None else 0
+                gct[bg_idx] if gct is not None else 0
             )
         elif disposal == 3:  # restore to previous
             canvas[iy:iy + ih, ix:ix + iw] = prev_region

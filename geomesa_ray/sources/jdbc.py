@@ -42,6 +42,10 @@ def _chunk_to_table(names: list[str], rows: list[tuple], schema: pa.Schema) -> p
     by_idx = {n: i for i, n in enumerate(names)}
     for field in schema:
         if field.name not in by_idx:
+            # spec field absent from this statement's result set: emit a
+            # typed null column so every partition shares the declared
+            # schema (silent omission would make blocks disagree)
+            cols[field.name] = pa.nulls(len(rows), field.type)
             continue
         vals = [r[by_idx[field.name]] for r in rows]
         if pa.types.is_timestamp(field.type):

@@ -40,8 +40,12 @@ def explode_lines(batch: pa.Table, text_col: str, id_col: str,
     ``string_split('', sep) = ['']``.
     """
     splits = pc.split_pattern(batch[text_col], sep)
-    flat = pc.list_flatten(splits)
-    lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(splits)  # (null lists contribute no elements)
+    # a NULL text yields a null list → 0 lines, matching the SQL oracle's
+    # unnest(string_split(NULL, sep)) emitting no rows for that doc
+    lens = pc.fill_null(pc.list_value_length(splits), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
     doc_ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)
     # 1-based position within each doc: arange minus each segment's start
     ends = np.cumsum(lens)
@@ -224,7 +228,7 @@ def top_ngram_stats(ds: ray.data.Dataset, n: int = 2,
             .sort([id_col, "c", "g"], descending=[False, True, False])
             .unique(subset=[id_col], keep="first", maintain_order=True)
         )
-        text_len = pc.utf8_length(batch[text_col]).to_numpy(
+        text_len = pc.fill_null(pc.utf8_length(batch[text_col]), 0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
         base = pl.DataFrame(

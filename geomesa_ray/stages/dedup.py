@@ -450,6 +450,9 @@ def _assemble_sig_broadcast(id_col: str, num_perm: int, *tables: pa.Table):
                 b"".join(t["signature"].to_pylist()), dtype=np.uint64
             ).reshape(-1, num_perm)
         )
+    if not id_parts:  # empty / fully-filtered corpus
+        return (np.empty(0, dtype=np.int64),
+                np.empty((0, num_perm), dtype=np.uint64))
     all_ids = np.concatenate(id_parts)
     mat = np.concatenate(sig_parts)
     order = np.argsort(all_ids)

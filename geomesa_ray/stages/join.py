@@ -838,8 +838,11 @@ def _join_shard_group_payload(group: pa.Table, predicate: str, wkb_col: str,
                               attr_names: list[str]) -> pa.Table:
     """map_groups fn for the sharded-payload transport: parse this shard's
     polygon replicas (batch, zero-copy), segment by (cell, salt), probe,
-    and emit point columns + polygon attribute columns."""
-    helper = ["cell", "salt", "role", "__ovr__", "__shard__"]
+    and emit point columns + polygon attribute columns. ``cell`` is a
+    POINT column (each point has exactly one) and stays in the output —
+    same schema contract as the broadcast arm's _join_shard_group, so the
+    auto-selected transport never changes the result schema."""
+    helper = ["salt", "role", "__ovr__", "__shard__"]
     payload_cols = [n for n in group.schema.names if n.startswith("__p_")]
     point_names = [
         n for n in group.schema.names if n not in helper and not n.startswith("__p_")

@@ -110,6 +110,26 @@ def test_line_stats_brute(ray_session):
             dup_c / total_c if total_c else 0.0)
 
 
+def test_null_text_rows(ray_session):
+    """NULL text yields zero lines (mirroring SQL unnest of a NULL split)
+    instead of crashing the explode (round-3 review finding)."""
+    import ray.data
+
+    from geomesa_ray.stages.corpus import line_stats, top_ngram_stats
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b a", None, "c"], pa.string())})
+    out = explode_lines(t, "text", "doc_id", " ")
+    assert out["doc_id"].to_pylist() == [1, 1, 1, 3]
+    stats = {r["doc_id"]: r for r in line_stats(
+        ray.data.from_arrow(t), sep=" ").take_all()}
+    assert 2 not in stats and stats[1]["n_dup_lines"] == 1
+    ng = {r["doc_id"]: r for r in top_ngram_stats(
+        ray.data.from_arrow(t), n=2).take_all()}
+    assert ng[2]["top_gram"] == "" and ng[2]["gram_count"] == 0
+    assert ng[2]["top_gram_char_frac"] == 0.0
+
+
 def test_top_ngram_stats_brute(ray_session):
     import collections
 

@@ -230,3 +230,40 @@ def test_attr_ingest_resume_skips_complete_groups(ray_session, layout, tmp_path)
                      target_rows_per_file=500)
     assert {k: e.wall_time_s for k, e in m2.items()} == t1  # untouched
     assert sorted(load_attr_manifest(out)) == [0, 1]
+
+
+def test_attr_manifest_timestamp_roundtrip(ray_session, tmp_path):
+    """Timestamp attr min/max must survive the manifest's JSON round-trip
+    TYPED — a reloaded manifest compared str-vs-datetime used to raise at
+    plan time (round-3 review finding)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geomesa_ray.pipelines.attrindex import (
+        ingest_attr,
+        load_attr_manifest,
+        plan_attr_files,
+    )
+
+    ts = [datetime.datetime(2024, 1, d + 1) for d in range(20)]
+    tbl = pa.table({
+        "event_id": pa.array(range(20), pa.int64()),
+        "when": pa.array(ts, pa.timestamp("us")),
+    })
+    src = tmp_path / "src.parquet"
+    pq.write_table(tbl, src)
+    out = tmp_path / "ts_attr_idx"
+    ingest_attr([str(src)], str(out), attr_col="when", n_groups=2,
+                target_rows_per_file=5)
+    man = load_attr_manifest(str(out))
+    for entry in man.values():
+        for fs in entry.files:
+            assert isinstance(fs.attr_min, datetime.datetime), fs.attr_min
+    # typed range plan: no TypeError, and the window prunes files
+    lo = datetime.datetime(2024, 1, 3)
+    hi = datetime.datetime(2024, 1, 5)
+    files = plan_attr_files(str(out), lo=lo, hi=hi)
+    total = sum(len(e.files) for e in man.values())
+    assert 0 < len(files) < total

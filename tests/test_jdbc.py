@@ -73,6 +73,20 @@ def test_explicit_spec_and_empty_table(ray_session, example_db, tmp_path):
     assert sum(len(b) for b in ds.iter_batches(batch_format="pyarrow")) == 0
 
 
+def test_missing_spec_field_emits_typed_nulls(ray_session, example_db):
+    """A spec field absent from one statement's result set must appear as
+    a typed null column so every partition shares the declared schema
+    (round-3 review finding: silent omission made blocks disagree)."""
+    sql = "SELECT id, name FROM example\nSELECT id FROM example WHERE id < 3"
+    ds, _ = read_sqlite(example_db, sql=sql, spec="id:Integer,name:String")
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    for t in tables:
+        assert t.schema.names == ["id", "name"]
+    tbl = pa.concat_tables(tables)
+    assert len(tbl) == 13
+    assert tbl["name"].null_count == 3
+
+
 def test_bad_args(example_db):
     with pytest.raises(ValueError):
         read_sqlite(example_db)

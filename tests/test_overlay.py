@@ -98,6 +98,32 @@ def test_containment_cases():
     assert polygon_difference(small, RECT_A) is None
 
 
+def test_overlapping_holes_subtract_union_once():
+    """Holes of both operands that overlap (or coincide) must subtract
+    their UNION's area, not the sum — the attached holes are made pairwise
+    disjoint (round-3 review finding)."""
+    def rect(x0, y0, x1, y1):
+        return [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+
+    # identical holes in both operands
+    a = Polygon(rect(0, 0, 10, 10), holes=[rect(2, 2, 4, 4)])
+    b = Polygon(rect(0, 0, 10, 10), holes=[rect(2, 2, 4, 4)])
+    assert area(polygon_intersection(a, b)) == pytest.approx(96.0, abs=1e-6)
+
+    # partially overlapping holes: union area = 9 + 9 - 1
+    a = Polygon(rect(0, 0, 10, 10), holes=[rect(2, 2, 5, 5)])
+    b = Polygon(rect(0, 0, 10, 10), holes=[rect(4, 4, 7, 7)])
+    assert area(polygon_intersection(a, b)) == pytest.approx(83.0, abs=1e-6)
+
+    # review's killer case: ring area < sum of (double-counted) holes —
+    # the result used to be dropped entirely
+    a = Polygon(rect(0, 0, 1, 1), holes=[rect(0.1, 0.1, 0.9, 0.9)])
+    b = Polygon(rect(0, 0, 1, 1), holes=[rect(0.1, 0.1, 0.9, 0.9)])
+    g = polygon_intersection(a, b)
+    assert g is not None
+    assert area(g) == pytest.approx(0.36, abs=1e-6)
+
+
 def test_st_wrappers_roundtrip():
     col = pa.array([to_wkb(RECT_A), to_wkb(CONCAVE), None], pa.binary())
     inter = st_intersection(col, to_wkb(RECT_B))
