@@ -198,6 +198,8 @@ class XZ2SFC:
                 lo, hi = self._interval((el[0], el[1]), level, partial=False)
                 out.append(IndexRange(lo, hi, False))
 
+        if not out:  # empty query list -> no ranges, not IndexError
+            return []
         out.sort(key=lambda r: (r.lower, r.upper))
         merged: list[IndexRange] = []
         cur = out[0]
@@ -377,6 +379,8 @@ class XZ3SFC:
             else:
                 lo, hi = interval(el, level, False)
                 out.append(IndexRange(lo, hi, False))
+        if not out:  # empty query list -> no ranges, not IndexError
+            return []
         out.sort(key=lambda r: (r.lower, r.upper))
         merged: list[IndexRange] = []
         cur = out[0]

@@ -31,7 +31,20 @@ def compact_group(out_dir: str, group: int, target_rows_per_file: int = 1_000_00
         raise KeyError(f"group {group} not in manifest")
     entry = manifest[group]
     group_dir = os.path.join(out_dir, f"group={group}")
-    old_files = sorted(glob.glob(os.path.join(group_dir, "*.parquet")))
+    # The manifest entry is the committed file list. Any parquet in the
+    # dir NOT in it is an orphan of an uncommitted prior attempt (crash
+    # after publish, before the sweep + manifest write) — remove it first,
+    # or a rerun would concat both generations and double-count rows.
+    committed = {os.path.basename(fs.path) for fs in entry.files}
+    all_parquet = sorted(glob.glob(os.path.join(group_dir, "*.parquet")))
+    old_files = []
+    for f in all_parquet:
+        if os.path.basename(f) in committed:
+            old_files.append(f)
+        else:
+            os.remove(f)
+    for tmp in glob.glob(os.path.join(group_dir, "*.parquet.tmp")):
+        os.remove(tmp)
     if len(old_files) <= 1:
         return entry
     t0 = time.perf_counter()

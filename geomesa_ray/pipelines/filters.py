@@ -106,7 +106,10 @@ def extract_bboxes(f: Filter) -> list[tuple]:
         return [clipped] if clipped else []
     if isinstance(f, And):
         lists = [extract_bboxes(p) for p in f.parts]
-        lists = [l for l, p in zip(lists, f.parts) if _is_spatial(p)]
+        # [] means UNBOUNDED (e.g. an Or with a non-spatial arm), so an
+        # empty child list must be skipped, not intersected — it would
+        # annihilate every other arm's perfectly usable extent
+        lists = [l for l in lists if l]
         if not lists:
             return []
         acc = lists[0]

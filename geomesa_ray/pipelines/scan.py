@@ -156,7 +156,11 @@ def scan(out_dir: str, query: Query, period: TimePeriod = TimePeriod.WEEK) -> ra
     needs_exact = query.geometry is not None and not (
         isinstance(query.geometry, Polygon) and _is_rectangle(query.geometry)
     )
-    if needs_exact and not query.loose:
+    if needs_exact:
+        # ``loose`` only relaxes the bbox refinement (rectangular case,
+        # reference loose-bbox semantics) — a non-rectangular geometry
+        # ALWAYS gets the exact residual, or bbox-only false positives
+        # would leak into the result
         ds = ds.map_batches(_ResidualFilter(query.geometry), batch_format="pyarrow")
     if query.sample_nth is not None and query.sample_nth > 1:
         nth = query.sample_nth

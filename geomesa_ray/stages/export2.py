@@ -114,97 +114,104 @@ def _ring_cw(ring: np.ndarray) -> bool:
     return float(np.sum((x[1:] - x[:-1]) * (y[1:] + y[:-1]))) > 0
 
 
+def _dbf_field(defs_entry, v) -> bytes:
+    name, typ, ln, dec = defs_entry
+    if typ == b"N":
+        s = "" if v is None else (f"{v:.{dec}f}" if dec else str(int(v)))
+        return s.rjust(ln)[:ln].encode()
+    s = "" if v is None else str(v)
+    # pad/truncate in BYTES: the header declares a byte width, and
+    # multi-byte UTF-8 padded by characters would shift every following
+    # record; re-decode the cut so a split codepoint is dropped
+    b = s.encode("utf-8", "replace")[:ln]
+    b = b.decode("utf-8", "ignore").encode("utf-8")
+    return b.ljust(ln)
+
+
 def write_shapefile(ds: ray.data.Dataset, base_path: str,
                     geom_col: str = "geom_wkb") -> int:
     """Dataset with a WKB geometry column + attribute columns → .shp/.shx/.dbf
     triple at ``base_path`` (no extension). Attributes: int64 → N(18),
-    float64 → N(24,9), everything else → C(64). Returns record count."""
-    shp_records: list[bytes] = []
+    float64 → N(24,9), everything else → C(64). Returns record count.
+
+    Streams: record bodies spool to temp files batch-by-batch (the format
+    needs counts/bbox in its headers, a classic two-pass), so the driver
+    holds one batch at a time — never the dataset."""
+    import shutil
+    import tempfile
+
     shape_type = None
     attr_names: list[str] | None = None
-    attr_rows: list[list] = []
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        cols = [c for c in batch.schema.names if c != geom_col]
-        if attr_names is None:
-            attr_names = cols
-            attr_types = [batch.schema.field(c).type for c in cols]
-        data = {c: batch[c].to_pylist() for c in cols}
-        for i, wkb in enumerate(batch[geom_col].to_pylist()):
-            stype, body = _shp_record(from_wkb(wkb))
-            if shape_type is None:
-                shape_type = stype
-            elif stype != shape_type:
-                raise ValueError("mixed shape types in one shapefile")
-            shp_records.append(body)
-            attr_rows.append([data[c][i] for c in cols])
-    n = len(shp_records)
-    if n == 0:
-        raise ValueError("no records to write")
-
-    # bbox over all records
-    bboxes = []
-    for body in shp_records:
-        stype = struct.unpack_from("<i", body, 0)[0]
-        if stype == 1:
-            x, y = struct.unpack_from("<2d", body, 4)
-            bboxes.append((x, y, x, y))
-        else:
-            bboxes.append(struct.unpack_from("<4d", body, 4))
-    bb = np.array(bboxes)
-    xmin, ymin = bb[:, 0].min(), bb[:, 1].min()
-    xmax, ymax = bb[:, 2].max(), bb[:, 3].max()
-
-    def header(total_words: int) -> bytes:
-        return (
-            struct.pack(">i5i i", 9994, 0, 0, 0, 0, 0, total_words)
-            + struct.pack("<2i", 1000, shape_type)
-            + struct.pack("<8d", xmin, ymin, xmax, ymax, 0, 0, 0, 0)
-        )
-
-    # .shp
-    shp_body = b""
-    shx_body = b""
+    defs: list[tuple] = []
+    n = 0
     offset_words = 50
-    for idx, body in enumerate(shp_records):
-        words = len(body) // 2
-        shp_body += struct.pack(">2i", idx + 1, words) + body
-        shx_body += struct.pack(">2i", offset_words, words)
-        offset_words += 4 + words
-    with open(base_path + ".shp", "wb") as f:
-        f.write(header(offset_words))
-        f.write(shp_body)
-    with open(base_path + ".shx", "wb") as f:
-        f.write(header(50 + 4 * n))
-        f.write(shx_body)
-
-    # .dbf (dBase III)
-    defs = []
-    for name, t in zip(attr_names, attr_types):
-        if pa.types.is_integer(t):
-            defs.append((name[:10], b"N", 18, 0))
-        elif pa.types.is_floating(t):
-            defs.append((name[:10], b"N", 24, 9))
-        else:
-            defs.append((name[:10], b"C", 64, 0))
-    rec_len = 1 + sum(d[2] for d in defs)
-    hdr_len = 32 + 32 * len(defs) + 1
-    with open(base_path + ".dbf", "wb") as f:
-        f.write(struct.pack("<B3B i 2H 20x", 3, 24, 1, 1, n, hdr_len, rec_len))
-        for name, typ, ln, dec in defs:
-            f.write(struct.pack("<11s c 4x B B 14x", name.encode(), typ, ln, dec))
-        f.write(b"\x0d")
-        for row in attr_rows:
-            f.write(b" ")
-            for (name, typ, ln, dec), v in zip(defs, row):
-                if typ == b"N":
-                    s = "" if v is None else (
-                        f"{v:.{dec}f}" if dec else str(int(v))
-                    )
-                    f.write(s.rjust(ln)[:ln].encode())
+    xmin = ymin = float("inf")
+    xmax = ymax = float("-inf")
+    with tempfile.TemporaryFile() as shp_spool, \
+            tempfile.TemporaryFile() as shx_spool, \
+            tempfile.TemporaryFile() as dbf_spool:
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            cols = [c for c in batch.schema.names if c != geom_col]
+            if attr_names is None:
+                attr_names = cols
+                for name, t in zip(cols, (batch.schema.field(c).type for c in cols)):
+                    if pa.types.is_integer(t):
+                        defs.append((name[:10], b"N", 18, 0))
+                    elif pa.types.is_floating(t):
+                        defs.append((name[:10], b"N", 24, 9))
+                    else:
+                        defs.append((name[:10], b"C", 64, 0))
+            data = {c: batch[c].to_pylist() for c in cols}
+            for i, wkb in enumerate(batch[geom_col].to_pylist()):
+                stype, body = _shp_record(from_wkb(wkb))
+                if shape_type is None:
+                    shape_type = stype
+                elif stype != shape_type:
+                    raise ValueError("mixed shape types in one shapefile")
+                n += 1
+                words = len(body) // 2
+                shp_spool.write(struct.pack(">2i", n, words) + body)
+                shx_spool.write(struct.pack(">2i", offset_words, words))
+                offset_words += 4 + words
+                if stype == 1:
+                    x, y = struct.unpack_from("<2d", body, 4)
+                    bx0, by0, bx1, by1 = x, y, x, y
                 else:
-                    s = "" if v is None else str(v)
-                    f.write(s.ljust(ln)[:ln].encode("utf-8", "replace"))
-        f.write(b"\x1a")
+                    bx0, by0, bx1, by1 = struct.unpack_from("<4d", body, 4)
+                xmin, ymin = min(xmin, bx0), min(ymin, by0)
+                xmax, ymax = max(xmax, bx1), max(ymax, by1)
+                dbf_spool.write(b" ")
+                for d, c in zip(defs, cols):
+                    dbf_spool.write(_dbf_field(d, data[c][i]))
+        if n == 0:
+            raise ValueError("no records to write")
+
+        def header(total_words: int) -> bytes:
+            return (
+                struct.pack(">i5i i", 9994, 0, 0, 0, 0, 0, total_words)
+                + struct.pack("<2i", 1000, shape_type)
+                + struct.pack("<8d", xmin, ymin, xmax, ymax, 0, 0, 0, 0)
+            )
+
+        for spool, path, hdr in (
+            (shp_spool, base_path + ".shp", header(offset_words)),
+            (shx_spool, base_path + ".shx", header(50 + 4 * n)),
+        ):
+            spool.seek(0)
+            with open(path, "wb") as f:
+                f.write(hdr)
+                shutil.copyfileobj(spool, f)
+
+        rec_len = 1 + sum(d[2] for d in defs)
+        hdr_len = 32 + 32 * len(defs) + 1
+        dbf_spool.seek(0)
+        with open(base_path + ".dbf", "wb") as f:
+            f.write(struct.pack("<B3B i 2H 20x", 3, 24, 1, 1, n, hdr_len, rec_len))
+            for name, typ, ln, dec in defs:
+                f.write(struct.pack("<11s c 4x B B 14x", name.encode(), typ, ln, dec))
+            f.write(b"\x0d")
+            shutil.copyfileobj(dbf_spool, f)
+            f.write(b"\x1a")
     return n
 
 

@@ -92,6 +92,7 @@ class Enumeration(Stat):
         self.overflowed = False
 
     def observe(self, values):
+        values = _drop_none(values)  # np.unique sorts, and None < str raises
         uniq, cnt = np.unique(values, return_counts=True)
         for v, c in zip(uniq.tolist(), cnt.tolist()):
             if v is None:
@@ -309,6 +310,17 @@ class StatSpec:
         return make_stat(self.kind, **self.kwargs)
 
 
+def _drop_none(values) -> np.ndarray:
+    """Strip None entries from an object array (nullable string columns)
+    before sort-based kernels; numeric arrays pass through untouched."""
+    values = np.asarray(values)
+    if values.dtype == object:
+        mask = np.fromiter((v is not None for v in values), bool, len(values))
+        if not mask.all():
+            return values[mask]
+    return values
+
+
 def _column_values(batch: pa.Table, column) -> np.ndarray:
     if isinstance(column, (list, tuple)):
         return np.stack(
@@ -338,6 +350,17 @@ class _StatsPartial:
                 groups: dict[Any, Stat] = {}
                 keys = batch[spec.group_by].to_numpy(zero_copy_only=False)
                 vals = _column_values(batch, spec.column)
+                if keys.dtype == object:
+                    # null group keys would break the sort (None < str);
+                    # collect them under the None group explicitly
+                    null_mask = np.fromiter(
+                        (k is None for k in keys), bool, len(keys)
+                    )
+                    if null_mask.any():
+                        st = spec.build()
+                        st.observe(vals[null_mask])
+                        groups[None] = st
+                        keys, vals = keys[~null_mask], vals[~null_mask]
                 order = np.argsort(keys, kind="stable")
                 skeys = keys[order]
                 uniq, starts = np.unique(skeys, return_index=True)

@@ -45,6 +45,20 @@ class GroupEntry:
     files: list[FileStats] = field(default_factory=list)
 
 
+def _ts_to_ms(v) -> int:
+    """Parquet timestamp stat → epoch ms. Parquet naive timestamps are
+    UTC by convention; ``datetime.timestamp()`` on a naive value would
+    apply the HOST timezone and shift every stat by the UTC offset, so
+    naive values are stamped UTC first."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1000)
+    return int(v)
+
+
 def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest")
 
@@ -124,8 +138,8 @@ def collect_file_stats(files: list[str]) -> list[FileStats]:
                     continue
                 lo, hi = st.min, st.max
                 if name == "warc_ts":
-                    lo = int(lo.timestamp() * 1000) if hasattr(lo, "timestamp") else int(lo)
-                    hi = int(hi.timestamp() * 1000) if hasattr(hi, "timestamp") else int(hi)
+                    lo = _ts_to_ms(lo)
+                    hi = _ts_to_ms(hi)
                 mins[name] = min(mins.get(name, lo), lo)
                 maxs[name] = max(maxs.get(name, hi), hi)
         out.append(

@@ -62,10 +62,15 @@ class StreamingUpsert:
         return os.path.join(self.state_dir, f"view-{gen:06d}")
 
     def view(self) -> ray.data.Dataset | None:
-        """The current live view (None before the first poll)."""
+        """The current live view (None before the first poll or when the
+        view is empty — TTL expiry can legitimately drain it, in which
+        case the generation dir holds no parquet files)."""
         gen = self._ckpt["generation"]
         d = self._view_dir(gen)
         if gen == 0 or not os.path.isdir(d):
+            return None
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        if not files:
             return None
         return ray.data.read_parquet(d)
 
@@ -82,13 +87,46 @@ class StreamingUpsert:
         pending = self.pending_segments()
         if not pending:
             return {"segments": 0, "view_rows": None}
-        updates = ray.data.read_parquet(
-            [os.path.join(self.source_dir, f) for f in pending]
-        )
         cur = self.view()
+        seq_col = self.seq_col
+        if seq_col is None:
+            # No caller-supplied sequence: equal-event-time ties would
+            # otherwise resolve by block arrival order (nondeterministic
+            # after the union+shuffle), breaking replay idempotency.
+            # Synthesize a persistent per-segment rank: later segments
+            # win ties, and the view carries each row's winning rank so
+            # a crash-replay resolves identically.
+            import pyarrow as pa
+
+            seq_col = "__seq__"
+            base = int(self._ckpt.get("next_seq", 1))
+
+            def stamp(seq_val):
+                def f(b: pa.Table) -> pa.Table:
+                    if "__seq__" in b.schema.names:
+                        return b
+                    return b.append_column(
+                        "__seq__", pa.array([seq_val] * len(b), pa.int64())
+                    )
+                return f
+
+            parts = [
+                ray.data.read_parquet(
+                    os.path.join(self.source_dir, f)
+                ).map_batches(stamp(base + i), batch_format="pyarrow")
+                for i, f in enumerate(pending)
+            ]
+            updates = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+            if cur is not None:
+                # pre-__seq__ views (older state dirs) default to rank 0
+                cur = cur.map_batches(stamp(0), batch_format="pyarrow")
+        else:
+            updates = ray.data.read_parquet(
+                [os.path.join(self.source_dir, f) for f in pending]
+            )
         merged = latest_view(
             updates if cur is None else cur.union(updates),
-            id_col=self.id_col, time_col=self.time_col, seq_col=self.seq_col,
+            id_col=self.id_col, time_col=self.time_col, seq_col=seq_col,
         )
         if self.ttl_ms is not None and now_ms is not None:
             merged = expire(merged, now_ms, ttl_ms=self.ttl_ms,
@@ -103,10 +141,19 @@ class StreamingUpsert:
         if os.path.isdir(out_dir):
             shutil.rmtree(out_dir)
         os.replace(tmp, out_dir)  # atomic publish of the new generation
-        rows = ray.data.read_parquet(out_dir).count()
+        # count from the written footers: re-reading would re-execute the
+        # merge, and an EMPTY view writes no files at all (read_parquet on
+        # the bare dir would raise and wedge the consumer)
+        import pyarrow.parquet as _pq
+
+        rows = sum(
+            _pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+            for f in os.listdir(out_dir) if f.endswith(".parquet")
+        )
         new_ckpt = {
             "generation": new_gen,
             "consumed": sorted(self.consumed | set(pending)),
+            "next_seq": int(self._ckpt.get("next_seq", 1)) + len(pending),
         }
         fd, ctmp = tempfile.mkstemp(dir=self.state_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:

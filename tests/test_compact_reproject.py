@@ -282,3 +282,29 @@ def test_register_crs_and_composed_pair():
 
     with pytest.raises(ValueError):
         register_crs("TEST:BAD", proj="merc")
+
+
+def test_compact_rerun_after_publish_crash_no_double_count(ray_session, tmp_path):
+    """Crash window: a compaction that published its files but died before
+    the old-file sweep + manifest write must NOT double-count rows when
+    rerun — uncommitted compact files are orphans (round-3 review)."""
+    import shutil
+
+    from geomesa_ray.pipelines.compact import compact_group
+    from geomesa_ray.state.manifest import load_manifest
+
+    raw, idx = tmp_path / "raw", tmp_path / "idx"
+    raw.mkdir()
+    write_pages_parquet(str(raw), 2000, seed=77, shard_rows=500)
+    ingest_pages(str(raw), str(idx), n_groups=1, target_rows_per_file=300)
+    rows_before = load_manifest(str(idx))[0].rows_out
+    group_dir = f"{idx}/group=0"
+    originals = sorted(glob.glob(f"{group_dir}/*.parquet"))
+    # simulate the crashed attempt: published compact files, manifest and
+    # originals untouched
+    for i, f in enumerate(originals[:2]):
+        shutil.copy(f, f"{group_dir}/compact-g000-{i:05d}.parquet")
+    entry = compact_group(str(idx), 0, target_rows_per_file=10_000)
+    assert entry.rows_out == rows_before
+    q = Query(bbox=(-180, -90, 180, 90))
+    assert len(scan(str(idx), q).to_pandas()) == rows_before

@@ -323,3 +323,23 @@ def test_stats_tree_merge_bounded_driver(ray_session, geo_table):
     flat = compute_stats(ds, specs, batch_size=97, max_driver_partials=10_000)
     tree = compute_stats(ds, specs, batch_size=97, fanin=3, max_driver_partials=2)
     assert flat == tree
+
+
+def test_enumeration_topk_with_nulls(ray_session):
+    """Nullable string columns must not crash the sort-based stat kernels
+    (round-3 review finding): nulls are skipped, null group keys get
+    their own group."""
+    import ray.data
+
+    from geomesa_ray.stages.stats import StatSpec, compute_stats
+
+    t = pa.table({
+        "k": pa.array(["a", None, "a", "b", None], pa.string()),
+        "v": pa.array(["x", "y", None, "x", "z"], pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    res = compute_stats(ds, [StatSpec("e", "enumeration", "v")])
+    assert res["e"] == {"x": 2, "y": 1, "z": 1}
+    res2 = compute_stats(ds, [StatSpec("g", "enumeration", "v", group_by="k")])
+    assert res2["g"]["a"] == {"x": 1}
+    assert res2["g"][None] == {"y": 1, "z": 1}

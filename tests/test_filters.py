@@ -92,3 +92,14 @@ def test_scan_with_filter_vs_oracle(ray_session, tmp_path):
     # plan() splits: extents present, residual = full filter
     fp = plan(f)
     assert len(fp.bboxes) == 2 and len(fp.intervals) == 1
+
+
+def test_and_with_unbounded_or_arm_keeps_sibling_bbox():
+    """An Or arm containing a non-spatial predicate is UNBOUNDED ([]);
+    And must skip it, not intersect-annihilate the sibling's tight bbox
+    (round-3 review finding)."""
+    f = And(
+        BBox(-10, 40, 30, 60),
+        Or(BBox(0, 0, 1, 1), AttrEq("t", "x")),
+    )
+    assert extract_bboxes(f) == [(-10, 40, 30, 60)]

@@ -116,3 +116,41 @@ def test_orphan_generation_dir_recovers(ray_session, dirs):
     r = c.poll()
     assert r["segments"] == 1 and r["view_rows"] == 3
     assert sorted(c.view().to_pandas()["fid"]) == [1, 2, 3]
+
+
+def test_empty_view_does_not_wedge(ray_session, dirs):
+    """TTL expiry draining the WHOLE view must produce a working empty
+    generation — the next poll continues instead of raising on an empty
+    parquet dir (round-3 review finding)."""
+    src, state = dirs
+    c = StreamingUpsert(src, state, ttl_ms=100)
+    _segment(os.path.join(src, "seg-000.parquet"), [1], [1000], [1.0])
+    r = c.poll(now_ms=5000)  # everything expired
+    assert r["view_rows"] == 0
+    assert c.view() is None
+    # consumer continues normally on the next segment
+    _segment(os.path.join(src, "seg-001.parquet"), [7], [6000], [7.0])
+    r2 = c.poll(now_ms=6100)
+    assert r2["view_rows"] == 1
+    assert c.view().to_pandas()["fid"].tolist() == [7]
+
+
+def test_equal_ts_tie_resolves_by_segment_order(ray_session, dirs):
+    """Without a caller seq_col, equal event-time ties must resolve by
+    SEGMENT order deterministically (later segment wins), including
+    across polls and replays (round-3 review finding)."""
+    src, state = dirs
+    c = StreamingUpsert(src, state)
+    _segment(os.path.join(src, "seg-000.parquet"), [1], [1000], [1.0])
+    _segment(os.path.join(src, "seg-001.parquet"), [1], [1000], [2.0])
+    c.poll()
+    assert c.view().to_pandas()["value"].tolist() == [2.0]
+    # a replayed equal-ts update from an EARLIER-ranked segment never
+    # regresses the view on a fresh consumer over the same topic
+    c2 = StreamingUpsert(src, state + "_b")
+    c2.poll()
+    assert c2.view().to_pandas()["value"].tolist() == [2.0]
+    # and a later segment with the same ts takes over
+    _segment(os.path.join(src, "seg-002.parquet"), [1], [1000], [3.0])
+    c.poll()
+    assert c.view().to_pandas()["value"].tolist() == [3.0]

@@ -108,3 +108,11 @@ def test_xz3_cover_properties():
     for w in CONTAINING:
         win = (w[0], w[1], 0.8 * mo, w[2], w[3], 0.9 * mo)
         assert not covered(code, sfc.ranges([win], max_ranges=None)), w
+
+
+def test_ranges_empty_query_list():
+    """ranges([]) returns [] instead of IndexError (round-3 review)."""
+    from geomesa_ray.curves.xz import XZ2SFC, XZ3SFC
+
+    assert XZ2SFC(12).ranges([]) == []
+    assert XZ3SFC(12).ranges([]) == []
