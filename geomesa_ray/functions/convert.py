@@ -50,15 +50,15 @@ def strip_prefix(col, prefix: str):
 
 
 def strip_suffix(col, suffix: str):
+    # vectorized: replace the suffix occurrence at position len-|suffix|
+    # (utf8_replace_slice is positional, so gate on ends_with)
+    if not suffix:
+        return col
     ends = pc.ends_with(col, suffix)
-    n = pc.utf8_length(col)
-    sliced = pc.utf8_slice_codeunits(col, 0, None)
-    # no direct "slice to len-k" kernel with per-row stop: fall back
-    out = [
-        s[: -len(suffix)] if s is not None and s.endswith(suffix) else s
-        for s in col.to_pylist()
-    ]
-    return pa.array(out, pa.string())
+    stripped = pc.utf8_replace_slice(
+        col, start=-len(suffix), stop=2**31 - 1, replacement=""
+    )
+    return pc.if_else(ends, stripped, col)
 
 
 def remove(col, piece: str):

@@ -242,8 +242,8 @@ def geohash_encode(lon: float, lat: float, precision: int = 12) -> str:
     return "".join(out)
 
 
-def geohash_decode(gh: str) -> tuple[float, float]:
-    """Geohash → (lon, lat) cell-center."""
+def geohash_cell(gh: str) -> tuple[float, float, float, float]:
+    """Geohash → (lon_lo, lat_lo, lon_hi, lat_hi) cell bounds."""
     lat_lo, lat_hi = -90.0, 90.0
     lon_lo, lon_hi = -180.0, 180.0
     even = True
@@ -264,6 +264,12 @@ def geohash_decode(gh: str) -> tuple[float, float]:
                 else:
                     lat_hi = mid
             even = not even
+    return (lon_lo, lat_lo, lon_hi, lat_hi)
+
+
+def geohash_decode(gh: str) -> tuple[float, float]:
+    """Geohash → (lon, lat) cell-center."""
+    lon_lo, lat_lo, lon_hi, lat_hi = geohash_cell(gh)
     return ((lon_lo + lon_hi) / 2, (lat_lo + lat_hi) / 2)
 
 
@@ -275,11 +281,23 @@ def st_geohash(lon_col, lat_col, precision: int = 12) -> pa.Array:
     )
 
 
-def st_geom_from_geohash(col, precision: int = 12) -> pa.Array:
+def st_geom_from_geohash(col, precision: int | None = None) -> pa.Array:
+    """Geohash → the cell's BOUNDING-BOX polygon (reference
+    st_geomFromGeoHash semantics, GeometricConstructorFunctions — a
+    zero-area center point would fail every containment test).
+    ``precision`` (chars) truncates the hash before decoding; None uses
+    the full hash."""
+    from geomesa_ray.geometry.base import box as _box
+
     out = []
     for gh in _pylist(col):
-        lon, lat = geohash_decode(gh)
-        out.append(Point(lon, lat))
+        if gh is None:
+            out.append(None)
+            continue
+        if precision is not None:
+            gh = gh[:precision]
+        lon_lo, lat_lo, lon_hi, lat_hi = geohash_cell(gh)
+        out.append(_box(lon_lo, lat_lo, lon_hi, lat_hi))
     return geoms_to_wkb(out)
 
 

@@ -134,24 +134,21 @@ def _seg_intersection_points(a1, a2, b1, b2):
         proper = True
         return pts, proper, coll
     if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0:
-        # collinear: project onto the major axis
-        if abs(ax2 - ax1) >= abs(ay2 - ay1):
-            amin, amax = sorted([(ax1, ay1), (ax2, ay2)])
-            bmin, bmax = sorted([(bx1, by1), (bx2, by2)])
-        else:
-            amin, amax = sorted([(ax1, ay1), (ax2, ay2)], key=lambda p: p[1])
-            bmin, bmax = sorted([(bx1, by1), (bx2, by2)], key=lambda p: p[1])
-        lo = max(amin, bmin)
-        hi = min(amax, bmax)
-        if lo == hi:
+        # collinear: compare ONLY along the major axis (the dominant
+        # coordinate is strictly monotonic along the carrier line, so a
+        # single scalar ordering is exact; lexicographic tuple min/max
+        # would compare x first even for y-major steep segments and miss
+        # negative-slope overlaps)
+        key = 0 if abs(ax2 - ax1) >= abs(ay2 - ay1) else 1
+        amin, amax = sorted([(ax1, ay1), (ax2, ay2)], key=lambda p: p[key])
+        bmin, bmax = sorted([(bx1, by1), (bx2, by2)], key=lambda p: p[key])
+        lo = amin if amin[key] >= bmin[key] else bmin
+        hi = amax if amax[key] <= bmax[key] else bmax
+        if lo[key] < hi[key]:
+            pts.extend([lo, hi])
+            coll = True
+        elif lo[key] == hi[key]:
             pts.append(lo)
-        elif (lo[0], lo[1]) <= (hi[0], hi[1]):
-            key = 0 if abs(ax2 - ax1) >= abs(ay2 - ay1) else 1
-            if lo[key] < hi[key] or (lo[key] == hi[key] and lo != hi):
-                pts.extend([lo, hi])
-                coll = True
-            elif lo == hi:
-                pts.append(lo)
         return pts, proper, coll
     # touching at an endpoint / endpoint on interior
     for (px, py) in [(ax1, ay1), (ax2, ay2)]:

@@ -69,7 +69,17 @@ def _read(buf: memoryview, pos: int):
     pos += 1
     (code,) = struct.unpack_from(endian + "I", buf, pos)
     pos += 4
-    code = code & 0xFF  # strip SRID/dimension flags if present
+    # EWKB flag bits: SRID payload must be SKIPPED (4 bytes), and Z/M
+    # extra coordinates change the stride — reading them as 2-D would
+    # silently produce garbage coordinates, so they raise instead
+    if code & 0x20000000:  # EWKB SRID flag: consume the srid
+        pos += 4
+    if code & 0xC0000000 or (code & 0x1FFFFFFF) >= 1000:
+        # EWKB Z/M flags or ISO +1000/+2000/+3000 type offsets
+        raise NotImplementedError(
+            "Z/M-dimensioned WKB is not supported (2-D only)"
+        )
+    code = code & 0xFF
     if code == _POINT:
         x, y = struct.unpack_from(endian + "2d", buf, pos)
         return Point(x, y), pos + 16
@@ -211,6 +221,12 @@ def wkb_envelopes(arr) -> np.ndarray:
         pos += 1
         (code,) = struct.unpack_from(endian + "I", mv, pos)
         pos += 4
+        if code & 0x20000000:  # EWKB SRID payload (same contract as _read)
+            pos += 4
+        if code & 0xC0000000 or (code & 0x1FFFFFFF) >= 1000:
+            raise NotImplementedError(
+                "Z/M-dimensioned WKB is not supported (2-D only)"
+            )
         code = code & 0xFF
         if code == _POINT:
             x, y = struct.unpack_from(endian + "2d", mv, pos)

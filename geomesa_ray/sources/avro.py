@@ -318,9 +318,22 @@ def write_avro_file(table: pa.Table, path: str, codec: str = "null",
     for c in table.schema.names:
         col = table[c]
         if pa.types.is_timestamp(col.type):
-            if col.type.unit == "ns":  # avro has no nanos: truncate to us
-                col = col.cast(pa.timestamp("us", tz=col.type.tz))
-            col = col.cast(pa.int64())
+            # epoch ints in the SOURCE unit, then unit-aware scaling to
+            # the declared logical type (s/ms → millis, us/ns → micros).
+            # Never .cast(pa.timestamp(...)) across units — it raises on
+            # truncation (CLAUDE.md); ns truncates to us by design.
+            import pyarrow.compute as _pc
+
+            ints = _pc.fill_null(col.cast(pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)  # int64 throughout — no float round-trip
+            unit = col.type.unit
+            if unit == "s":
+                ints = ints * 1000
+            elif unit == "ns":
+                ints = ints // 1000
+            mask = col.is_null().to_numpy(zero_copy_only=False)
+            col = pa.array(ints, pa.int64(), mask=mask)
         pydata.append(col.to_pylist())
     n = len(table)
     for lo in range(0, n, rows_per_block):

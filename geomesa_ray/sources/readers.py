@@ -117,11 +117,17 @@ def read_delimited(
                 continue
             col = batch[field.name]
             if pa.types.is_timestamp(field.type):
-                # parse as zoneless ISO then assume UTC (tz-aware casts
-                # require an explicit zone offset in the string)
-                naive = pc.cast(
-                    pc.cast(col, pa.string()), pa.timestamp(field.type.unit)
+                # parse as zoneless ISO then assume UTC — the zoneless
+                # cast REJECTS explicit offsets, so the common 'Z' /
+                # '+00:00' UTC suffixes are stripped first (infer_type
+                # accepts them, and jdbc.py strips them the same way)
+                strs = pc.replace_substring(
+                    pc.replace_substring(
+                        pc.cast(col, pa.string()), "Z", ""
+                    ),
+                    "+00:00", "",
                 )
+                naive = pc.cast(strs, pa.timestamp(field.type.unit))
                 out[field.name] = (
                     pc.assume_timezone(naive, field.type.tz)
                     if field.type.tz
@@ -184,7 +190,11 @@ def read_fixed_width(
                 continue
             col = batch[field.name]
             if pa.types.is_timestamp(field.type):
-                naive = pc.cast(col, pa.timestamp(field.type.unit))
+                strs = pc.replace_substring(
+                    pc.replace_substring(pc.cast(col, pa.string()), "Z", ""),
+                    "+00:00", "",
+                )  # zoneless cast rejects UTC suffixes (see read_delimited)
+                naive = pc.cast(strs, pa.timestamp(field.type.unit))
                 out[field.name] = (
                     pc.assume_timezone(naive, field.type.tz) if field.type.tz else naive
                 )

@@ -234,7 +234,8 @@ class MinHasher:
         self.seed = seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+        # null text hashes like the empty string (real corpora have them)
+        texts = [t or "" for t in batch[self.text_col].to_pylist()]
         sig = minhash_signature_batch(texts, self.num_perm, self.shingle_k, self.seed)
         out = {self.id_col: batch[self.id_col]}
         # band hash: mix the band's row values into one int64 key
@@ -476,8 +477,11 @@ def minhash_lsh_pairs(
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash-LSH, verified by signature Jaccard
     ≥ ``threshold``. Returns a DATASET of (left_id, right_id, est_jaccard)
-    sorted by (left_id, right_id) — the pair set never lands on the driver
-    (feed it to :func:`cluster_pairs_dataset` / :func:`dedup_keep`, or
+    sorted by (left_id, right_id) when the tree-merge converges to one
+    block (the normal case); the gigantic-pair-set fallback (> ~4M rows
+    per block after merging) is exact and deduplicated but only per-block
+    sorted — the pair set never lands on the driver (feed it to
+    :func:`cluster_pairs_dataset` / :func:`dedup_keep`, or
     ``write_parquet`` it).
 
     Signature transport: when the matrix lands between
@@ -794,6 +798,10 @@ def simhash_batch(texts, seed: int = 42) -> np.ndarray:
     else:
         arr = pa.array(texts, pa.string())
     arr = arr.cast(pa.string())
+    if arr.null_count:  # null text votes like the empty string
+        import pyarrow.compute as _pc
+
+        arr = _pc.fill_null(arr, "")
     n_docs = len(arr)
     out = np.zeros(n_docs, dtype=np.uint64)
     if n_docs == 0:

@@ -101,7 +101,8 @@ class ExtractGeo:
             ),
             False,
         )
-        n_bad = len(out) - pc.sum(pc.cast(valid, pa.int64())).as_py()
+        # pc.sum of a zero-row array is null, not 0 — guard the empty batch
+        n_bad = len(out) - (pc.sum(pc.cast(valid, pa.int64())).as_py() or 0)
         self.n_ok += len(out) - n_bad
         self.n_dropped += n_bad
         if self.error_mode == "raise" and n_bad:

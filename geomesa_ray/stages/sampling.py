@@ -11,26 +11,19 @@ import ray.data
 
 def sample_every_nth(ds: ray.data.Dataset, n: int,
                      order_col: str) -> ray.data.Dataset:
-    """Keep every nth record globally, ordered by ``order_col``.
-
-    Global determinism needs a total order; rows are ranked by
-    ``order_col`` per block after a sort (the reference's per-thread
-    semantics are per-partition; we pin the stronger per-order contract)."""
+    """Keep every nth record PER BLOCK of the ``order_col``-sorted
+    dataset (the reference's per-thread sampler semantics: each worker
+    thread samples its own stream independently, so the kept COUNT
+    depends on partition boundaries — only the per-partition stride is
+    contractual). For an exact global stride use :func:`sample_per_key`
+    with a constant key."""
     ds = ds.sort(order_col)
 
-    # per-block offset bookkeeping isn't exposed, so order-rank the block
-    # via its own values: this is exact when order_col values are unique
-    def _mark(batch: pa.Table) -> pa.Table:
-        return batch
-
-    # simplest exact global variant: modulo on the rank of the order column
     def _filter(batch: pa.Table) -> pa.Table:
         vals = batch[order_col].to_numpy(zero_copy_only=False)
         keep = (np.argsort(np.argsort(vals, kind="stable"), kind="stable") % n) == 0
         return batch.filter(pa.array(keep))
 
-    # NOTE: block-local modulo (documented per-partition semantics, like the
-    # reference's per-thread sampler)
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 

@@ -552,3 +552,20 @@ def test_ivf_partitioned_layout_prunes_files(ray_session, embeddings, tmp_path):
     got = full.to_pandas()
     assert list(got["vec_id"]) == list(exact["vec_id"])
     assert np.allclose(got["cosine"], exact["cosine"])
+
+
+def test_hashers_tolerate_null_text(ray_session):
+    """MinHash/SimHash stages must hash null text like the empty string
+    instead of crashing (round-3 review finding)."""
+    import pyarrow as pa
+
+    from geomesa_ray.stages.dedup import MinHasher, SimHasher, simhash_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["hello world text here", None, ""], pa.string())})
+    out = MinHasher()(t)
+    assert len(out) == 3
+    sh = simhash_batch(pa.array(["hello world", None, "foo bar"]))
+    assert len(sh) == 3 and sh[1] == simhash_batch(pa.array([""]))[0]
+    out2 = SimHasher()(t)
+    assert len(out2) == 3

@@ -217,3 +217,41 @@ class TestRelationMatrix:
         assert intersects(box, piercing)
         assert not touches(box, piercing)
         assert crosses(piercing, box)
+
+
+def test_collinear_steep_negative_slope_overlap():
+    """y-major negative-slope collinear overlaps must be detected — the
+    old lexicographic endpoint compare missed them (round-3 review)."""
+    from geomesa_ray.geometry.base import LineString
+    from geomesa_ray.geometry.predicates import intersects, overlaps
+
+    a = LineString([(0, 0), (-1, 2)])
+    b = LineString([(-0.5, 1), (-1.5, 3)])
+    assert intersects(a, b)
+    assert overlaps(a, b)
+    # disjoint collinear stays disjoint
+    c = LineString([(-2, 4), (-3, 6)])
+    assert not intersects(a, c)
+
+
+def test_ewkb_srid_flag_and_zm_rejection():
+    import struct
+
+    import pytest as _pytest
+
+    from geomesa_ray.geometry.wkb import from_wkb, wkb_envelopes
+
+    ewkb = struct.pack("<BII2d", 1, 0x20000001, 4326, 1.0, 2.0)
+    g = from_wkb(ewkb)
+    assert (g.x, g.y) == (1.0, 2.0)
+    import numpy as _np
+    import pyarrow as _pa
+
+    env = wkb_envelopes(_pa.array([ewkb], _pa.binary()))
+    assert env.tolist() == [[1.0, 2.0, 1.0, 2.0]]
+    for bad in (
+        struct.pack("<BI3d", 1, 0x80000001, 1.0, 2.0, 3.0),  # EWKB Z
+        struct.pack("<BI3d", 1, 1001, 1.0, 2.0, 3.0),        # ISO Z
+    ):
+        with _pytest.raises(NotImplementedError):
+            from_wkb(bad)
