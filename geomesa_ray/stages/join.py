@@ -480,8 +480,15 @@ def pip_join_shuffle(
     n_shards: int | None = None,
     broadcast_limit_bytes: int = 256 * 1024 * 1024,
     stats: dict | None = None,
+    hot_cells: dict[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Shuffle PIP join keyed by quadtree cell, with hot-cell salting.
+
+    ``hot_cells`` (cell → sampled count) skips the internal skew probe;
+    pass it when the upstream of ``points`` is expensive to recompute
+    (the probe re-executes a bounded 1M-row prefix of the lazy pipeline)
+    or when skew is known ahead of time. Requires ``cell_res`` to be set
+    so the caller's cells and the join's cells agree.
 
     ``points`` must carry ``lon``/``lat``. The shuffle cell resolution is
     chosen from the polygon size distribution when ``cell_res`` is None
@@ -521,10 +528,13 @@ def pip_join_shuffle(
     sharded = isinstance(polygons, ray.data.Dataset)
     if stats is not None:
         stats["polygon_transport"] = "sharded" if sharded else "broadcast"
+    if hot_cells is not None and cell_res is None:
+        raise ValueError("hot_cells requires an explicit cell_res")
     common = dict(
         predicate=predicate, cell_res=cell_res, n_salt=n_salt,
         hot_threshold=hot_threshold, max_cover=max_cover, id_col=id_col,
         wkb_col=wkb_col, point_cols=point_cols, n_shards=n_shards,
+        hot_cells=hot_cells,
     )
     if sharded:
         return _pip_join_shuffle_sharded(points, polygons, **common)
@@ -543,6 +553,7 @@ def _pip_join_shuffle_broadcast(
     wkb_col: str,
     point_cols: list[str] | None,
     n_shards: int | None,
+    hot_cells: dict[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Broadcast-polygon arm: shuffle rows carry 4 ints per polygon copy."""
     polygons = polygons.append_column(
@@ -586,9 +597,8 @@ def _pip_join_shuffle_broadcast(
 
         points = points.map_batches(_project, batch_format="pyarrow")
     points = points.map_batches(_ensure_cell, batch_format="pyarrow")
-    hot = {
-        c: n for c, n in hot_cell_histogram(points).items() if n >= hot_threshold
-    }
+    hist = hot_cell_histogram(points) if hot_cells is None else hot_cells
+    hot = {c: n for c, n in hist.items() if n >= hot_threshold}
     hot_ref = ray.put(set(hot))
 
     poly_cells = ray.data.from_arrow(polygons.select(["__poly_idx__", wkb_col])).map_batches(
@@ -679,6 +689,7 @@ def _pip_join_shuffle_sharded(
     wkb_col: str,
     point_cols: list[str] | None,
     n_shards: int | None,
+    hot_cells: dict[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Dataset-native polygon arm: WKB + attributes ride the shuffle rows.
 
@@ -733,9 +744,8 @@ def _pip_join_shuffle_sharded(
 
         points = points.map_batches(_project, batch_format="pyarrow")
     points = points.map_batches(_ensure_cell, batch_format="pyarrow")
-    hot = {
-        c: n for c, n in hot_cell_histogram(points).items() if n >= hot_threshold
-    }
+    hist = hot_cell_histogram(points) if hot_cells is None else hot_cells
+    hot = {c: n for c, n in hist.items() if n >= hot_threshold}
     hot_ref = ray.put(set(hot))
 
     def _key_points(batch: pa.Table) -> pa.Table:

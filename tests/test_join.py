@@ -197,3 +197,39 @@ def test_sharded_overflow_polygons_probe_every_shard(ray_session, points_table, 
     expect = oracle_pairs(points_table, polygons, "intersects")
     assert len(got) == len(expect)
     assert set(got) == expect
+
+
+def test_precomputed_hot_cells_skips_probe(ray_session, points_table, polygons,
+                                           monkeypatch):
+    """A caller-supplied hot_cells dict must be used verbatim (the skew
+    probe never runs) and produce the same exactly-once pair set."""
+    import ray.data
+
+    from geomesa_ray.stages import join as join_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("hot_cell_histogram must not run")
+
+    monkeypatch.setattr(join_mod, "hot_cell_histogram", _boom)
+    from geomesa_ray.stages.encode import DEFAULT_CELL_RES
+
+    # cell_res must match the fixture's EncodeKeys cell column (reuse path).
+    # Hot set from the data itself → full salting path; {} → no salting.
+    cells = points_table["cell"].to_pylist()
+    top = max(set(cells), key=cells.count)
+    for hot in ({}, {top: 10**9}):
+        joined = pip_join_shuffle(
+            ray.data.from_arrow(points_table), polygons,
+            predicate="intersects", cell_res=DEFAULT_CELL_RES, n_salt=4,
+            hot_threshold=100, hot_cells=hot,
+        )
+        got = _pairs_of(joined)
+        expect = oracle_pairs(points_table, polygons, "intersects")
+        assert len(got) == len(expect)
+        assert set(got) == expect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cell_res"):
+        pip_join_shuffle(
+            ray.data.from_arrow(points_table), polygons, hot_cells={}
+        )
