@@ -1619,6 +1619,42 @@ def q_ann_pq_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_domain_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-source corpus rollup (docs / chars / tokens / distinct langs):
+    combiner-first partial sums keyed by (source, lang), tree-merged."""
+    from geomesa_ray.stages.corpus import domain_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "n_chars", "text"],
+    )
+    return domain_stats(ds)
+
+
+def q_bigram_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Count-based bigram-LM coverage per doc (the integer-exact
+    perplexity-filter analog): model = adjacent word pairs with corpus
+    count ≥ 50, broadcast once; per-doc n_bigrams / n_known_bigrams."""
+    from geomesa_ray.stages.corpus import bigram_coverage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bigram_coverage(ds, min_count=50)
+
+
+def q_quality_buckets(sf_dir: str) -> ray.data.Dataset:
+    """Exact global decile bucketing of docs by n_chars (training-mixture
+    sampling): histogram tree-merge + broadcast step table; ties share a
+    bucket so the result is partitioning-invariant."""
+    from geomesa_ray.stages.corpus import cdf_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return cdf_buckets(ds, value_col="n_chars", n_buckets=10)
+
+
 QUERIES = {
     "proximity_join": q_proximity_join,
     "semi_join": q_semi_join,
@@ -1674,6 +1710,9 @@ QUERIES = {
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "clean_corpus": q_clean_corpus,
     "top_ngram_stats": q_top_ngram_stats,
+    "domain_stats": q_domain_stats,
+    "bigram_coverage": q_bigram_coverage,
+    "quality_buckets": q_quality_buckets,
 }
 
 _DERIVE_SQL = """
@@ -2192,3 +2231,58 @@ LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
 # exhaustive-candidate PQ ≡ exact search (see q_ann_pq_topk docstring)
 ORACLE_SQL["ann_pq_topk"] = ORACLE_SQL["ann_topk"]
 ORACLE_SQL["ann_ivf_pq_topk"] = ORACLE_SQL["ann_topk"]
+
+ORACLE_SQL["domain_stats"] = r"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(LEN(REGEXP_EXTRACT_ALL(text, '\w+')) AS BIGINT)) AS BIGINT)
+         AS total_tokens,
+       count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
+# pairing BEFORE the empty-token filter mirrors _adjacent_bigrams exactly
+# (consecutive separators break adjacency on both sides)
+ORACLE_SQL["bigram_coverage"] = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS bg
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+  WHERE w[CAST(i AS BIGINT)] <> '' AND w[CAST(i AS BIGINT) + 1] <> ''
+),
+model AS MATERIALIZED (
+  SELECT bg FROM bg GROUP BY bg HAVING count(*) >= 50
+),
+per_doc AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN m.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_known_bigrams
+  FROM bg b LEFT JOIN model m USING (bg) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.n_known_bigrams, 0) AS n_known_bigrams
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+# bucket = (#strictly-smaller rows) * 10 // total — all-integer arithmetic,
+# ties share a bucket (NTILE would split them nondeterministically)
+ORACLE_SQL["quality_buckets"] = """
+WITH cnt AS MATERIALIZED (
+  SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars
+),
+cum AS MATERIALIZED (
+  SELECT v,
+         CAST(COALESCE(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+         CAST((SELECT sum(c) FROM cnt) AS BIGINT) AS tot
+  FROM cnt
+)
+SELECT d.doc_id, d.n_chars, (cum.cb * 10) // cum.tot AS bucket
+FROM documents d JOIN cum ON d.n_chars = cum.v
+"""

@@ -255,6 +255,350 @@ def top_ngram_stats(ds: ray.data.Dataset, n: int = 2,
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def _tree_merge(partials: ray.data.Dataset, merge_fn,
+                fanin_rows: int = 2_000_000,
+                max_rounds: int = 10) -> tuple[ray.data.Dataset, bool]:
+    """Shuffle-free tree of vectorized merge tasks (the density.py
+    ``_sparse_tile_groupby`` pattern): each round coalesces up to
+    ``fanin_rows`` partial rows per task. Returns ``(ds, converged)`` —
+    when ``converged`` the result is a single block and per-key rows are
+    fully merged; callers keep Ray's sort-based shuffle aggregate only as
+    the huge-case fallback (its multi-second fixed cost dwarfs bounded
+    outputs, per CLAUDE.md)."""
+    ds = partials.map_batches(
+        merge_fn, batch_format="pyarrow", batch_size=fanin_rows
+    ).materialize()
+    rounds = 0
+    while ds.num_blocks() > 1 and rounds < max_rounds:
+        ds = ds.repartition(max(1, ds.num_blocks() // 8)).map_batches(
+            merge_fn, batch_format="pyarrow", batch_size=fanin_rows
+        ).materialize()
+        rounds += 1
+    return ds, ds.num_blocks() <= 1
+
+
+def _group_sum(t: pa.Table, keys: list[str], sums: list[str]) -> pa.Table:
+    """Vectorized in-task group-sum (polars), schema-stable output."""
+    import polars as pl
+
+    out = (
+        pl.from_arrow(t)
+        .group_by(keys, maintain_order=False)
+        .agg([pl.col(c).sum() for c in sums])
+        .sort(keys)
+        .to_arrow()
+    )
+    return out.cast(t.schema)
+
+
+def domain_stats(ds: ray.data.Dataset, key_col: str = "source",
+                 lang_col: str = "lang", chars_col: str = "n_chars",
+                 text_col: str = "text",
+                 fanin_rows: int = 2_000_000) -> ray.data.Dataset:
+    """Per-domain corpus rollup: doc count, total chars, total tokens and
+    distinct-language count per ``key_col`` — the at-a-glance table a
+    training-data curator reads before weighting sources.
+
+    Scale shape: per-batch partial sums keyed by ``(key, lang)`` (the
+    combiner bounds shuffle volume at |domains|×|langs| rows per batch),
+    tree-merged; Ray's shuffle aggregate is the fallback only if the
+    key space overflows the tree (then a second tiny aggregate folds
+    languages per key)."""
+    from geomesa_ray.stages.textstats import token_count
+
+    schema = pa.schema(
+        [
+            pa.field(key_col, pa.string()),
+            pa.field(lang_col, pa.string()),
+            pa.field("n_docs", pa.int64()),
+            pa.field("total_chars", pa.int64()),
+            pa.field("total_tokens", pa.int64()),
+        ]
+    )
+    sums = ["n_docs", "total_chars", "total_tokens"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key_col: batch[key_col].cast(pa.string()),
+                lang_col: batch[lang_col].cast(pa.string()),
+                "n_docs": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+                "total_chars": batch[chars_col].cast(pa.int64()),
+                "total_tokens": token_count(batch[text_col]).cast(pa.int64()),
+            }
+        )
+        return _group_sum(t, [key_col, lang_col], sums)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        return _group_sum(batch.cast(schema), [key_col, lang_col], sums)
+
+    merged, converged = _tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        fanin_rows=fanin_rows,
+    )
+    if not converged:  # huge-case fallback: exact shuffle aggregate
+        from ray.data.aggregate import Sum
+
+        merged = merged.groupby([key_col, lang_col]).aggregate(
+            *[Sum(c, alias_name=c) for c in sums]
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch)
+            .group_by(key_col, maintain_order=False)
+            .agg(
+                pl.col("n_docs").sum(),
+                pl.col("total_chars").sum(),
+                pl.col("total_tokens").sum(),
+                pl.len().cast(pl.Int64).alias("n_langs"),
+            )
+            .sort(key_col)
+            .to_arrow()
+        )
+        return out.cast(
+            pa.schema(
+                [
+                    pa.field(key_col, pa.string()),
+                    pa.field("n_docs", pa.int64()),
+                    pa.field("total_chars", pa.int64()),
+                    pa.field("total_tokens", pa.int64()),
+                    pa.field("n_langs", pa.int64()),
+                ]
+            )
+        )
+
+    if converged:
+        return merged.map_batches(finish, batch_format="pyarrow")
+    # fallback path: (key, lang) rows are exact but spread across blocks —
+    # one more tiny exact aggregate keyed by key alone
+    from ray.data.aggregate import Count, Sum
+
+    final = merged.groupby(key_col).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_chars", alias_name="total_chars"),
+        Sum("total_tokens", alias_name="total_tokens"),
+        Count(alias_name="n_langs"),
+    )
+    return final.map_batches(
+        lambda b: b.select([key_col, "n_docs", "total_chars", "total_tokens", "n_langs"]).cast(
+            pa.schema(
+                [
+                    pa.field(key_col, pa.string()),
+                    pa.field("n_docs", pa.int64()),
+                    pa.field("total_chars", pa.int64()),
+                    pa.field("total_tokens", pa.int64()),
+                    pa.field("n_langs", pa.int64()),
+                ]
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _adjacent_bigrams(col, sep: str = " ") -> tuple[pa.Array, np.ndarray]:
+    """Vectorized adjacent word pairs: split on the LITERAL separator
+    (keeping empties), pair neighbours within each doc, then drop pairs
+    with an empty side — exactly mirroring the SQL oracle's
+    ``string_split(text, sep)`` + ``w[i] <> '' AND w[i+1] <> ''`` (pairing
+    BEFORE the empty filter matters: ``'a  b'`` yields no (a, b) pair on
+    either side). Null text behaves like the empty string (0 pairs).
+
+    Returns ``(bigram_strings, doc_local_index)``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(col.cast(pa.string()), "")
+    lists = pc.split_pattern(arr, sep)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(flat)
+    if n < 2:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    doc_idx = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+    left = flat.slice(0, n - 1)
+    right = flat.slice(1, n - 1)
+    same_doc = doc_idx[:-1] == doc_idx[1:]
+    nonempty = pc.and_(
+        pc.greater(pc.utf8_length(left), 0), pc.greater(pc.utf8_length(right), 0)
+    ).to_numpy(zero_copy_only=False)
+    keep = same_doc & nonempty
+    bigrams = pc.binary_join_element_wise(left, right, sep).filter(pa.array(keep))
+    if isinstance(bigrams, pa.ChunkedArray):
+        bigrams = bigrams.combine_chunks()
+    return bigrams, doc_idx[:-1][keep]
+
+
+def bigram_coverage(ds: ray.data.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id", min_count: int = 50,
+                    sep: str = " ",
+                    fanin_rows: int = 2_000_000,
+                    broadcast_limit_bytes: int = 512 << 20) -> ray.data.Dataset:
+    """Count-based n-gram LM coverage (the CCNet/KenLM-shaped signal with
+    exact integer semantics): the MODEL is the set of adjacent word
+    bigrams whose corpus-wide count ≥ ``min_count``; each doc is scored
+    with ``n_bigrams`` (its adjacent-pair count) and ``n_known_bigrams``
+    (pairs found in the model). Low coverage ⇒ text unlike the corpus
+    (gibberish, boilerplate, wrong language) — the bucketing signal a
+    perplexity filter provides, without a float LM.
+
+    Scale shape: per-batch partial counts (combiner) → tree-merge, with
+    Ray's shuffle aggregate as the huge-vocabulary fallback; the
+    thresholded model (the Zipf HEAD — raise ``min_count`` if it doesn't
+    fit ``broadcast_limit_bytes``) is broadcast once via ``ray.put`` and
+    probed with Arrow's vectorized ``is_in``. ``ds`` is consumed twice
+    (model pass + scoring pass): pass a re-readable (parquet-backed) or
+    materialized dataset."""
+    count_schema = pa.schema([pa.field("bg", pa.string()), pa.field("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bg, _ = _adjacent_bigrams(batch[text_col], sep)
+        if len(bg) == 0:
+            return count_schema.empty_table()
+        t = pa.table({"bg": bg, "c": pa.array(np.ones(len(bg), np.int64), pa.int64())})
+        return _group_sum(t, ["bg"], ["c"])
+
+    def merge(batch: pa.Table) -> pa.Table:
+        return _group_sum(batch.cast(count_schema), ["bg"], ["c"])
+
+    merged, converged = _tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        fanin_rows=fanin_rows,
+    )
+    if not converged:  # huge-vocabulary fallback: exact shuffle aggregate
+        from ray.data.aggregate import Sum
+
+        merged = merged.groupby("bg").aggregate(Sum("c", alias_name="c"))
+    model_parts: list[pa.Array] = []
+    model_bytes = 0
+    for b in merged.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c"], min_count)).select(["bg"]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        if len(b) == 0:
+            continue
+        model_bytes += b.nbytes
+        if model_bytes > broadcast_limit_bytes:
+            raise ValueError(
+                f"bigram model exceeds broadcast_limit_bytes="
+                f"{broadcast_limit_bytes}; raise min_count (={min_count}) — "
+                "the model is meant to be the Zipf head, not the whole tail"
+            )
+        model_parts.append(b["bg"].combine_chunks() if isinstance(b["bg"], pa.ChunkedArray) else b["bg"])
+    model = (
+        pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in model_parts])
+        if model_parts else pa.array([], pa.string())
+    )
+    model_ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.stages.join import _resolve_broadcast
+
+        model_arr = _resolve_broadcast(model_ref)
+        n = len(batch)
+        n_big = np.zeros(n, np.int64)
+        n_known = np.zeros(n, np.int64)
+        bg, idx = _adjacent_bigrams(batch[text_col], sep)
+        if len(bg):
+            np.add.at(n_big, idx, 1)
+            if len(model_arr):
+                known = pc.is_in(bg, value_set=model_arr).to_numpy(
+                    zero_copy_only=False
+                )
+                np.add.at(n_known, idx[known], 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "n_known_bigrams": pa.array(n_known, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def cdf_buckets(ds: ray.data.Dataset, value_col: str = "n_chars",
+                id_col: str = "doc_id", n_buckets: int = 10,
+                fanin_rows: int = 2_000_000,
+                max_distinct: int = 20_000_000) -> ray.data.Dataset:
+    """Exact global quantile bucketing for training-mixture sampling:
+    ``bucket = (#rows with strictly smaller value) * n_buckets // total``
+    — rows sharing a value share a bucket, so the result is deterministic
+    under any partitioning/row order (NTILE is not: it splits ties).
+
+    Scale shape: per-batch value histograms tree-merged (one pass, no
+    sort); the merged histogram is bounded by the number of DISTINCT
+    values (quantize continuous scores first — ``max_distinct`` guards
+    the driver), then the value→bucket step table is broadcast and each
+    row bucketed via ``searchsorted``. ``ds`` is consumed twice: pass a
+    re-readable or materialized dataset."""
+    hist_schema = pa.schema([pa.field("v", pa.int64()), pa.field("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(uniq, pa.int64()), "c": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(v, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, c)
+        return pa.table({"v": pa.array(uniq, pa.int64()), "c": pa.array(sums, pa.int64())})
+
+    merged, converged = _tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow").map_batches(
+            lambda b: b.cast(hist_schema), batch_format="pyarrow"
+        ),
+        merge, fanin_rows=fanin_rows,
+    )
+    if not converged:
+        raise ValueError(
+            f"more than ~{fanin_rows * 8 ** 10} distinct {value_col} values; "
+            "quantize the score column before bucketing"
+        )
+    vs_parts, cs_parts = [], []
+    total_distinct = 0
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        total_distinct += len(b)
+        if total_distinct > max_distinct:
+            raise ValueError(
+                f"> {max_distinct} distinct {value_col} values — quantize first"
+            )
+        vs_parts.append(b["v"].to_numpy(zero_copy_only=False))
+        cs_parts.append(b["c"].to_numpy(zero_copy_only=False))
+    vs = np.concatenate(vs_parts) if vs_parts else np.empty(0, np.int64)
+    cs = np.concatenate(cs_parts) if cs_parts else np.empty(0, np.int64)
+    order = np.argsort(vs, kind="stable")
+    vs, cs = vs[order], cs[order]
+    total = int(cs.sum())
+    cum_before = np.concatenate([[0], np.cumsum(cs)[:-1]]).astype(np.int64)
+    buckets = (cum_before * np.int64(n_buckets)) // max(total, 1)
+    step_ref = ray.put((vs, buckets))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.stages.join import _resolve_broadcast
+
+        svs, sbk = _resolve_broadcast(step_ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(svs, v)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                value_col: batch[value_col].cast(pa.int64()),
+                "bucket": pa.array(sbk[pos], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 # PII patterns — RE2 syntax, valid verbatim in both Arrow (RE2) and DuckDB
 # (also RE2), so Ray and the SQL oracle replace the exact same spans.
 # Applied in this order; counts are taken on the text as it stands before

@@ -569,3 +569,153 @@ def test_hashers_tolerate_null_text(ray_session):
     assert len(sh) == 3 and sh[1] == simhash_batch(pa.array([""]))[0]
     out2 = SimHasher()(t)
     assert len(out2) == 3
+
+
+# ---------------------------------------------------------------------------
+# domain_stats / bigram_coverage / cdf_buckets (round-3 corpus additions)
+# ---------------------------------------------------------------------------
+
+
+def _domain_oracle(tbl):
+    import re
+
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df["tok"] = df["text"].fillna("").map(lambda t: len(re.findall(r"\w+", t)))
+    g = df.groupby("source")
+    return (
+        pd.DataFrame(
+            {
+                "n_docs": g.size(),
+                "total_chars": g["n_chars"].sum(),
+                "total_tokens": g["tok"].sum(),
+                "n_langs": g["lang"].nunique(),
+            }
+        )
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+def test_domain_stats_matches_pandas_oracle(ray_session, documents):
+    import ray.data
+
+    from geomesa_ray.stages.corpus import domain_stats
+
+    ds = ray.data.from_arrow(documents).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=37
+    )
+    got = (
+        domain_stats(ds).to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    exp = _domain_oracle(documents)
+    assert got[exp.columns].astype("object").equals(exp.astype("object"))
+
+
+def test_domain_stats_fallback_path(ray_session, documents):
+    """fanin_rows=1 can never converge the tree → the exact shuffle
+    aggregate fallback must produce the identical rollup."""
+    import ray.data
+
+    from geomesa_ray.stages.corpus import domain_stats
+
+    ds = ray.data.from_arrow(documents.slice(0, 60)).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=7
+    )
+    got = (
+        domain_stats(ds, fanin_rows=1)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    exp = _domain_oracle(documents.slice(0, 60))
+    assert got[exp.columns].astype("object").equals(exp.astype("object"))
+
+
+def _bigram_oracle(ids, texts, min_count):
+    from collections import Counter
+
+    def pairs(t):
+        if t is None:
+            return []
+        w = t.split(" ")
+        return [
+            f"{w[i]} {w[i+1]}"
+            for i in range(len(w) - 1)
+            if w[i] != "" and w[i + 1] != ""
+        ]
+
+    counts = Counter(p for t in texts for p in pairs(t))
+    model = {p for p, c in counts.items() if c >= min_count}
+    out = {}
+    for i, t in zip(ids, texts):
+        ps = pairs(t)
+        out[i] = (len(ps), sum(1 for p in ps if p in model))
+    return out
+
+
+def test_bigram_coverage_edges(ray_session):
+    """Double spaces break adjacency; nulls/empties score 0; the model
+    threshold is exact."""
+    import ray.data
+
+    from geomesa_ray.stages.corpus import bigram_coverage
+
+    ids = list(range(8))
+    texts = [
+        "a b c", "a b", "a  b", "", None, "x", "a b c a b", "b c b c",
+    ]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).map_batches(lambda b: b, batch_format="pyarrow", batch_size=3)
+    for mc in (1, 2, 3, 100):
+        got = (
+            bigram_coverage(ds, min_count=mc)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = _bigram_oracle(ids, texts, mc)
+        for _, r in got.iterrows():
+            assert (r["n_bigrams"], r["n_known_bigrams"]) == exp[r["doc_id"]], (mc, r["doc_id"])
+
+
+def test_bigram_coverage_broadcast_cap_raises(ray_session, documents):
+    import ray.data
+
+    from geomesa_ray.stages.corpus import bigram_coverage
+
+    ds = ray.data.from_arrow(documents.select(["doc_id", "text"]))
+    with pytest.raises(ValueError, match="min_count"):
+        bigram_coverage(ds, min_count=1, broadcast_limit_bytes=8)
+
+
+def test_cdf_buckets_ties_and_invariance(ray_session):
+    import ray.data
+
+    from geomesa_ray.stages.corpus import cdf_buckets
+
+    vals = [5] * 10 + [1] * 5 + [9] * 5
+    t = pa.table(
+        {"doc_id": pa.array(range(20), pa.int64()), "n_chars": pa.array(vals, pa.int64())}
+    )
+    for bs in (3, 20):
+        ds = ray.data.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=bs
+        )
+        got = cdf_buckets(ds, n_buckets=4).to_pandas().set_index("doc_id")["bucket"]
+        # strictly-smaller counts: 1→0, 5→5, 9→15 of 20 → buckets 0, 1, 3
+        assert set(got[[i for i in range(20) if vals[i] == 1]]) == {0}
+        assert set(got[[i for i in range(20) if vals[i] == 5]]) == {1}
+        assert set(got[[i for i in range(20) if vals[i] == 9]]) == {3}
+
+
+def test_cdf_buckets_max_distinct_guard(ray_session, documents):
+    import ray.data
+
+    from geomesa_ray.stages.corpus import cdf_buckets
+
+    ds = ray.data.from_arrow(documents.select(["doc_id", "n_chars"]))
+    with pytest.raises(ValueError, match="distinct"):
+        cdf_buckets(ds, max_distinct=2)
