@@ -51,6 +51,11 @@ HEADLINE = [
     "line_dedup",
     "pii_redact",
     "ann_pq_topk",
+    "domain_stats",
+    "bigram_coverage",
+    "quality_buckets",
+    "user_sessions",
+    "bpe_token_counts",
 ]
 
 

@@ -1655,6 +1655,34 @@ def q_quality_buckets(sf_dir: str) -> ray.data.Dataset:
     return cdf_buckets(ds, value_col="n_chars", n_buckets=10)
 
 
+def q_user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Event-time sessionization of the events stream (30 000 s gap):
+    one bounded-fan-out shuffle keyed by user shard, vectorized in-shard
+    kernel, int64 epoch-us timestamps throughout."""
+    from geomesa_ray.stages.sessions import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize(ds, gap_s=30_000)
+
+
+def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """GPT-2-style pre-tokenizer token counts per doc (RE2-exact in both
+    Arrow and DuckDB)."""
+    from geomesa_ray.stages.textstats import bpe_token_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": bpe_token_count(batch["text"]).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 QUERIES = {
     "proximity_join": q_proximity_join,
     "semi_join": q_semi_join,
@@ -1713,6 +1741,8 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "bigram_coverage": q_bigram_coverage,
     "quality_buckets": q_quality_buckets,
+    "user_sessions": q_user_sessions,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 _DERIVE_SQL = """
@@ -2285,4 +2315,33 @@ cum AS MATERIALIZED (
 )
 SELECT d.doc_id, d.n_chars, (cum.cb * 10) // cum.tot AS bucket
 FROM documents d JOIN cum ON d.n_chars = cum.v
+"""
+
+# equal-timestamp events always share a session (gap 0 ≤ timeout), so the
+# per-session aggregates are tie-order-invariant → hash-verifiable
+ORACLE_SQL["user_sessions"] = """
+WITH e AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us FROM events),
+o AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w > 30000000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+FROM s GROUP BY user_id, session_no
+"""
+
+ORACLE_SQL["bpe_token_counts"] = r"""
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text,
+         '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+'
+       )) AS BIGINT) AS n_bpe_tokens
+FROM documents
 """

@@ -32,11 +32,25 @@ _STOPWORDS = {
 
 TOKEN_RE = r"\w+"
 
+# GPT-2-style pre-tokenizer, restricted to RE2 (no lookahead): common
+# English contraction suffixes, then space-prefixed letter runs, digit
+# runs, and punctuation runs. Whitespace itself is not a token. Byte-level
+# BPE would split these further, but the COUNT at this granularity is the
+# standard "tokens before merges" estimate — and the identical RE2 runs in
+# DuckDB, so the count is oracle-verifiable.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+"
+
 
 def token_count(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Vectorized \\w+ token count (Arrow RE2 kernel — matches DuckDB's
     ``len(regexp_extract_all(text, '\\w+'))`` semantics)."""
     return pc.count_substring_regex(texts, TOKEN_RE)
+
+
+def bpe_token_count(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized BPE-pre-tokenizer token count (see ``BPE_TOKEN_RE``) —
+    the LLM-token budget estimate a data curator filters on."""
+    return pc.count_substring_regex(texts, BPE_TOKEN_RE)
 
 
 class QualityScorer:

@@ -1,0 +1,107 @@
+"""Event-time sessionization vs brute-force + window-SQL semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _brute(users, ts_us, gap_us):
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, t in zip(users, ts_us):
+        per[u].append(t)
+    out = {}
+    for u, ts in per.items():
+        ts.sort()
+        sno, start, prev, n = 1, ts[0], ts[0], 0
+        for t in ts:
+            if t - prev > gap_us:
+                out[(u, sno)] = (n, start, prev)
+                sno, start, n = sno + 1, t, 0
+            n += 1
+            prev = t
+        out[(u, sno)] = (n, start, prev)
+    return out
+
+
+@pytest.mark.parametrize("batch_size", [3, 1000])
+def test_sessionize_matches_brute(ray_session, batch_size):
+    import ray.data
+
+    from geomesa_ray.stages.sessions import sessionize
+
+    rng = np.random.default_rng(5)
+    users = rng.integers(0, 12, 400)
+    ts_us = rng.integers(0, 10**9, 400) * 1000
+    ts_us[10] = ts_us[11] = 777_000  # equal-timestamp tie
+    users[10] = users[11] = 3
+    t = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=batch_size
+    )
+    gap_s = 50_000
+    got = sessionize(ds, gap_s=gap_s, n_shards=5).to_pandas()
+    exp = _brute(users.tolist(), ts_us.tolist(), gap_s * 1_000_000)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        n, s, e = exp[(r["user_id"], r["session_no"])]
+        assert (r["n_events"], r["start_us"], r["end_us"]) == (n, s, e)
+
+
+def test_sessionize_gap_boundary_strict(ray_session):
+    """gap == timeout stays in the SAME session (break is strictly >)."""
+    import ray.data
+
+    from geomesa_ray.stages.sessions import sessionize
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            # gaps: exactly 10s, then 10s + 1us
+            "ts": pa.array([0, 10_000_000, 20_000_001], pa.timestamp("us")),
+        }
+    )
+    got = (
+        sessionize(ray.data.from_arrow(t), gap_s=10)
+        .to_pandas()
+        .sort_values("session_no")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_events"]) == [2, 1]
+    assert list(got["session_no"]) == [1, 2]
+
+
+def test_sessionize_ms_timestamps(ray_session):
+    """ms-precision input scales to us without truncating casts."""
+    import ray.data
+
+    from geomesa_ray.stages.sessions import sessionize
+
+    t = pa.table(
+        {
+            "user_id": pa.array([7, 7], pa.int64()),
+            "ts": pa.array([1_000, 2_000], pa.timestamp("ms")),
+        }
+    )
+    got = sessionize(ray.data.from_arrow(t), gap_s=10).to_pandas()
+    assert list(got["start_us"]) == [1_000_000]
+    assert list(got["end_us"]) == [2_000_000]
+
+
+def test_bpe_token_count_matches_python(ray_session):
+    import re
+
+    from geomesa_ray.stages.textstats import BPE_TOKEN_RE, bpe_token_count
+
+    texts = ["I don't think it's 42% true... naïve café #1",
+             "hello  world", "", "a'll b've c's", "日本語 text123"]
+    got = bpe_token_count(pa.array(texts)).to_pylist()
+    # Python's re lacks \p{L}: spot-check via explicit expectations from
+    # the RE2 segmentation (verified against DuckDB's RE2 in the oracle)
+    assert got == [14, 2, 0, 6, 3]
