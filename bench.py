@@ -56,6 +56,7 @@ HEADLINE = [
     "quality_buckets",
     "user_sessions",
     "bpe_token_counts",
+    "decontaminate",
 ]
 
 

@@ -1683,6 +1683,25 @@ def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: the 'benchmark' is the deterministic
+    doc_id % 97 == 0 slice of the corpus; every training doc is scored by
+    its 24-byte-shingle overlap with it (bench docs hit themselves; at
+    k=24 the flag splits the corpus non-trivially — 17/500 at sf0.01 —
+    instead of firing on every shared word pair)."""
+    import pyarrow.parquet as pq_mod
+
+    from geomesa_ray.stages.dedup import decontaminate
+
+    bench = pq_mod.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    mask = bench["doc_id"].to_numpy() % 97 == 0
+    bench = bench.filter(pa.array(mask))
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decontaminate(ds, bench, k=24, threshold_hits=1)
+
+
 QUERIES = {
     "proximity_join": q_proximity_join,
     "semi_join": q_semi_join,
@@ -1743,6 +1762,7 @@ QUERIES = {
     "quality_buckets": q_quality_buckets,
     "user_sessions": q_user_sessions,
     "bpe_token_counts": q_bpe_token_counts,
+    "decontaminate": q_decontaminate,
 }
 
 _DERIVE_SQL = """
@@ -2345,3 +2365,29 @@ SELECT doc_id,
        )) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
+
+
+def _decontaminate_oracle_sql() -> str:
+    from geomesa_ray.pipelines.oracles import _shingle_ctes
+
+    # shz is consumed twice (bench set + training probe): re-materialize it
+    # once so DuckDB doesn't re-run the byte-level rolling hash per use
+    return f"""
+WITH {_shingle_ctes(24).strip()},
+shm AS MATERIALIZED (SELECT doc_id, z FROM shz),
+benchz AS MATERIALIZED (SELECT DISTINCT z FROM shm WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM shm s JOIN benchz b USING (z) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(GREATEST(COALESCE(octet_length(encode(d.text)), 0) - 23, 0) AS BIGINT)
+         AS n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(CASE WHEN COALESCE(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+ORACLE_SQL["decontaminate"] = _decontaminate_oracle_sql()

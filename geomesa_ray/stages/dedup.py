@@ -998,3 +998,83 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(ds: ray.data.Dataset, bench,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 8, threshold_hits: int = 1,
+                  broadcast_limit_bytes: int = 512 << 20) -> ray.data.Dataset:
+    """Benchmark decontamination: per training doc, count k-byte shingle
+    positions whose hash appears in the BENCHMARK shingle set — the
+    standard pre-training decontamination pass (flag/drop docs that leak
+    eval data). Uses the same rolling-hash shingles as MinHash
+    (:func:`_shingle_hashes`), so the SQL oracle reuses the mirrored
+    shingle CTEs bit-for-bit.
+
+    ``bench`` is a list[str], pyarrow Table/Array, or Dataset of benchmark
+    texts. Benchmarks are MB-scale by nature; the DISTINCT hash set is
+    broadcast once (``broadcast_limit_bytes`` guards the assumption).
+
+    Emits ``(id, n_shingles, n_hits, contaminated)`` — all integers, so
+    hash-verifiable. ``n_hits`` counts positions (not distinct shingles):
+    a doc quoting one leaked sentence twice scores twice.
+    """
+    if isinstance(bench, ray.data.Dataset):
+        parts = []
+        nbytes = 0
+        for b in bench.select_columns([text_col]).iter_batches(batch_format="pyarrow"):
+            texts = [t or "" for t in b[text_col].to_pylist()]
+            h, _ = _shingle_hashes(texts, k)
+            parts.append(np.unique(h))
+            nbytes += parts[-1].nbytes
+            if nbytes > broadcast_limit_bytes:
+                raise ValueError(
+                    "benchmark shingle set exceeds broadcast_limit_bytes — "
+                    "decontaminate assumes an MB-scale benchmark side"
+                )
+        bench_hashes = (
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+        )
+    else:
+        if isinstance(bench, pa.Table):
+            bench = bench[text_col]
+        if isinstance(bench, (pa.Array, pa.ChunkedArray)):
+            bench = bench.to_pylist()
+        h, _ = _shingle_hashes([t or "" for t in bench], k)
+        bench_hashes = np.unique(h)
+    if bench_hashes.nbytes > broadcast_limit_bytes:
+        raise ValueError(
+            "benchmark shingle set exceeds broadcast_limit_bytes — "
+            "decontaminate assumes an MB-scale benchmark side"
+        )
+    bench_ref = ray.put(bench_hashes)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.stages.join import _resolve_broadcast
+
+        bh = _resolve_broadcast(bench_ref)
+        texts = [t or "" for t in batch[text_col].to_pylist()]
+        hashes, offsets = _shingle_hashes(texts, k)
+        n_shingles = np.diff(offsets).astype(np.int64)
+        if len(hashes) and len(bh):
+            hit = np.isin(hashes, bh)
+            cs = np.concatenate([[0], np.cumsum(hit)]).astype(np.int64)
+            n_hits = cs[offsets[1:]] - cs[offsets[:-1]]
+        else:
+            n_hits = np.zeros(len(texts), np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_shingles": pa.array(n_shingles, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(
+                    (n_hits >= threshold_hits).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -719,3 +719,47 @@ def test_cdf_buckets_max_distinct_guard(ray_session, documents):
     ds = ray.data.from_arrow(documents.select(["doc_id", "n_chars"]))
     with pytest.raises(ValueError, match="distinct"):
         cdf_buckets(ds, max_distinct=2)
+
+
+def test_decontaminate_planted_leak(ray_session):
+    """A doc quoting a benchmark sentence must flag; position counting
+    (not distinct) means a doubled quote scores double."""
+    import ray.data
+
+    from geomesa_ray.stages.dedup import decontaminate
+
+    bench = ["the secret benchmark answer is forty-two exactly"]
+    leak = "intro text " + bench[0] + " outro"
+    double = bench[0] + " and again " + bench[0]
+    clean = "completely unrelated content with no overlap whatsoever here"
+    short = "tiny"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([leak, double, clean, short], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = (
+        decontaminate(ds, bench, k=24, threshold_hits=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "contaminated"] == 1 and got.loc[1, "n_hits"] > 0
+    assert got.loc[2, "n_hits"] > got.loc[1, "n_hits"]  # doubled quote
+    assert got.loc[3, "contaminated"] == 0 and got.loc[3, "n_hits"] == 0
+    # shorter than k: zero shingles, never contaminated
+    assert got.loc[4, "n_shingles"] == 0 and got.loc[4, "contaminated"] == 0
+    # n_shingles is byte-length - k + 1
+    assert got.loc[3, "n_shingles"] == len(clean.encode()) - 23
+    # Dataset-typed benchmark side takes the same path
+    got2 = (
+        decontaminate(ds, ray.data.from_arrow(pa.table({"text": pa.array(bench)})),
+                      k=24)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got2["n_hits"].equals(got["n_hits"])
+    # tiny broadcast cap raises the documented guidance
+    with pytest.raises(ValueError, match="MB-scale"):
+        decontaminate(ds, bench * 100000, k=24, broadcast_limit_bytes=64)
