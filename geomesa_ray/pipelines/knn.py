@@ -48,10 +48,18 @@ def _partial_topk(batch: pa.Table, qx: np.ndarray, qy: np.ndarray, k: int,
         )
         kk = min(k, n)
         idx = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, q)
+        ids_np = ids.to_numpy(zero_copy_only=False)
         for j in range(q):
+            dj = d[:, j]
+            # boundary-tie refinement: among candidates tied at the k-th
+            # distance, keep the smallest ids (the global tie contract) —
+            # a bare argpartition keeps an arbitrary tied subset
+            thr = dj[idx[:, j]].max()
+            cand = np.nonzero(dj <= thr)[0]
+            sel = cand[np.lexsort((ids_np[cand], dj[cand]))[:kk]]
             out_q.append(np.full(kk, j, dtype=np.int32))
-            out_i.append(idx[:, j])
-            out_d.append(d[idx[:, j], j])
+            out_i.append(sel)
+            out_d.append(dj[sel])
     if not out_q:
         return pa.table(
             {
@@ -72,7 +80,14 @@ def _partial_topk(batch: pa.Table, qx: np.ndarray, qy: np.ndarray, k: int,
 
 
 def _final_topk(group: pa.Table, k: int, id_col: str) -> pa.Table:
-    order = np.argsort(group["dist_m"].to_numpy(zero_copy_only=False), kind="stable")[:k]
+    # tie-break by ascending id: without it, WHICH of two equidistant
+    # candidates survives the k-cut depends on shuffle row order
+    order = np.lexsort(
+        (
+            group[id_col].to_numpy(zero_copy_only=False),
+            group["dist_m"].to_numpy(zero_copy_only=False),
+        )
+    )[:k]
     out = group.take(pa.array(order, pa.int64()))
     return out.append_column(
         "rank", pa.array(np.arange(1, len(out) + 1, dtype=np.int32), pa.int32())

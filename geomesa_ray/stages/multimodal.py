@@ -45,9 +45,10 @@ def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
 class DecodeImage:
     """Actor stage: binary → fixed-size pixel tensor column.
 
-    ``__init__`` is where a real codec would load once per actor; ``mode``
-    selects real (NotImplementedError, no codec in this env) vs fake
-    (deterministic bytes-derived pixels).
+    ``mode="real"`` decodes PNG and baseline JPEG via the pure-stdlib
+    codecs (bound once per actor in ``__init__`` — the model-load slot);
+    other formats raise there. ``mode="fake"`` derives deterministic
+    pixels from the payload bytes.
     """
 
     def __init__(self, mode: str = "fake", out_h: int = 32, out_w: int = 32,
@@ -84,9 +85,9 @@ class DecodeImage:
                 _fake_pixels(p, self.out_h, self.out_w).ravel()
                 for p in batch[self.payload_col].to_pylist()
             ]
+        flat = np.concatenate(pixels) if pixels else np.empty(0, np.uint8)
         arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(pixels), pa.uint8()),
-            self.out_h * self.out_w * 3,
+            pa.array(flat, pa.uint8()), self.out_h * self.out_w * 3
         )
         return batch.drop_columns([self.payload_col]).append_column("pixels", arr)
 
@@ -100,10 +101,15 @@ class ImageFeatures:
         self.w = w
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            arr = pa.FixedSizeListArray.from_arrays(
+                pa.array([], pa.float64()), 14
+            )
+            return batch.drop_columns(["pixels"]).append_column("features", arr)
         flat = batch["pixels"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False
         ).astype(np.float64)
-        n = len(batch)
         imgs = flat.reshape(n, self.h, self.w, 3)
         means = imgs.mean(axis=(1, 2))  # (n, 3)
         stds = imgs.std(axis=(1, 2))
@@ -120,8 +126,9 @@ class ImageFeatures:
 
 class DecodeAudio:
     """Actor stage (audio): binary payload → fixed-rate sample window +
-    8-band spectrum-ish features. Real codecs unavailable (``mode="real"``
-    raises); fake mode derives deterministic samples from payload bytes."""
+    8-band spectrum-ish features. ``mode="real"`` decodes WAV via the
+    pure-stdlib codec (bound once per actor); mp3 etc. raise there. Fake
+    mode derives deterministic samples from payload bytes."""
 
     def __init__(self, mode: str = "fake", n_samples: int = 1024,
                  payload_col: str = "payload"):
@@ -130,14 +137,16 @@ class DecodeAudio:
         self.mode = mode
         self.n_samples = n_samples
         self.payload_col = payload_col
+        if mode == "real":
+            from geomesa_ray.sources.codecs import wav_decode
+
+            self._decode = wav_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for p in batch[self.payload_col].to_pylist():
             if self.mode == "real":
-                from geomesa_ray.sources.codecs import wav_decode
-
-                samples, _rate = wav_decode(p)  # WAV only; others raise
+                samples, _rate = self._decode(p)  # WAV only; others raise
                 wave = np.resize(samples, self.n_samples)
             else:
                 seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
@@ -150,9 +159,8 @@ class DecodeAudio:
                     [[wave.mean(), wave.std()], [b.mean() for b in bands]]
                 )
             )
-        arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(feats), pa.float64()), 10
-        )
+        flat = np.concatenate(feats) if feats else np.empty(0, np.float64)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), 10)
         return batch.drop_columns([self.payload_col]).append_column(
             "audio_features", arr
         )
@@ -206,8 +214,9 @@ class SampleFrames:
                 ids.append(mid)
                 fidx.append(f)
                 pix.append(_fake_pixels(p + f.to_bytes(4, "little"), self.out_h, self.out_w).ravel())
+        flat = np.concatenate(pix) if pix else np.empty(0, np.uint8)
         arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(pix), pa.uint8()), self.out_h * self.out_w * 3
+            pa.array(flat, pa.uint8()), self.out_h * self.out_w * 3
         )
         return pa.table(
             {

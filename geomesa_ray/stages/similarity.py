@@ -23,12 +23,18 @@ from geomesa_ray.stages.shards import default_shards
 
 
 def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
-    """(n, d) float64 matrix from a list<float> column, zero-copy-ish."""
+    """(n, d) float64 matrix from a list<float> column, zero-copy-ish.
+
+    A 0-row batch yields (0, 0) — reshape(0, -1) would raise, and fused
+    pipelines DO hand downstream fns the empty tables a filter stage
+    emits, so every caller short-circuits on n == 0."""
     arr = batch[col].combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
@@ -40,16 +46,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def _partial_cosine_topk(batch: pa.Table, qmat: np.ndarray, k: int,
                          id_col: str, emb_col: str) -> pa.Table:
+    if len(batch) == 0:  # empty block from an upstream filter (fused)
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
     m = _normalize(_emb_matrix(batch, emb_col))
     sims = m @ qmat.T  # (n, Q)
     n, q = sims.shape
     kk = min(k, n)
     out_q, out_i, out_s = [], [], []
     idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+    ids_np = batch[id_col].to_numpy(zero_copy_only=False)
     for j in range(q):
+        sj = sims[:, j]
+        # boundary-tie refinement: keep the smallest ids among candidates
+        # tied at the k-th similarity (the global ascending-id contract)
+        thr = sj[idx[:, j]].min()
+        cand = np.nonzero(sj >= thr)[0]
+        sel = cand[np.lexsort((ids_np[cand], -sj[cand]))[:kk]]
         out_q.append(np.full(kk, j, dtype=np.int32))
-        out_i.append(idx[:, j])
-        out_s.append(sims[idx[:, j], j])
+        out_i.append(sel)
+        out_s.append(sj[sel])
     return pa.table(
         {
             "query_idx": pa.array(np.concatenate(out_q), pa.int32()),
@@ -134,6 +155,8 @@ def assign_cells(vectors: ray.data.Dataset, centroids: np.ndarray,
 
     def assign(batch: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        if len(batch) == 0:
+            return batch.append_column("ivf_cell", pa.array([], pa.int32()))
         m = _normalize(_emb_matrix(batch, emb_col))
         cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
         return batch.append_column("ivf_cell", pa.array(cells, pa.int32()))
@@ -201,6 +224,15 @@ def lsh_cosine_pairs(
         n_shards = default_shards()
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "__shard__": pa.array([], pa.int32()),
+                    id_col: pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    emb_col: pa.array([], pa.list_(pa.float32())),
+                }
+            )
         m = _normalize(_emb_matrix(batch, emb_col))
         bits = (m @ planes) > 0  # (n, planes)
         key = np.zeros(len(m), dtype=np.int64)
@@ -432,6 +464,10 @@ def encode_pq(vectors: ray.data.Dataset, codebooks: np.ndarray,
     def encode(batch: pa.Table) -> pa.Table:
         books = _resolve_ref(books_ref)
         n_sub, n_codes, d_sub = books.shape
+        if len(batch) == 0:
+            return batch.append_column(
+                "pq_code", pa.array([], pa.binary(n_sub))
+            )
         m = _normalize(_emb_matrix(batch, emb_col))
         codes = np.empty((len(m), n_sub), dtype=np.uint8)
         for s in range(n_sub):
@@ -493,6 +529,14 @@ def ann_pq(
     lut_ref = _ray.put(np.ascontiguousarray(lut))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int32()),
+                    id_col: pa.array([], pa.int64()),
+                    emb_col: pa.array([], pa.list_(pa.float32())),
+                }
+            )
         lt = _resolve_ref(lut_ref)
         arr = batch["pq_code"].combine_chunks()
         if isinstance(arr, pa.ChunkedArray):
@@ -584,6 +628,11 @@ def embedding_dedup_keep(
         arr = batch["__emb_bin__"].combine_chunks()
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        if len(arr) == 0:
+            idx0 = batch.schema.get_field_index("__emb_bin__")
+            return batch.set_column(
+                idx0, emb_col, pa.array([], pa.list_(pa.float32()))
+            )
         d = arr.type.byte_width // 4
         flat = np.frombuffer(arr.buffers()[1], dtype=np.float32)[
             arr.offset * d:(arr.offset + len(arr)) * d
@@ -682,6 +731,14 @@ def ann_ivf_pq_indexed(
     lut_ref = _ray.put(np.ascontiguousarray(lut))
 
     def adc_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int32()),
+                    id_col: pa.array([], pa.int64()),
+                    "adc": pa.array([], pa.float64()),
+                }
+            )
         lt = _resolve_ref(lut_ref)
         arr = batch["pq_code"].combine_chunks()
         if isinstance(arr, pa.ChunkedArray):

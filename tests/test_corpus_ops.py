@@ -763,3 +763,35 @@ def test_decontaminate_planted_leak(ray_session):
     # tiny broadcast cap raises the documented guidance
     with pytest.raises(ValueError, match="MB-scale"):
         decontaminate(ds, bench * 100000, k=24, broadcast_limit_bytes=64)
+
+
+def test_ann_stages_tolerate_empty_blocks(ray_session, embeddings):
+    """Fused pipelines hand downstream fns the empty tables a filter
+    emits; every ANN batch fn must pass them through (round-3 review)."""
+    import ray.data
+
+    from geomesa_ray.stages.similarity import (
+        ann_brute, ann_ivf, assign_cells, encode_pq, lsh_cosine_pairs,
+        train_centroids, train_pq,
+    )
+
+    q = np.asarray(embeddings["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    base = ray.data.from_arrow(embeddings).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=100
+    )
+    # interleave genuinely empty blocks via a filter that kills whole batches
+    holey = base.map_batches(
+        lambda b: b.filter(pa.array(
+            np.full(len(b), (b["vec_id"][0].as_py() // 100) % 2 == 0)
+        )),
+        batch_format="pyarrow",
+    )
+    exact = ann_brute(holey, q, 5).to_pandas().sort_values("rank")
+    assert len(exact) == 5
+    cent = train_centroids(base, n_cells=4)
+    got = ann_ivf(assign_cells(holey, cent), q, 5, cent, n_probe=4)
+    assert len(got.to_pandas()) == 5
+    coded = encode_pq(holey, train_pq(base, n_sub=4, n_codes=16))
+    assert coded.count() == holey.count()
+    pairs = lsh_cosine_pairs(holey, threshold=0.99)
+    pairs.count()  # must execute without raising

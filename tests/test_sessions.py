@@ -105,3 +105,43 @@ def test_bpe_token_count_matches_python(ray_session):
     # Python's re lacks \p{L}: spot-check via explicit expectations from
     # the RE2 segmentation (verified against DuckDB's RE2 in the oracle)
     assert got == [14, 2, 0, 6, 3]
+
+
+def test_knn_tie_break_at_k_boundary(ray_session):
+    """Equidistant candidates at the k-cut must resolve by ascending id —
+    across partial batches too (round-3 review)."""
+    import ray.data
+
+    from geomesa_ray.pipelines.knn import knn_brute
+
+    t = pa.table(
+        {
+            "url": pa.array(["e", "d", "c", "b", "a", "z"], pa.string()),
+            "lon": pa.array([1.0] * 5 + [50.0], pa.float64()),
+            "lat": pa.array([1.0] * 5 + [50.0], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=2
+    )
+    got = knn_brute(ds, [0.0], [0.0], 3, id_col="url").to_pandas()
+    assert sorted(got["url"]) == ["a", "b", "c"]
+
+
+def test_ann_tie_break_at_k_boundary(ray_session):
+    import ray.data
+
+    from geomesa_ray.stages.similarity import ann_brute
+
+    emb = [[1.0, 0.0]] * 5 + [[0.0, 1.0]]
+    t = pa.table(
+        {
+            "vec_id": pa.array([50, 40, 30, 20, 10, 5], pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=2
+    )
+    got = ann_brute(ds, np.array([[1.0, 0.0]]), 3).to_pandas()
+    assert sorted(got["vec_id"]) == [10, 20, 30]
