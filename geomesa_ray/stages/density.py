@@ -202,6 +202,8 @@ def _polygon_cells(snap: GridSnap, poly) -> np.ndarray:
 def _parse_wkb_linestrings(blobs):
     """Fast-path WKB parse: all little-endian LineStrings → (coords,
     vertex offsets) or None if any blob is something else."""
+    if not blobs:  # empty batch from an upstream filter
+        return np.empty((0, 2), np.float64), np.zeros(1, np.int64)
     coords_list, counts = [], []
     for b in blobs:
         if b is None or len(b) < 9 or b[0] != 1 or b[1:5] != b"\x02\x00\x00\x00":
@@ -497,7 +499,9 @@ def density(
         partials = points.map_batches(
             dense_partial, batch_format="pyarrow", batch_size=batch_size
         ).materialize()
-        while partials.count() * grid_bytes > max_driver_bytes:
+        # count > 1 guard: a single grid larger than max_driver_bytes can
+        # never shrink further — without it the loop would spin forever
+        while partials.count() > 1 and partials.count() * grid_bytes > max_driver_bytes:
             partials = partials.map_batches(
                 _merge_dense_partials,
                 fn_kwargs={"cells": cells},

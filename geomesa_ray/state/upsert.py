@@ -114,11 +114,23 @@ def expire(
 ) -> ray.data.Dataset:
     """Event-time TTL: drop records older than the horizon
     (KafkaDataStore event-time expiry analog). ``now_ms`` is supplied by the
-    caller for determinism."""
-    horizon = now_ms - ttl_ms
+    caller for determinism. Timestamp-typed columns are compared in their
+    own unit (int64 + scale, never a truncating cast); plain int columns
+    are treated as epoch ms."""
+    horizon_ms = now_ms - ttl_ms
 
     def f(batch: pa.Table) -> pa.Table:
-        ts = batch[time_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ts >= horizon))
+        col = batch[time_col]
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        unit = col.type.unit if pa.types.is_timestamp(col.type) else "ms"
+        if unit == "s":
+            ts_ms = ts * 1_000
+        elif unit == "ms":
+            ts_ms = ts
+        elif unit == "us":
+            ts_ms = ts // 1_000
+        else:  # ns
+            ts_ms = ts // 1_000_000
+        return batch.filter(pa.array(ts_ms >= horizon_ms))
 
     return view.map_batches(f, batch_format="pyarrow")

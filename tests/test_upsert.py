@@ -57,3 +57,22 @@ def test_merge_updates_and_ttl(ray_session):
     )
     # horizon = 130: only a (200) and c (150) survive
     assert alive["val"].tolist() == ["a2", "c1"]
+
+
+def test_expire_timestamp_typed_column(ray_session):
+    """expire() must compare timestamp-typed columns in their own unit —
+    raw us values against a ms horizon would keep everything."""
+    import ray.data
+
+    from geomesa_ray.state.upsert import expire
+
+    t = pa.table(
+        {
+            "fid": pa.array(["a", "b"], pa.string()),
+            "event_ts": pa.array([100_000, 200_000], pa.timestamp("us")),
+        }
+    )
+    alive = expire(
+        ray.data.from_arrow(t), now_ms=250, ttl_ms=100, time_col="event_ts"
+    ).to_pandas()
+    assert alive["fid"].tolist() == ["b"]
