@@ -57,6 +57,8 @@ HEADLINE = [
     "user_sessions",
     "bpe_token_counts",
     "decontaminate",
+    "split_assign",
+    "normalize_text",
 ]
 
 

@@ -1702,6 +1702,42 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return decontaminate(ds, bench, k=24, threshold_hits=1)
 
 
+def q_split_assign(sf_dir: str) -> ray.data.Dataset:
+    """Leakage-safe deterministic train/val/test split by splitmix64(id)
+    per-mille bucket (98/1/1) — partitioning- and order-invariant."""
+    from geomesa_ray.stages.corpus import split_assign
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return split_assign(ds)
+
+
+def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """NFC + control-strip + whitespace-collapse text canonicalization.
+    The synthetic docs are already clean, so the query injects a
+    deterministic mess (doc_id % 4 selects combining-accent, control-char,
+    double-space, or no injection) that the oracle derives identically."""
+    from geomesa_ray.stages.corpus import normalize_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def messify(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = batch["text"].to_pandas().fillna("")
+        mod = ids % 4
+        suffix = np.where(
+            mod == 0, " café",
+            np.where(mod == 1, "\x01tab\there", np.where(mod == 2, "  two  spaces ", "")),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array((txt + suffix).tolist(), pa.string()),
+            }
+        )
+
+    return normalize_text(ds.map_batches(messify, batch_format="pyarrow"))
+
+
 QUERIES = {
     "proximity_join": q_proximity_join,
     "semi_join": q_semi_join,
@@ -1763,6 +1799,8 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "bpe_token_counts": q_bpe_token_counts,
     "decontaminate": q_decontaminate,
+    "split_assign": q_split_assign,
+    "normalize_text": q_normalize_text,
 }
 
 _DERIVE_SQL = """
@@ -2391,3 +2429,56 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 
 
 ORACLE_SQL["decontaminate"] = _decontaminate_oracle_sql()
+
+
+def _split_assign_oracle_sql() -> str:
+    from geomesa_ray.pipelines.oracles import (
+        M64, SPLITMIX_C1, SPLITMIX_C2, SPLITMIX_C3, _mul64,
+    )
+
+    return f"""
+WITH b0 AS (
+  SELECT doc_id, (CAST(doc_id AS HUGEINT) + {SPLITMIX_C1}) % {M64} AS z0
+  FROM documents
+),
+b1 AS (SELECT doc_id, xor(z0, z0 >> 30) AS x0 FROM b0),
+b2 AS (SELECT doc_id, {_mul64("x0", SPLITMIX_C2)} AS z1 FROM b1),
+b3 AS (SELECT doc_id, xor(z1, z1 >> 27) AS x1 FROM b2),
+b4 AS (SELECT doc_id, {_mul64("x1", SPLITMIX_C3)} AS z2 FROM b3),
+b5 AS (SELECT doc_id, xor(z2, z2 >> 31) AS z FROM b4)
+SELECT doc_id,
+       CASE WHEN z % 1000 < 980 THEN 'train'
+            WHEN z % 1000 < 990 THEN 'val'
+            ELSE 'test' END AS split
+FROM b5
+"""
+
+
+ORACLE_SQL["split_assign"] = _split_assign_oracle_sql()
+
+# the injected mess mirrors q_normalize_text's messify exactly; both
+# engines' regexp layers are RE2, nfc_normalize matches utf8_normalize
+ORACLE_SQL["normalize_text"] = r"""
+WITH messy AS (
+  SELECT doc_id,
+         COALESCE(text, '') ||
+         CASE doc_id % 4
+           WHEN 0 THEN ' cafe' || chr(769)
+           WHEN 1 THEN chr(1) || 'tab' || chr(9) || 'here'
+           WHEN 2 THEN '  two  spaces '
+           ELSE ''
+         END AS text
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, text AS orig,
+         trim(regexp_replace(
+           regexp_replace(nfc_normalize(text),
+                          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+           '\s+', ' ', 'g')) AS text
+  FROM messy
+)
+SELECT doc_id, text,
+       CAST(CASE WHEN text <> orig THEN 1 ELSE 0 END AS BIGINT) AS changed
+FROM cleaned
+"""

@@ -626,3 +626,96 @@ def redact_pii(ds: ray.data.Dataset, text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(redact, batch_format="pyarrow")
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (same constants as the shingle
+    hash in stages/dedup.py, so the SQL mirror in pipelines/oracles.py
+    applies verbatim)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def split_assign(ds: ray.data.Dataset, id_col: str = "doc_id",
+                 train_per_mille: int = 980, val_per_mille: int = 10,
+                 out_col: str = "split") -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by id hash — the standard
+    leakage-safe dataset split (a row's split NEVER depends on
+    partitioning, row order, or corpus size; re-runs and incremental
+    ingests agree). ``bucket = splitmix64(id) % 1000``; buckets
+    [0, train) → train, [train, train+val) → val, rest → test.
+
+    One stateless map_batches — no shuffle, no driver state."""
+    if not (0 <= train_per_mille and 0 <= val_per_mille
+            and train_per_mille + val_per_mille <= 1000):
+        raise ValueError("per-mille shares must be non-negative and sum ≤ 1000")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (_splitmix64(ids.astype(np.uint64)) % np.uint64(1000)).astype(
+            np.int64
+        )
+        split = np.where(
+            bucket < train_per_mille, "train",
+            np.where(bucket < train_per_mille + val_per_mille, "val", "test"),
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                out_col: pa.array(split, pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# control chars except \t \n \r (those are whitespace, collapsed next)
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_WS_RE = r"\s+"
+
+
+def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id") -> ray.data.Dataset:
+    """Canonical text cleanup for corpus ingestion: NFC unicode
+    normalization → strip non-whitespace control characters → collapse
+    whitespace runs to single spaces → trim. All Arrow kernels (RE2),
+    mirrored exactly by DuckDB's ``nfc_normalize`` + ``regexp_replace``
+    so the oracle is byte-exact. Emits the cleaned text plus a
+    ``changed`` 0/1 flag."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        import unicodedata
+
+        txt = batch[text_col].cast(pa.string())
+        orig = txt
+        # NFC: pyarrow's utf8_normalize mis-composes in this build (NFC of
+        # a composed char returns the DECOMPOSED form), so normalization
+        # uses unicodedata on the non-ASCII tail only — pure-ASCII rows
+        # (bytes == chars) are NFC-invariant and skip the Python loop,
+        # which is the overwhelming majority of a web corpus
+        non_ascii = pc.not_equal(
+            pc.binary_length(txt), pc.utf8_length(txt)
+        )
+        mask = pc.fill_null(non_ascii, False).to_numpy(zero_copy_only=False)
+        if mask.any():
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            vals = txt.to_pylist()
+            for i in np.nonzero(mask)[0].tolist():
+                if vals[i] is not None:
+                    vals[i] = unicodedata.normalize("NFC", vals[i])
+            txt = pa.array(vals, pa.string())
+        txt = pc.replace_substring_regex(txt, _CTRL_RE, "")
+        txt = pc.replace_substring_regex(txt, _WS_RE, " ")
+        txt = pc.utf8_trim_whitespace(txt)
+        changed = pc.cast(
+            pc.fill_null(pc.not_equal(txt, orig), False), pa.int64()
+        )
+        return pa.table(
+            {id_col: batch[id_col], text_col: txt, "changed": changed}
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")

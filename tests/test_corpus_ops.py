@@ -795,3 +795,53 @@ def test_ann_stages_tolerate_empty_blocks(ray_session, embeddings):
     assert coded.count() == holey.count()
     pairs = lsh_cosine_pairs(holey, threshold=0.99)
     pairs.count()  # must execute without raising
+
+
+def test_split_assign_deterministic_and_leakage_safe(ray_session):
+    import ray.data
+
+    from geomesa_ray.stages.corpus import split_assign
+
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    a = split_assign(ray.data.from_arrow(t)).to_pandas().set_index("doc_id")["split"]
+    # partitioning-invariant: tiny batches give the identical assignment
+    b = (
+        split_assign(
+            ray.data.from_arrow(t).map_batches(
+                lambda x: x, batch_format="pyarrow", batch_size=7
+            )
+        )
+        .to_pandas()
+        .set_index("doc_id")["split"]
+    )
+    assert a.sort_index().equals(b.sort_index())
+    counts = a.value_counts()
+    assert counts["train"] > 1900 and counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    with pytest.raises(ValueError):
+        split_assign(ray.data.from_arrow(t), train_per_mille=990, val_per_mille=20)
+
+
+def test_normalize_text_rules(ray_session):
+    import ray.data
+
+    from geomesa_ray.stages.corpus import normalize_text
+
+    texts = [
+        "café",          # decomposed -> NFC composes
+        "a\x01b\x7fc",          # control chars stripped
+        "  a \t b\n\nc  ",      # whitespace collapsed + trimmed
+        "plain",                 # untouched
+        None,                    # null -> empty after cast/fill
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = (
+        normalize_text(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "text"] == "caf\xe9" and got.loc[0, "changed"] == 1
+    assert got.loc[1, "text"] == "abc" and got.loc[1, "changed"] == 1
+    assert got.loc[2, "text"] == "a b c" and got.loc[2, "changed"] == 1
+    assert got.loc[3, "text"] == "plain" and got.loc[3, "changed"] == 0
