@@ -718,10 +718,16 @@ def cluster_pairs_dataset(pairs: ray.data.Dataset, *, num_partitions: int | None
 
 
 def dedup_keep(docs: ray.data.Dataset, labels: ray.data.Dataset,
-               id_col: str = "doc_id", num_partitions: int = 16) -> ray.data.Dataset:
+               id_col: str = "doc_id", num_partitions: int = 16,
+               broadcast_limit_bytes: int = 64 << 20) -> ray.data.Dataset:
     """Filter ``docs`` to near-dup cluster representatives: drop every row
-    whose id carries a label smaller than itself (anti-join — distributed,
-    no driver-side id set)."""
+    whose id carries a label smaller than itself.
+
+    A drop set at most ``broadcast_limit_bytes`` takes a broadcast
+    anti-filter (one ``ray.put`` + per-batch ``isin`` — Ray's hash-join
+    operator has a multi-second actor-pool fixed cost that dwarfs tiny
+    drop sets); a bigger one rides the distributed ``left_anti`` join
+    (no driver-side id set at scale)."""
     # _drop_empty_blocks: Ray's join broadcasts each side's schema with the
     # FIRST shuffled block only; a zero-row first block loses the broadcast
     # and untyped empty partitions then fail the Arrow join. drops is small
@@ -734,8 +740,26 @@ def dedup_keep(docs: ray.data.Dataset, labels: ray.data.Dataset,
         ),
         pa.schema([("node", pa.int64())]),
     )
-    if drops.count() == 0:
+    n_drops = drops.count()
+    if n_drops == 0:
         return docs  # left_anti with an empty right side is the identity
+    if n_drops * 8 <= broadcast_limit_bytes:
+        parts = [
+            b["node"].to_numpy(zero_copy_only=False)
+            for b in drops.iter_batches(batch_format="pyarrow")
+            if len(b)
+        ]
+        drop_ids = np.unique(np.concatenate(parts))
+        drop_ref = ray.put(drop_ids)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            from geomesa_ray.stages.join import _resolve_broadcast
+
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, _resolve_broadcast(drop_ref))
+            return batch.filter(pa.array(keep))
+
+        return docs.map_batches(anti, batch_format="pyarrow")
     return docs.join(
         drops,
         join_type="left_anti",

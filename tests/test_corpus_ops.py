@@ -845,3 +845,25 @@ def test_normalize_text_rules(ray_session):
     assert got.loc[1, "text"] == "abc" and got.loc[1, "changed"] == 1
     assert got.loc[2, "text"] == "a b c" and got.loc[2, "changed"] == 1
     assert got.loc[3, "text"] == "plain" and got.loc[3, "changed"] == 0
+
+
+def test_dedup_keep_broadcast_and_join_arms_agree(ray_session, documents):
+    import ray.data
+
+    from geomesa_ray.stages.dedup import (
+        cluster_pairs_dataset, dedup_keep, minhash_lsh_pairs,
+    )
+
+    dup = documents.slice(0, 30).set_column(
+        documents.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(documents["doc_id"].to_numpy().max() + 1 + np.arange(30), pa.int64()),
+    )
+    full = pa.concat_tables([documents.select(["doc_id", "text"]),
+                             dup.select(["doc_id", "text"])])
+    ds = ray.data.from_arrow(full)
+    labels = cluster_pairs_dataset(minhash_lsh_pairs(ds, threshold=0.5))
+    a = sorted(dedup_keep(ds, labels).to_pandas()["doc_id"])
+    b = sorted(
+        dedup_keep(ds, labels, broadcast_limit_bytes=0).to_pandas()["doc_id"]
+    )
+    assert a == b and len(a) < len(full)
