@@ -529,7 +529,7 @@ def q_events_by_type(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_lang_counts(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = _read_docs(sf_dir, ["lang"])
     out = ds.groupby("lang").count()
     return out.map_batches(
         lambda b: pa.table({"lang": b["lang"], "n": b["count()"].cast(pa.int64())}),
@@ -1120,10 +1120,24 @@ def q_sample_per_key(sf_dir: str) -> ray.data.Dataset:
 # corpus queries
 # ---------------------------------------------------------------------------
 
+def _read_docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    """documents.parquet is a SINGLE small file at test scales, so Ray
+    reads it as one block and every downstream map stage runs serially;
+    splitting the read restores parallelism. At corpus scale the input is
+    many files and the override is a no-op-sized hint."""
+    import os
+
+    n_blocks = min(16, max(2, (os.cpu_count() or 4) // 2))
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns,
+        override_num_blocks=n_blocks,
+    )
+
+
 def q_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     out = exact_dedup(ds)
     return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
@@ -1131,7 +1145,7 @@ def q_exact_dedup(sf_dir: str) -> ray.data.Dataset:
 def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.textstats import token_count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1168,14 +1182,14 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     from geomesa_ray.stages.dedup import minhash_lsh_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
     from geomesa_ray.stages.dedup import simhash_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
 
 
@@ -1339,7 +1353,7 @@ def q_dedup_keep(sf_dir: str) -> ray.data.Dataset:
         minhash_lsh_pairs,
     )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     pairs = minhash_lsh_pairs(ds, threshold=0.5)
     labels = cluster_pairs_dataset(pairs)
     kept = dedup_keep(ds, labels)
@@ -1349,7 +1363,7 @@ def q_dedup_keep(sf_dir: str) -> ray.data.Dataset:
 def q_quality(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.textstats import QualityScorer
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
     return out.map_batches(
         lambda b: b.select(
@@ -1362,7 +1376,7 @@ def q_quality(sf_dir: str) -> ray.data.Dataset:
 def q_langid(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.textstats import LanguageID
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(LanguageID, batch_format="pyarrow", concurrency=(1, 4))
     return out.map_batches(
         lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
@@ -1437,7 +1451,7 @@ def q_tube_select(sf_dir: str) -> pa.Table:
 def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.textstats import Fingerprinter
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
     return out.map_batches(
         lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
@@ -1496,7 +1510,7 @@ def q_line_dedup(sf_dir: str) -> ray.data.Dataset:
     first-occurrence shuffle; the oracle mirrors the same split."""
     from geomesa_ray.stages.corpus import line_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     return line_dedup(ds, sep=" ")
 
 
@@ -1505,7 +1519,7 @@ def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
     'lines' (same deterministic derivation as line_dedup)."""
     from geomesa_ray.stages.corpus import line_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     return line_stats(ds, sep=" ")
 
 
@@ -1532,7 +1546,7 @@ def q_top_ngram_stats(sf_dir: str) -> ray.data.Dataset:
     fraction), word n-grams over the space-separated text."""
     from geomesa_ray.stages.corpus import top_ngram_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     return top_ngram_stats(ds, n=2)
 
 
@@ -1544,7 +1558,7 @@ def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
     are also RE2, so replacement spans match byte-for-byte."""
     from geomesa_ray.stages.corpus import redact_pii
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     return redact_pii(ds.map_batches(_pii_augment, batch_format="pyarrow"))
 
 
@@ -1559,7 +1573,7 @@ def q_clean_corpus(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.dedup import exact_dedup
     from geomesa_ray.stages.textstats import QualityScorer
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     deduped = exact_dedup(ds).map_batches(
         lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
     )
@@ -1624,10 +1638,7 @@ def q_domain_stats(sf_dir: str) -> ray.data.Dataset:
     combiner-first partial sums keyed by (source, lang), tree-merged."""
     from geomesa_ray.stages.corpus import domain_stats
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["source", "lang", "n_chars", "text"],
-    )
+    ds = _read_docs(sf_dir, ["source", "lang", "n_chars", "text"])
     return domain_stats(ds)
 
 
@@ -1637,9 +1648,7 @@ def q_bigram_coverage(sf_dir: str) -> ray.data.Dataset:
     count ≥ 50, broadcast once; per-doc n_bigrams / n_known_bigrams."""
     from geomesa_ray.stages.corpus import bigram_coverage
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     return bigram_coverage(ds, min_count=50)
 
 
@@ -1649,9 +1658,7 @@ def q_quality_buckets(sf_dir: str) -> ray.data.Dataset:
     bucket so the result is partitioning-invariant."""
     from geomesa_ray.stages.corpus import cdf_buckets
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-    )
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars"])
     return cdf_buckets(ds, value_col="n_chars", n_buckets=10)
 
 
@@ -1670,7 +1677,7 @@ def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
     Arrow and DuckDB)."""
     from geomesa_ray.stages.textstats import bpe_token_count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1698,7 +1705,7 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     )
     mask = bench["doc_id"].to_numpy() % 97 == 0
     bench = bench.filter(pa.array(mask))
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     return decontaminate(ds, bench, k=24, threshold_hits=1)
 
 
@@ -1707,7 +1714,7 @@ def q_split_assign(sf_dir: str) -> ray.data.Dataset:
     per-mille bucket (98/1/1) — partitioning- and order-invariant."""
     from geomesa_ray.stages.corpus import split_assign
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read_docs(sf_dir, ["doc_id"])
     return split_assign(ds)
 
 
@@ -1718,7 +1725,7 @@ def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
     double-space, or no injection) that the oracle derives identically."""
     from geomesa_ray.stages.corpus import normalize_text
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def messify(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
