@@ -140,6 +140,70 @@ def cmd_convert(args) -> dict:
     return {"rows": rows, "format": args.format}
 
 
+def cmd_corpus(args) -> dict:
+    """Training-data corpus operators over a documents parquet table:
+    exact / MinHash near-dup dedup, quality scoring, PII redaction, text
+    normalization, leakage-safe splits, benchmark decontamination."""
+    import ray.data
+
+    ds = ray.data.read_parquet(args.input)
+    op = args.op
+    if op == "exact-dedup":
+        from geomesa_ray.stages.dedup import exact_dedup
+
+        out = exact_dedup(ds, key_col=args.text_col, id_col=args.id_col)
+    elif op == "minhash-dedup":
+        from geomesa_ray.stages.dedup import (
+            cluster_pairs_dataset, dedup_keep, minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(
+            ds, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold,
+        )
+        out = dedup_keep(ds, cluster_pairs_dataset(pairs), id_col=args.id_col)
+    elif op == "quality":
+        from geomesa_ray.stages.textstats import QualityScorer
+
+        out = ds.map_batches(
+            QualityScorer(text_col=args.text_col), batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    elif op == "redact-pii":
+        from geomesa_ray.stages.corpus import redact_pii
+
+        out = redact_pii(ds, text_col=args.text_col, id_col=args.id_col)
+    elif op == "normalize":
+        from geomesa_ray.stages.corpus import normalize_text
+
+        out = normalize_text(ds, text_col=args.text_col, id_col=args.id_col)
+    elif op == "split":
+        from geomesa_ray.stages.corpus import split_assign
+
+        out = split_assign(ds, id_col=args.id_col)
+    elif op == "decontaminate":
+        if not args.bench:
+            raise SystemExit("--bench (benchmark parquet) required")
+        from geomesa_ray.stages.dedup import decontaminate
+
+        bench = ray.data.read_parquet(args.bench)
+        out = decontaminate(
+            ds, bench, text_col=args.text_col, id_col=args.id_col,
+        )
+    else:  # pragma: no cover - argparse choices guard
+        raise SystemExit(f"unknown op {op}")
+    out.write_parquet(args.out)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    rows = sum(
+        _pq.ParquetFile(p).metadata.num_rows
+        for p in _glob.glob(os.path.join(args.out, "*.parquet"))
+    )
+    return {"rows": rows, "op": op}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="geomesa_ray")
     ap.add_argument("--address", default=os.environ.get("RAY_ADDRESS", "local"))
@@ -190,6 +254,20 @@ def main(argv=None) -> int:
     p.add_argument("--options", default=None,
                    help='JSON kwargs for the converter, e.g. \'{"table": "t"}\'')
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("corpus")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--op", required=True,
+                   choices=["exact-dedup", "minhash-dedup", "quality",
+                            "redact-pii", "normalize", "split",
+                            "decontaminate"])
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--bench", default=None,
+                   help="benchmark parquet (decontaminate)")
+    p.set_defaults(fn=cmd_corpus)
 
     args = ap.parse_args(argv)
     _init(args)

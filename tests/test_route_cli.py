@@ -106,3 +106,46 @@ def test_cli_end_to_end(tmp_path):
     assert r6 == {"rows": 2, "format": "geojson", "wall_sec": r6["wall_sec"]}
     t = pq.read_table(str(tmp_path / "converted"))
     assert t.num_rows == 2 and {"lon", "lat", "name", "v"} <= set(t.schema.names)
+
+
+def test_cli_corpus_ops(tmp_path):
+    """The corpus subcommand round-trips dedup/split/normalize outputs.
+    Runs in a SUBPROCESS: cli.main owns (and shuts down) its own Ray
+    session, which must never touch the test session."""
+    import glob
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "docs.parquet")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(
+                ["dup text here"] * 10 + [f"unique doc {i} words" for i in range(30)],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, src)
+    ops = [("exact-dedup", 31), ("split", 40), ("normalize", 40)]
+    outs = {op: str(tmp_path / f"out_{op}") for op, _ in ops}
+    # one subprocess runs all three ops (each main() owns its session)
+    code = (
+        "import geomesa_ray.cli as c\n"
+        + "\n".join(
+            "assert c.main(['--num-cpus', '4', 'corpus', '--input', %r, "
+            "'--out', %r, '--op', %r]) == 0" % (src, outs[op], op)
+            for op, _ in ops
+        )
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=600)
+    for op, expect in ops:
+        n = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(f"{outs[op]}/*.parquet")
+        )
+        assert n == expect, (op, n)
