@@ -59,6 +59,7 @@ HEADLINE = [
     "decontaminate",
     "split_assign",
     "normalize_text",
+    "curate_corpus",
 ]
 
 

@@ -1726,23 +1726,60 @@ def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.corpus import normalize_text
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return normalize_text(ds.map_batches(_normalize_mess, batch_format="pyarrow"))
 
-    def messify(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        txt = batch["text"].to_pandas().fillna("")
-        mod = ids % 4
-        suffix = np.where(
-            mod == 0, " café",
-            np.where(mod == 1, "\x01tab\there", np.where(mod == 2, "  two  spaces ", "")),
-        )
-        return pa.table(
+
+def _normalize_mess(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    txt = batch["text"].to_pandas().fillna("")
+    mod = ids % 4
+    suffix = np.where(
+        mod == 0, " café",
+        np.where(mod == 1, "\x01tab\there", np.where(mod == 2, "  two  spaces ", "")),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text": pa.array((txt + suffix).tolist(), pa.string()),
+        }
+    )
+
+
+def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Composed curation flagship, ONE streaming chain: deterministic mess
+    injection → text canonicalization → exact dedup on the CLEANED text →
+    quality scoring + gate → leakage-safe split assignment. Every stage's
+    arithmetic is the oracle-verified kernel of its standalone query; the
+    oracle composes the same SQL pieces."""
+    from geomesa_ray.stages.corpus import _splitmix64, normalize_text
+    from geomesa_ray.stages.dedup import exact_dedup
+    from geomesa_ray.stages.textstats import QualityScorer
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    cleaned = normalize_text(
+        ds.map_batches(_normalize_mess, batch_format="pyarrow")
+    ).map_batches(lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow")
+    deduped = exact_dedup(cleaned, key_col="text", id_col="doc_id")
+    scorer = QualityScorer()
+
+    def gate_and_split(batch: pa.Table) -> pa.Table:
+        scored = scorer(batch.select(["doc_id", "text"]))
+        keep = pc.greater_equal(scored["quality_score"], pa.scalar(0.68))
+        ids = scored["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (_splitmix64(ids.astype(np.uint64)) % np.uint64(1000)).astype(np.int64)
+        split = np.where(bucket < 980, "train", np.where(bucket < 990, "val", "test"))
+        out = pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "text": pa.array((txt + suffix).tolist(), pa.string()),
+                "doc_id": scored["doc_id"],
+                "n_tokens": scored["n_tokens"].cast(pa.int64()),
+                "quality_score": scored["quality_score"],
+                "split": pa.array(split, pa.string()),
+                "text": scored["text"],
             }
         )
+        return out.filter(keep)
 
-    return normalize_text(ds.map_batches(messify, batch_format="pyarrow"))
+    return deduped.map_batches(gate_and_split, batch_format="pyarrow")
 
 
 QUERIES = {
@@ -1808,6 +1845,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "split_assign": q_split_assign,
     "normalize_text": q_normalize_text,
+    "curate_corpus": q_curate_corpus,
 }
 
 _DERIVE_SQL = """
@@ -2489,3 +2527,59 @@ SELECT doc_id, text,
        CAST(CASE WHEN text <> orig THEN 1 ELSE 0 END AS BIGINT) AS changed
 FROM cleaned
 """
+
+
+def _curate_corpus_oracle_sql() -> str:
+    """Composes the normalize_text mess+clean CTEs, exact-dedup min-id,
+    the quality CTE chain, and the splitmix64 bucket arithmetic."""
+    from geomesa_ray.pipelines.oracles import (
+        M64, SPLITMIX_C1, SPLITMIX_C2, SPLITMIX_C3, _mul64,
+    )
+
+    return rf"""
+WITH messy AS (
+  SELECT doc_id,
+         COALESCE(text, '') ||
+         CASE doc_id % 4
+           WHEN 0 THEN ' cafe' || chr(769)
+           WHEN 1 THEN chr(1) || 'tab' || chr(9) || 'here'
+           WHEN 2 THEN '  two  spaces '
+           ELSE ''
+         END AS text
+  FROM documents
+),
+cleaned AS MATERIALIZED (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(nfc_normalize(text),
+                          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+           '\s+', ' ', 'g')) AS text
+  FROM messy
+),
+dd AS MATERIALIZED (
+  SELECT c.doc_id, c.text
+  FROM cleaned c
+  JOIN (SELECT text, min(doc_id) AS keep_id FROM cleaned GROUP BY text) r
+    ON c.text = r.text AND c.doc_id = r.keep_id
+),
+{_quality_ctes("dd").strip()},
+gated AS (
+  SELECT doc_id, n_tokens, quality_score FROM qfinal
+  WHERE quality_score >= 0.68
+),
+b0 AS (SELECT doc_id, (CAST(doc_id AS HUGEINT) + {SPLITMIX_C1}) % {M64} AS z0 FROM gated),
+b1 AS (SELECT doc_id, xor(z0, z0 >> 30) AS x0 FROM b0),
+b2 AS (SELECT doc_id, {_mul64("x0", SPLITMIX_C2)} AS z1 FROM b1),
+b3 AS (SELECT doc_id, xor(z1, z1 >> 27) AS x1 FROM b2),
+b4 AS (SELECT doc_id, {_mul64("x1", SPLITMIX_C3)} AS z2 FROM b3),
+b5 AS (SELECT doc_id, xor(z2, z2 >> 31) AS z FROM b4)
+SELECT g.doc_id, g.n_tokens, g.quality_score,
+       CASE WHEN b5.z % 1000 < 980 THEN 'train'
+            WHEN b5.z % 1000 < 990 THEN 'val'
+            ELSE 'test' END AS split,
+       d.text
+FROM gated g JOIN b5 USING (doc_id) JOIN dd d USING (doc_id)
+"""
+
+
+ORACLE_SQL["curate_corpus"] = _curate_corpus_oracle_sql()
