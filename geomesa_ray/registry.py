@@ -42,48 +42,52 @@ def register_partition_scheme(name: str):
     return deco
 
 
+_builtins_loaded = False
+
+
 def _ensure_builtins() -> None:
-    """Populate the registries with the built-in formats (idempotent)."""
-    if _CONVERTERS:
+    """Populate the registries with the built-in formats (idempotent).
+
+    Guarded by an explicit flag — keying on ``_CONVERTERS`` being
+    non-empty would silently skip every builtin when a user registers a
+    custom converter before the first lookup."""
+    global _builtins_loaded
+    if _builtins_loaded:
         return
+    _builtins_loaded = True
     from geomesa_ray.sources import avro as _avro
     from geomesa_ray.sources import jdbc as _jdbc
     from geomesa_ray.sources import readers as _readers
     from geomesa_ray.stages import export as _export
     from geomesa_ray.stages import export2 as _export2
 
-    _CONVERTERS.update(
-        {
-            "geojson": _readers.read_geojson,
-            "delimited": _readers.read_delimited,
-            "fixed-width": _readers.read_fixed_width,
-            "xml": _readers.read_xml,
-            "shapefile": _readers.read_shapefile_ds,
-            "avro": _avro.read_avro,
-            "jdbc": _jdbc.read_sqlite,
-            "osm": _readers.read_osm,
-        }
-    )
-    _EXPORTERS.update(
-        {
-            "bin": _export.write_bin,
-            "arrow": _export.write_arrow_ipc,
-            "csv": _export.write_csv,
-            "orc": _export.write_orc,
-            "geojson": _export.write_geojson,
-            "gml": _export2.write_gml,
-            "shapefile": _export2.write_shapefile,
-            "leaflet": _export2.write_leaflet,
-            "avro": _avro.write_avro_file,
-        }
-    )
+    # setdefault: an earlier USER registration under a builtin name wins
+    for k, v in {
+        "geojson": _readers.read_geojson,
+        "delimited": _readers.read_delimited,
+        "fixed-width": _readers.read_fixed_width,
+        "xml": _readers.read_xml,
+        "shapefile": _readers.read_shapefile_ds,
+        "avro": _avro.read_avro,
+        "jdbc": _jdbc.read_sqlite,
+        "osm": _readers.read_osm,
+    }.items():
+        _CONVERTERS.setdefault(k, v)
+    for k, v in {
+        "bin": _export.write_bin,
+        "arrow": _export.write_arrow_ipc,
+        "csv": _export.write_csv,
+        "orc": _export.write_orc,
+        "geojson": _export.write_geojson,
+        "gml": _export2.write_gml,
+        "shapefile": _export2.write_shapefile,
+        "leaflet": _export2.write_leaflet,
+        "avro": _avro.write_avro_file,
+    }.items():
+        _EXPORTERS.setdefault(k, v)
     from geomesa_ray.stages.encode import cell_of_z2
 
-    _PARTITION_SCHEMES.update(
-        {
-            "z2-cell": cell_of_z2,
-        }
-    )
+    _PARTITION_SCHEMES.setdefault("z2-cell", cell_of_z2)
 
 
 def converter(name: str) -> Callable:

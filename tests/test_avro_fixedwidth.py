@@ -254,3 +254,33 @@ def test_osm_ways_resolve_linestrings(ray_session, tmp_path):
     from geomesa_ray.registry import converter
 
     assert converter("osm") is read_osm
+
+
+def test_registry_user_registration_before_first_lookup():
+    """A custom converter registered BEFORE any lookup must not suppress
+    (or be clobbered by) the builtin population (round-3 review)."""
+    import geomesa_ray.registry as reg
+
+    # simulate a fresh import state
+    saved = (dict(reg._CONVERTERS), dict(reg._EXPORTERS),
+             dict(reg._PARTITION_SCHEMES), reg._builtins_loaded)
+    try:
+        reg._CONVERTERS.clear(); reg._EXPORTERS.clear()
+        reg._PARTITION_SCHEMES.clear(); reg._builtins_loaded = False
+
+        @reg.register_converter("mine")
+        def my_conv(path):  # pragma: no cover - identity stub
+            return path
+
+        @reg.register_converter("geojson")
+        def my_geojson(path):  # overrides the builtin name
+            return ("custom", path)
+
+        assert reg.converter("mine") is my_conv
+        assert reg.converter("geojson") is my_geojson  # user wins
+        assert reg.converter("avro") is not None  # builtins still loaded
+    finally:
+        reg._CONVERTERS.clear(); reg._CONVERTERS.update(saved[0])
+        reg._EXPORTERS.clear(); reg._EXPORTERS.update(saved[1])
+        reg._PARTITION_SCHEMES.clear(); reg._PARTITION_SCHEMES.update(saved[2])
+        reg._builtins_loaded = saved[3]
