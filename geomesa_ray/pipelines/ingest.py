@@ -90,6 +90,13 @@ def ingest_pages(
             continue  # already completed: skip (resume)
         t0 = time.perf_counter()
         group_dir = os.path.join(out_dir, f"group={k}")
+        # the manifest entry is the COMMIT point: a group dir without one
+        # is a prior attempt that died mid-write — its partial files would
+        # otherwise sit next to the rerun's output and double-count rows
+        if os.path.isdir(group_dir):
+            import shutil
+
+            shutil.rmtree(group_dir)
         read_cols = columns if columns is not None else (PAGE_COLUMNS if extract else None)
         ds = ray.data.read_parquet(files, columns=read_cols)
         rows_in = ds.count()

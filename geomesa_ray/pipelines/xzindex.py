@@ -201,6 +201,12 @@ def ingest_extents(
             continue
         t0 = time.perf_counter()
         group_dir = os.path.join(out_dir, f"group={k}")
+        # manifest entry = commit point: wipe a prior attempt's partial
+        # files or the rerun double-counts them (same contract as ingest)
+        if os.path.isdir(group_dir):
+            import shutil
+
+            shutil.rmtree(group_dir)
         ds = ray.data.read_parquet(files, columns=columns)
         rows_in = ds.count()
         ds = ds.map_batches(

@@ -230,3 +230,34 @@ class TestTextInvariantEndToEnd:
         assert len(out) > 0
         for u, x in zip(out["url"], out["text"]):
             assert x == truth[u], u
+
+
+def test_ingest_resume_discards_partial_group(ray_session, tmp_path):
+    """A group dir left by a run that died BEFORE its manifest entry must
+    be wiped on rerun — otherwise the stale partial files sit next to the
+    rerun's output and the manifest double-counts rows (round-3 review)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geomesa_ray.pipelines.ingest import ingest_pages
+    from geomesa_ray.sources.synth import generate_pages
+
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    pq.write_table(generate_pages(400, seed=3), f"{src}/pages-0.parquet")
+    out = str(tmp_path / "idx")
+    # simulate the dead attempt: a partial file in group=0, NO manifest
+    os.makedirs(f"{out}/group=0")
+    pq.write_table(
+        generate_pages(100, seed=9), f"{out}/group=0/stale-partial.parquet"
+    )
+    manifest = ingest_pages(src, out, n_groups=1)
+    rows_out = sum(e.rows_out for e in manifest.values())
+    listed = sum(
+        pq.ParquetFile(os.path.join(out, "group=0", f)).metadata.num_rows
+        for f in os.listdir(f"{out}/group=0") if f.endswith(".parquet")
+    )
+    assert rows_out == listed  # no stale rows in the layout
+    assert not os.path.exists(f"{out}/group=0/stale-partial.parquet")
