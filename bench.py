@@ -60,6 +60,7 @@ HEADLINE = [
     "split_assign",
     "normalize_text",
     "curate_corpus",
+    "incremental_dedup",
 ]
 
 

@@ -1782,6 +1782,42 @@ def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
     return deduped.map_batches(gate_and_split, batch_format="pyarrow")
 
 
+def q_incremental_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Incremental exact dedup: docs with doc_id % 5 == 0 are the
+    pre-ingested corpus (persisted as bucket-partitioned dedup state);
+    the rest arrive as the new batch and keep only keys unseen in state
+    AND first (min id) within the batch. State buckets are read per
+    shard — the scale path for dedup-on-ingest."""
+    import os
+    import tempfile
+
+    from geomesa_ray.stages.dedup import build_dedup_state, exact_dedup_incremental
+
+    state = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_dedup_state_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+    )
+    marker = os.path.join(state, "_DONE")
+    if not os.path.exists(marker):
+        old = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            lambda b: b.filter(
+                pa.array(b["doc_id"].to_numpy(zero_copy_only=False) % 5 == 0)
+            ),
+            batch_format="pyarrow",
+        )
+        build_dedup_state(old, state)
+        with open(marker, "w") as f:
+            f.write("ok")
+    new = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(
+            pa.array(b["doc_id"].to_numpy(zero_copy_only=False) % 5 != 0)
+        ),
+        batch_format="pyarrow",
+    )
+    fresh = exact_dedup_incremental(new, state)
+    return fresh.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
 QUERIES = {
     "proximity_join": q_proximity_join,
     "semi_join": q_semi_join,
@@ -1846,6 +1882,7 @@ QUERIES = {
     "split_assign": q_split_assign,
     "normalize_text": q_normalize_text,
     "curate_corpus": q_curate_corpus,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 _DERIVE_SQL = """
@@ -2583,3 +2620,22 @@ FROM gated g JOIN b5 USING (doc_id) JOIN dd d USING (doc_id)
 
 
 ORACLE_SQL["curate_corpus"] = _curate_corpus_oracle_sql()
+
+
+ORACLE_SQL["incremental_dedup"] = """
+WITH old AS MATERIALIZED (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 5 = 0
+),
+new AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+),
+fresh AS MATERIALIZED (
+  SELECT n.doc_id, n.text
+  FROM new n LEFT JOIN old o ON n.text = o.text
+  WHERE o.text IS NULL
+)
+SELECT f.doc_id
+FROM fresh f
+JOIN (SELECT text, min(doc_id) AS keep_id FROM fresh GROUP BY text) m
+  ON f.text = m.text AND f.doc_id = m.keep_id
+"""

@@ -1102,3 +1102,107 @@ def decontaminate(ds: ray.data.Dataset, bench,
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup (persisted state)
+# ---------------------------------------------------------------------------
+
+def build_dedup_state(docs: ray.data.Dataset, state_dir: str,
+                      key_col: str = "text",
+                      n_buckets: int = 256) -> int:
+    """Persist the corpus's distinct-key set as a bucket-partitioned
+    parquet layout (``__bucket__=<b>/``), the state an INCREMENTAL ingest
+    dedups against. Distinctness is decided with the same combiner +
+    bucketed-shuffle shape as :func:`exact_dedup`; each bucket directory
+    holds only its hash range, so the incremental pass reads exactly the
+    buckets it routes new keys to. Returns the distinct-key count."""
+    def local(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        keys = (
+            pl.from_arrow(batch.select([key_col]))
+            .unique(subset=[key_col])
+            .to_arrow()
+            .cast(pa.schema([pa.field(key_col, pa.string())]))
+        )
+        h = hash_strings(keys[key_col]).astype(np.int64)
+        return keys.append_column(
+            "__bucket__", pa.array(h % n_buckets, pa.int64())
+        )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(group)
+            .unique(subset=[key_col])
+            .sort(key_col)
+            .to_arrow()
+        )
+        return out.cast(group.schema)
+
+    ds = (
+        docs.map_batches(local, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
+    ds.write_parquet(state_dir, partition_cols=["__bucket__"])
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    return sum(
+        _pq.ParquetFile(p).metadata.num_rows
+        for p in _glob.glob(_os.path.join(state_dir, "**", "*.parquet"),
+                            recursive=True)
+    )
+
+
+def exact_dedup_incremental(new_docs: ray.data.Dataset, state_dir: str,
+                            key_col: str = "text", id_col: str = "doc_id",
+                            n_buckets: int = 256) -> ray.data.Dataset:
+    """Incremental exact dedup: keep only rows of ``new_docs`` whose key
+    is BOTH unseen in the persisted state (:func:`build_dedup_state`;
+    ``n_buckets`` must match) and first (min id) within the new batch.
+
+    Scale shape: the combiner + ``hash(key) % n_buckets`` shuffle of
+    :func:`exact_dedup`, then each bucket task reads ONLY its own state
+    directory (``__bucket__=<b>/`` — file-level pruning against state
+    that may be arbitrarily large) and anti-filters with a vectorized
+    ``is_in``. No driver-side key set at any size."""
+    import os
+
+    def local(batch: pa.Table) -> pa.Table:
+        batch = _first_per_key(batch, key_col, id_col)
+        h = hash_strings(batch[key_col]).astype(np.int64)
+        return batch.append_column(
+            "__bucket__", pa.array(h % n_buckets, pa.int64())
+        )
+
+    def bucket_fresh(group: pa.Table) -> pa.Table:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        out = _first_per_key(group, key_col, id_col)
+        b = int(out["__bucket__"][0].as_py()) if len(out) else 0
+        files = sorted(
+            _glob.glob(os.path.join(state_dir, f"__bucket__={b}", "*.parquet"))
+        )
+        if files and len(out):
+            seen = pa.concat_tables(
+                [_pq.read_table(f, columns=[key_col]) for f in files]
+            )[key_col]
+            if isinstance(seen, pa.ChunkedArray):
+                seen = seen.combine_chunks()
+            mask = pc.invert(pc.is_in(out[key_col], value_set=seen))
+            out = out.filter(pc.fill_null(mask, True))
+        return out.drop_columns(["__bucket__"])
+
+    return (
+        new_docs.map_batches(local, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(bucket_fresh, batch_format="pyarrow")
+    )

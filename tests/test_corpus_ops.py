@@ -867,3 +867,40 @@ def test_dedup_keep_broadcast_and_join_arms_agree(ray_session, documents):
         dedup_keep(ds, labels, broadcast_limit_bytes=0).to_pandas()["doc_id"]
     )
     assert a == b and len(a) < len(full)
+
+
+def test_exact_dedup_incremental(ray_session, documents, tmp_path):
+    """New docs dedup against persisted bucket-partitioned state: seen
+    keys drop, unseen keys keep their min-id row, state buckets are read
+    per shard (no driver key set)."""
+    import ray.data
+
+    from geomesa_ray.stages.dedup import build_dedup_state, exact_dedup_incremental
+
+    docs = documents.select(["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy()
+    old_mask = ids % 5 == 0
+    old = docs.filter(pa.array(old_mask))
+    new = docs.filter(pa.array(~old_mask))
+    state = str(tmp_path / "state")
+    n_keys = build_dedup_state(ray.data.from_arrow(old), state)
+    assert n_keys == len(set(old["text"].to_pylist()))
+    got = sorted(
+        exact_dedup_incremental(ray.data.from_arrow(new), state)
+        .to_pandas()["doc_id"]
+    )
+    # brute-force oracle
+    seen = set(old["text"].to_pylist())
+    best = {}
+    for i, t in zip(new["doc_id"].to_pylist(), new["text"].to_pylist()):
+        if t in seen:
+            continue
+        if t not in best or i < best[t]:
+            best[t] = i
+    assert got == sorted(best.values())
+    # a second incremental pass against updated state drops EVERYTHING
+    from geomesa_ray.stages.dedup import build_dedup_state as _b
+    state2 = str(tmp_path / "state2")
+    _b(ray.data.from_arrow(docs), state2)
+    again = exact_dedup_incremental(ray.data.from_arrow(new), state2)
+    assert again.count() == 0
