@@ -61,6 +61,7 @@ HEADLINE = [
     "normalize_text",
     "curate_corpus",
     "incremental_dedup",
+    "tumbling_counts",
 ]
 
 

@@ -1818,6 +1818,17 @@ def q_incremental_dedup(sf_dir: str) -> ray.data.Dataset:
     return fresh.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
+def q_tumbling_counts(sf_dir: str) -> ray.data.Dataset:
+    """Daily tumbling-window event counts per event_type: combiner-first
+    partial sums tree-merged (output bounded by windows × types)."""
+    from geomesa_ray.stages.sessions import tumbling_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return tumbling_counts(ds, window_s=86_400)
+
+
 QUERIES = {
     "proximity_join": q_proximity_join,
     "semi_join": q_semi_join,
@@ -1883,6 +1894,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "curate_corpus": q_curate_corpus,
     "incremental_dedup": q_incremental_dedup,
+    "tumbling_counts": q_tumbling_counts,
 }
 
 _DERIVE_SQL = """
@@ -2638,4 +2650,12 @@ SELECT f.doc_id
 FROM fresh f
 JOIN (SELECT text, min(doc_id) AS keep_id FROM fresh GROUP BY text) m
   ON f.text = m.text AND f.doc_id = m.keep_id
+"""
+
+
+ORACLE_SQL["tumbling_counts"] = """
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
+       event_type,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
 """

@@ -115,3 +115,57 @@ def sessionize(ds: ray.data.Dataset, user_col: str = "user_id",
             batch_format="pyarrow",
         )
     )
+
+
+def tumbling_counts(ds: ray.data.Dataset, ts_col: str = "ts",
+                    key_col: str | None = "event_type",
+                    window_s: int = 86_400,
+                    fanin_rows: int = 2_000_000) -> ray.data.Dataset:
+    """Tumbling-window aggregate: events bucketed into fixed windows of
+    ``window_s`` (``window_start_us = floor(us / w) * w``), counted per
+    ``(window, key)``. The batch-analytics face of the streaming window
+    operator (sessionize is the gap-based face).
+
+    Scale shape: per-batch partial counts (combiner) tree-merged — the
+    output is bounded by #windows × #keys, so no shuffle aggregate is
+    needed until that product is huge (then the fallback shuffle runs).
+    """
+    import pyarrow.compute as pc
+
+    from geomesa_ray.stages.corpus import _group_sum, _tree_merge
+
+    w_us = int(window_s) * 1_000_000
+    key_cols = ["window_start_us"] + ([key_col] if key_col else [])
+    schema = pa.schema(
+        [pa.field("window_start_us", pa.int64())]
+        + ([pa.field(key_col, pa.string())] if key_col else [])
+        + [pa.field("n_events", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col]
+        unit = t.type.unit if pa.types.is_timestamp(t.type) else "us"
+        ints = t.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[unit]
+        us = ints // 1_000 if scale is None else ints * scale
+        win = (us // w_us) * w_us
+        cols = {"window_start_us": pa.array(win, pa.int64())}
+        if key_col:
+            cols[key_col] = batch[key_col].cast(pa.string())
+        cols["n_events"] = pa.array(np.ones(len(batch), np.int64), pa.int64())
+        return _group_sum(pa.table(cols), key_cols, ["n_events"])
+
+    def merge(batch: pa.Table) -> pa.Table:
+        return _group_sum(batch.cast(schema), key_cols, ["n_events"])
+
+    merged, converged = _tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        fanin_rows=fanin_rows,
+    )
+    if not converged:  # huge window×key product: exact shuffle aggregate
+        from ray.data.aggregate import Sum
+
+        merged = merged.groupby(key_cols).aggregate(
+            Sum("n_events", alias_name="n_events")
+        )
+    return merged

@@ -145,3 +145,33 @@ def test_ann_tie_break_at_k_boundary(ray_session):
     )
     got = ann_brute(ds, np.array([[1.0, 0.0]]), 3).to_pandas()
     assert sorted(got["vec_id"]) == [10, 20, 30]
+
+
+def test_tumbling_counts_edges(ray_session):
+    import ray.data
+
+    from geomesa_ray.stages.sessions import tumbling_counts
+
+    # window boundary: ts == window start belongs to that window
+    t = pa.table(
+        {
+            "ts": pa.array([0, 9_999_999, 10_000_000, 25_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+        }
+    )
+    got = (
+        tumbling_counts(ray.data.from_arrow(t), window_s=10)
+        .to_pandas()
+        .sort_values(["window_start_us", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [
+        [0, "a", 2], [10_000_000, "a", 1], [20_000_000, "b", 1],
+    ]
+    # keyless mode and the non-converging fallback agree with the default
+    total = tumbling_counts(ray.data.from_arrow(t), window_s=10, key_col=None)
+    assert sorted(total.to_pandas()["n_events"]) == [1, 1, 2]
+    fb = tumbling_counts(
+        ray.data.from_arrow(t), window_s=10, fanin_rows=1
+    ).to_pandas().sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+    assert fb.values.tolist() == got.values.tolist()
