@@ -175,3 +175,64 @@ def test_tumbling_counts_edges(ray_session):
         ray.data.from_arrow(t), window_s=10, fanin_rows=1
     ).to_pandas().sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
     assert fb.values.tolist() == got.values.tolist()
+
+
+def test_sessionize_property_random(ray_session):
+    """Randomized property check vs the brute oracle across shard counts
+    and gap sizes (heavy ties and singleton users included)."""
+    import ray.data
+
+    from geomesa_ray.stages.sessions import sessionize
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = int(rng.integers(50, 300))
+        users = rng.integers(0, int(rng.integers(2, 20)), n)
+        ts_us = rng.integers(0, 10**7, n) * 100  # dense: many ties/gaps
+        gap_s = int(rng.integers(1, 100))
+        t = pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+            }
+        )
+        ds = ray.data.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=13
+        )
+        got = sessionize(ds, gap_s=gap_s, n_shards=int(rng.integers(1, 9)))
+        exp = _brute(users.tolist(), ts_us.tolist(), gap_s * 1_000_000)
+        gdf = got.to_pandas()
+        assert len(gdf) == len(exp), trial
+        for _, r in gdf.iterrows():
+            assert exp[(r["user_id"], r["session_no"])] == (
+                r["n_events"], r["start_us"], r["end_us"]
+            ), trial
+
+
+def test_cdf_buckets_invariants_random(ray_session):
+    """Buckets are monotone in value, within [0, n_buckets), and the
+    strictly-smaller-count formula holds exactly."""
+    import ray.data
+
+    from geomesa_ray.stages.corpus import cdf_buckets
+
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 40, 500)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(500), pa.int64()),
+            "n_chars": pa.array(vals, pa.int64()),
+        }
+    )
+    for nb in (2, 7, 10):
+        got = cdf_buckets(
+            ray.data.from_arrow(t), n_buckets=nb
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        v = got["n_chars"].to_numpy()
+        b = got["bucket"].to_numpy()
+        assert b.min() >= 0 and b.max() < nb
+        order = np.argsort(v, kind="stable")
+        assert (np.diff(b[order]) >= 0).all()  # monotone in value
+        for val in np.unique(v):
+            smaller = int((v < val).sum())
+            assert (b[v == val] == smaller * nb // len(v)).all()
