@@ -62,6 +62,7 @@ HEADLINE = [
     "curate_corpus",
     "incremental_dedup",
     "tumbling_counts",
+    "stratified_sample",
 ]
 
 

@@ -1829,6 +1829,24 @@ def q_tumbling_counts(sf_dir: str) -> ray.data.Dataset:
     return tumbling_counts(ds, window_s=86_400)
 
 
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Training-mixture downsampling: per-source keep rates derived
+    deterministically from the source's numeric suffix
+    (``200 + suffix*53 % 600`` per mille), keep decision =
+    ``splitmix64(doc_id) % 1000 < rate`` — order/partitioning-invariant."""
+    import pyarrow.parquet as pq_mod
+
+    from geomesa_ray.stages.corpus import stratified_sample
+
+    sources = (
+        pq_mod.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        ["source"].unique().to_pylist()
+    )
+    rates = {s: 200 + (int(s[3:]) * 53) % 600 for s in sources}
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    return stratified_sample(ds, rates)
+
+
 QUERIES = {
     "proximity_join": q_proximity_join,
     "semi_join": q_semi_join,
@@ -1895,6 +1913,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "incremental_dedup": q_incremental_dedup,
     "tumbling_counts": q_tumbling_counts,
+    "stratified_sample": q_stratified_sample,
 }
 
 _DERIVE_SQL = """
@@ -2659,3 +2678,27 @@ SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
        count(*) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from geomesa_ray.pipelines.oracles import (
+        M64, SPLITMIX_C1, SPLITMIX_C2, SPLITMIX_C3, _mul64,
+    )
+
+    return f"""
+WITH b0 AS (
+  SELECT *, (CAST(doc_id AS HUGEINT) + {SPLITMIX_C1}) % {M64} AS z0
+  FROM documents
+),
+b1 AS (SELECT *, xor(z0, z0 >> 30) AS x0 FROM b0),
+b2 AS (SELECT *, {_mul64("x0", SPLITMIX_C2)} AS z1 FROM b1),
+b3 AS (SELECT *, xor(z1, z1 >> 27) AS x1 FROM b2),
+b4 AS (SELECT *, {_mul64("x1", SPLITMIX_C3)} AS z2 FROM b3),
+b5 AS (SELECT *, xor(z2, z2 >> 31) AS z FROM b4)
+SELECT doc_id, source
+FROM b5
+WHERE z % 1000 < 200 + (CAST(substr(source, 4) AS BIGINT) * 53) % 600
+"""
+
+
+ORACLE_SQL["stratified_sample"] = _stratified_sample_oracle_sql()

@@ -719,3 +719,42 @@ def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def stratified_sample(ds: ray.data.Dataset, rates_per_mille: dict[str, int],
+                      key_col: str = "source", id_col: str = "doc_id",
+                      default_per_mille: int = 1000) -> ray.data.Dataset:
+    """Deterministic per-stratum downsampling for training-mixture
+    reweighting: a row survives iff ``splitmix64(id) % 1000 <
+    rate_per_mille[stratum]``. The keep decision depends only on the row's
+    id and its stratum's rate — partitioning/order-invariant, stable
+    across reruns and incremental ingests (the same guarantees as
+    :func:`split_assign`, which this composes with: a row's sample fate
+    and its train/val/test split use independent hash streams only if the
+    caller salts one of them; by default both read splitmix64(id), so a
+    sampled-out row is sampled out of every split consistently).
+
+    The rate table is broadcast via closure (strata are few by
+    definition); one stateless map_batches, no shuffle."""
+    import pyarrow.compute as pc
+
+    if not (0 <= default_per_mille <= 1000) or any(
+        not (0 <= r <= 1000) for r in rates_per_mille.values()
+    ):
+        raise ValueError("rates are per-mille: 0..1000")
+    keys = pa.array(sorted(rates_per_mille), pa.string())
+    vals = np.array([rates_per_mille[k] for k in sorted(rates_per_mille)],
+                    dtype=np.int64)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (_splitmix64(ids.astype(np.uint64)) % np.uint64(1000)).astype(np.int64)
+        src = batch[key_col].cast(pa.string())
+        # index_in yields null for unseen strata → fill -1, default rate
+        idx = pc.fill_null(pc.index_in(src, value_set=keys), -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rate = np.where(idx < 0, np.int64(default_per_mille), vals[np.maximum(idx, 0)])
+        return batch.filter(pa.array(bucket < rate))
+
+    return ds.map_batches(sample, batch_format="pyarrow")

@@ -904,3 +904,34 @@ def test_exact_dedup_incremental(ray_session, documents, tmp_path):
     _b(ray.data.from_arrow(docs), state2)
     again = exact_dedup_incremental(ray.data.from_arrow(new), state2)
     assert again.count() == 0
+
+
+def test_stratified_sample_rates_and_defaults(ray_session):
+    import ray.data
+
+    from geomesa_ray.stages.corpus import _splitmix64, stratified_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3000), pa.int64()),
+            "source": pa.array((["a", "b", "other"] * 1000), pa.string()),
+        }
+    )
+    got = stratified_sample(
+        ray.data.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=101
+        ),
+        {"a": 0, "b": 1000}, default_per_mille=500,
+    ).to_pandas()
+    # rate 0 keeps nothing; rate 1000 keeps everything; default ~half
+    assert (got["source"] == "a").sum() == 0
+    assert (got["source"] == "b").sum() == 1000
+    n_other = (got["source"] == "other").sum()
+    assert 400 < n_other < 600
+    # deterministic: same ids kept on a rerun with different batching
+    again = stratified_sample(
+        ray.data.from_arrow(t), {"a": 0, "b": 1000}, default_per_mille=500
+    ).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+    with pytest.raises(ValueError):
+        stratified_sample(ray.data.from_arrow(t), {"a": 1001})
