@@ -288,3 +288,21 @@ SELECT d.doc_id,
                  ELSE CAST(f.fp_u AS HUGEINT) END AS BIGINT) AS fingerprint
 FROM {table} d LEFT JOIN fold f ON f.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def splitmix_ctes(src: str, id_col: str = "doc_id",
+                  prefix: str = "b") -> str:
+    """CTE chain ``{prefix}0..{prefix}5`` computing ``z = splitmix64(id)``
+    over every column of ``src`` (mirrors corpus._splitmix64 with HUGEINT
+    32-bit limb multiplication). Select from ``{prefix}5``; the hash is in
+    column ``z``."""
+    p = prefix
+    return f"""{p}0 AS (
+  SELECT *, (CAST({id_col} AS HUGEINT) + {SPLITMIX_C1}) % {M64} AS z0
+  FROM {src}
+),
+{p}1 AS (SELECT *, xor(z0, z0 >> 30) AS x0 FROM {p}0),
+{p}2 AS (SELECT *, {_mul64("x0", SPLITMIX_C2)} AS z1 FROM {p}1),
+{p}3 AS (SELECT *, xor(z1, z1 >> 27) AS x1 FROM {p}2),
+{p}4 AS (SELECT *, {_mul64("x1", SPLITMIX_C3)} AS z2 FROM {p}3),
+{p}5 AS (SELECT *, xor(z2, z2 >> 31) AS z FROM {p}4)"""

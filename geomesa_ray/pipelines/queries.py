@@ -2545,20 +2545,10 @@ ORACLE_SQL["decontaminate"] = _decontaminate_oracle_sql()
 
 
 def _split_assign_oracle_sql() -> str:
-    from geomesa_ray.pipelines.oracles import (
-        M64, SPLITMIX_C1, SPLITMIX_C2, SPLITMIX_C3, _mul64,
-    )
+    from geomesa_ray.pipelines.oracles import splitmix_ctes
 
     return f"""
-WITH b0 AS (
-  SELECT doc_id, (CAST(doc_id AS HUGEINT) + {SPLITMIX_C1}) % {M64} AS z0
-  FROM documents
-),
-b1 AS (SELECT doc_id, xor(z0, z0 >> 30) AS x0 FROM b0),
-b2 AS (SELECT doc_id, {_mul64("x0", SPLITMIX_C2)} AS z1 FROM b1),
-b3 AS (SELECT doc_id, xor(z1, z1 >> 27) AS x1 FROM b2),
-b4 AS (SELECT doc_id, {_mul64("x1", SPLITMIX_C3)} AS z2 FROM b3),
-b5 AS (SELECT doc_id, xor(z2, z2 >> 31) AS z FROM b4)
+WITH {splitmix_ctes("documents")}
 SELECT doc_id,
        CASE WHEN z % 1000 < 980 THEN 'train'
             WHEN z % 1000 < 990 THEN 'val'
@@ -2600,9 +2590,7 @@ FROM cleaned
 def _curate_corpus_oracle_sql() -> str:
     """Composes the normalize_text mess+clean CTEs, exact-dedup min-id,
     the quality CTE chain, and the splitmix64 bucket arithmetic."""
-    from geomesa_ray.pipelines.oracles import (
-        M64, SPLITMIX_C1, SPLITMIX_C2, SPLITMIX_C3, _mul64,
-    )
+    from geomesa_ray.pipelines.oracles import splitmix_ctes
 
     return rf"""
 WITH messy AS (
@@ -2635,12 +2623,7 @@ gated AS (
   SELECT doc_id, n_tokens, quality_score FROM qfinal
   WHERE quality_score >= 0.68
 ),
-b0 AS (SELECT doc_id, (CAST(doc_id AS HUGEINT) + {SPLITMIX_C1}) % {M64} AS z0 FROM gated),
-b1 AS (SELECT doc_id, xor(z0, z0 >> 30) AS x0 FROM b0),
-b2 AS (SELECT doc_id, {_mul64("x0", SPLITMIX_C2)} AS z1 FROM b1),
-b3 AS (SELECT doc_id, xor(z1, z1 >> 27) AS x1 FROM b2),
-b4 AS (SELECT doc_id, {_mul64("x1", SPLITMIX_C3)} AS z2 FROM b3),
-b5 AS (SELECT doc_id, xor(z2, z2 >> 31) AS z FROM b4)
+{splitmix_ctes("gated")}
 SELECT g.doc_id, g.n_tokens, g.quality_score,
        CASE WHEN b5.z % 1000 < 980 THEN 'train'
             WHEN b5.z % 1000 < 990 THEN 'val'
@@ -2681,20 +2664,10 @@ FROM events GROUP BY 1, 2
 
 
 def _stratified_sample_oracle_sql() -> str:
-    from geomesa_ray.pipelines.oracles import (
-        M64, SPLITMIX_C1, SPLITMIX_C2, SPLITMIX_C3, _mul64,
-    )
+    from geomesa_ray.pipelines.oracles import splitmix_ctes
 
     return f"""
-WITH b0 AS (
-  SELECT *, (CAST(doc_id AS HUGEINT) + {SPLITMIX_C1}) % {M64} AS z0
-  FROM documents
-),
-b1 AS (SELECT *, xor(z0, z0 >> 30) AS x0 FROM b0),
-b2 AS (SELECT *, {_mul64("x0", SPLITMIX_C2)} AS z1 FROM b1),
-b3 AS (SELECT *, xor(z1, z1 >> 27) AS x1 FROM b2),
-b4 AS (SELECT *, {_mul64("x1", SPLITMIX_C3)} AS z2 FROM b3),
-b5 AS (SELECT *, xor(z2, z2 >> 31) AS z FROM b4)
+WITH {splitmix_ctes("documents")}
 SELECT doc_id, source
 FROM b5
 WHERE z % 1000 < 200 + (CAST(substr(source, 4) AS BIGINT) * 53) % 600
