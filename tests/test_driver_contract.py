@@ -34,6 +34,19 @@ SUBSET = [
     "repetition_stats",
     "pii_redact",
     "clean_corpus",
+    # round-3 additions
+    "domain_stats",
+    "bigram_coverage",
+    "quality_buckets",
+    "user_sessions",
+    "bpe_token_counts",
+    "decontaminate",
+    "split_assign",
+    "normalize_text",
+    "curate_corpus",
+    "incremental_dedup",
+    "tumbling_counts",
+    "stratified_sample",
 ]
 
 
