@@ -63,9 +63,21 @@ JOIN_RECTS = [
 ]
 
 
+def _read_events(sf_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """events.parquet is a single small file at test scales (one block →
+    serial downstream stages); split the read like _read_docs."""
+    import os
+
+    n_blocks = min(16, max(2, (os.cpu_count() or 4) // 2))
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=columns,
+        override_num_blocks=n_blocks,
+    )
+
+
 def events_points(sf_dir: str) -> ray.data.Dataset:
     """events → (event_id, ts, event_type, value, lon, lat), streaming."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read_events(sf_dir)
 
     def derive(batch: pa.Table) -> pa.Table:
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
@@ -518,7 +530,7 @@ def q_knn(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def q_events_by_type(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ds = _read_events(sf_dir, ["event_type"])
     out = ds.groupby("event_type").count()
     return out.map_batches(
         lambda b: pa.table(
@@ -613,7 +625,7 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 def q_value_stats(sf_dir: str) -> pa.Table:
     """Stats-sketch scan (StatsScan analog): count / min / max of a column."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = _read_events(sf_dir, ["value"])
     out = compute_stats(
         ds,
         [StatSpec("v", "min_max", "value"), StatSpec("n", "count", "value")],
@@ -633,7 +645,7 @@ def q_value_histogram(sf_dir: str) -> pa.Table:
     arithmetic ((v-lo)*bins/(hi-lo), floored, clipped) exactly."""
     from geomesa_ray.stages.stats import StatSpec, compute_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = _read_events(sf_dir, ["value"])
     out = compute_stats(
         ds, [StatSpec("h", "histogram", "value", bins=20, lo=0.0, hi=500.0)]
     )
@@ -1668,7 +1680,7 @@ def q_user_sessions(sf_dir: str) -> ray.data.Dataset:
     kernel, int64 epoch-us timestamps throughout."""
     from geomesa_ray.stages.sessions import sessionize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = _read_events(sf_dir, ["user_id", "ts"])
     return sessionize(ds, gap_s=30_000)
 
 
