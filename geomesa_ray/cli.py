@@ -165,8 +165,11 @@ def cmd_corpus(args) -> dict:
     elif op == "quality":
         from geomesa_ray.stages.textstats import QualityScorer
 
+        # pass the CLASS: Ray rejects tuple concurrency for plain callables
         out = ds.map_batches(
-            QualityScorer(text_col=args.text_col), batch_format="pyarrow",
+            QualityScorer,
+            fn_constructor_kwargs={"text_col": args.text_col},
+            batch_format="pyarrow",
             concurrency=(1, 8),
         )
     elif op == "redact-pii":

@@ -63,16 +63,23 @@ JOIN_RECTS = [
 ]
 
 
-def _read_events(sf_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    """events.parquet is a single small file at test scales (one block →
-    serial downstream stages); split the read like _read_docs."""
+def _read_split(sf_dir: str, name: str,
+                columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Single small parquet files read as ONE block at test scales, so
+    every downstream map stage runs serially; splitting the read restores
+    parallelism. At corpus scale inputs are many files and the override
+    is a no-op-sized hint."""
     import os
 
     n_blocks = min(16, max(2, (os.cpu_count() or 4) // 2))
     return ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=columns,
+        f"{sf_dir}/{name}.parquet", columns=columns,
         override_num_blocks=n_blocks,
     )
+
+
+def _read_events(sf_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return _read_split(sf_dir, "events", columns)
 
 
 def events_points(sf_dir: str) -> ray.data.Dataset:
@@ -1133,17 +1140,7 @@ def q_sample_per_key(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 def _read_docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
-    """documents.parquet is a SINGLE small file at test scales, so Ray
-    reads it as one block and every downstream map stage runs serially;
-    splitting the read restores parallelism. At corpus scale the input is
-    many files and the override is a no-op-sized hint."""
-    import os
-
-    n_blocks = min(16, max(2, (os.cpu_count() or 4) // 2))
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=columns,
-        override_num_blocks=n_blocks,
-    )
+    return _read_split(sf_dir, "documents", columns)
 
 
 def q_exact_dedup(sf_dir: str) -> ray.data.Dataset:
@@ -1708,15 +1705,16 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     its 24-byte-shingle overlap with it (bench docs hit themselves; at
     k=24 the flag splits the corpus non-trivially — 17/500 at sf0.01 —
     instead of firing on every shared word pair)."""
-    import pyarrow.parquet as pq_mod
-
     from geomesa_ray.stages.dedup import decontaminate
 
-    bench = pq_mod.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    # bench side streams as a Dataset slice — never the whole corpus on
+    # the driver (decontaminate folds it into a distinct hash set)
+    bench = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(
+            pa.array(b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)
+        ),
+        batch_format="pyarrow",
     )
-    mask = bench["doc_id"].to_numpy() % 97 == 0
-    bench = bench.filter(pa.array(mask))
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     return decontaminate(ds, bench, k=24, threshold_hits=1)
 
@@ -1763,7 +1761,7 @@ def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
     quality scoring + gate → leakage-safe split assignment. Every stage's
     arithmetic is the oracle-verified kernel of its standalone query; the
     oracle composes the same SQL pieces."""
-    from geomesa_ray.stages.corpus import _splitmix64, normalize_text
+    from geomesa_ray.stages.corpus import normalize_text, split_labels
     from geomesa_ray.stages.dedup import exact_dedup
     from geomesa_ray.stages.textstats import QualityScorer
 
@@ -1778,8 +1776,7 @@ def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
         scored = scorer(batch.select(["doc_id", "text"]))
         keep = pc.greater_equal(scored["quality_score"], pa.scalar(0.68))
         ids = scored["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        bucket = (_splitmix64(ids.astype(np.uint64)) % np.uint64(1000)).astype(np.int64)
-        split = np.where(bucket < 980, "train", np.where(bucket < 990, "val", "test"))
+        split = split_labels(ids)  # the one split contract (corpus.py)
         out = pa.table(
             {
                 "doc_id": scored["doc_id"],
@@ -1800,15 +1797,16 @@ def q_incremental_dedup(sf_dir: str) -> ray.data.Dataset:
     the rest arrive as the new batch and keep only keys unseen in state
     AND first (min id) within the batch. State buckets are read per
     shard — the scale path for dedup-on-ingest."""
+    import hashlib
     import os
     import tempfile
 
     from geomesa_ray.stages.dedup import build_dedup_state, exact_dedup_incremental
 
-    state = os.path.join(
-        tempfile.gettempdir(),
-        f"graft_dedup_state_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
-    )
+    # stable digest: Python's built-in hash() is salted per process, so
+    # the cache marker would never hit across runs (and stale dirs pile up)
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    state = os.path.join(tempfile.gettempdir(), f"graft_dedup_state_{digest}")
     marker = os.path.join(state, "_DONE")
     if not os.path.exists(marker):
         old = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -1835,9 +1833,7 @@ def q_tumbling_counts(sf_dir: str) -> ray.data.Dataset:
     partial sums tree-merged (output bounded by windows × types)."""
     from geomesa_ray.stages.sessions import tumbling_counts
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
-    )
+    ds = _read_events(sf_dir, ["ts", "event_type"])
     return tumbling_counts(ds, window_s=86_400)
 
 

@@ -274,7 +274,17 @@ def _tree_merge(partials: ray.data.Dataset, merge_fn,
             merge_fn, batch_format="pyarrow", batch_size=fanin_rows
         ).materialize()
         rounds += 1
-    return ds, ds.num_blocks() <= 1
+    if ds.num_blocks() <= 1:
+        # a single block can still hold UNMERGED rows: when its row count
+        # exceeds fanin_rows, the last merge ran on split batches whose
+        # outputs were concatenated, not combined. One whole-block pass
+        # (batch_size=None) finishes the merge — safe, because a single
+        # materialized block is bounded by Ray's block-size target.
+        ds = ds.map_batches(
+            merge_fn, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        return ds, True
+    return ds, False
 
 
 def _group_sum(t: pa.Table, keys: list[str], sums: list[str]) -> pa.Table:
@@ -639,6 +649,19 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def split_labels(ids: np.ndarray, train_per_mille: int = 980,
+                 val_per_mille: int = 10) -> np.ndarray:
+    """Row-level split labels from splitmix64 per-mille buckets — the one
+    source of truth for the train/val/test contract (used by
+    :func:`split_assign` and composed pipelines like curate_corpus)."""
+    bucket = (_splitmix64(np.asarray(ids, dtype=np.int64).astype(np.uint64))
+              % np.uint64(1000)).astype(np.int64)
+    return np.where(
+        bucket < train_per_mille, "train",
+        np.where(bucket < train_per_mille + val_per_mille, "val", "test"),
+    )
+
+
 def split_assign(ds: ray.data.Dataset, id_col: str = "doc_id",
                  train_per_mille: int = 980, val_per_mille: int = 10,
                  out_col: str = "split") -> ray.data.Dataset:
@@ -655,13 +678,7 @@ def split_assign(ds: ray.data.Dataset, id_col: str = "doc_id",
 
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        bucket = (_splitmix64(ids.astype(np.uint64)) % np.uint64(1000)).astype(
-            np.int64
-        )
-        split = np.where(
-            bucket < train_per_mille, "train",
-            np.where(bucket < train_per_mille + val_per_mille, "val", "test"),
-        )
+        split = split_labels(ids, train_per_mille, val_per_mille)
         return pa.table(
             {
                 id_col: batch[id_col],

@@ -1116,7 +1116,18 @@ def build_dedup_state(docs: ray.data.Dataset, state_dir: str,
     dedups against. Distinctness is decided with the same combiner +
     bucketed-shuffle shape as :func:`exact_dedup`; each bucket directory
     holds only its hash range, so the incremental pass reads exactly the
-    buckets it routes new keys to. Returns the distinct-key count."""
+    buckets it routes new keys to. Returns the distinct-key count.
+
+    A pre-existing ``state_dir`` is WIPED first: it has no commit marker,
+    so any prior content is either a finished state being rebuilt or a
+    dead attempt's partial files — appending next to either would
+    double-count keys (same contract as the ingest group dirs)."""
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(state_dir):
+        _shutil.rmtree(state_dir)
+
     def local(batch: pa.Table) -> pa.Table:
         import polars as pl
 

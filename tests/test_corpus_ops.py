@@ -935,3 +935,27 @@ def test_stratified_sample_rates_and_defaults(ray_session):
     assert sorted(got["doc_id"]) == sorted(again["doc_id"])
     with pytest.raises(ValueError):
         stratified_sample(ray.data.from_arrow(t), {"a": 1001})
+
+
+def test_tree_merge_final_block_fully_merged(ray_session):
+    """A single final block larger than fanin_rows must still come back
+    fully merged (the last pass runs whole-block) — the split-batch
+    concatenation bug the round-3 code review caught."""
+    import ray.data
+
+    from geomesa_ray.stages.corpus import _group_sum, _tree_merge
+
+    def mk(n):
+        return pa.table(
+            {"k": pa.array([f"key{i % 120}" for i in range(n)], pa.string()),
+             "c": pa.array(np.ones(n, np.int64), pa.int64())}
+        )
+
+    parts = ray.data.from_arrow([mk(120), mk(120), mk(120)])
+    merged, converged = _tree_merge(
+        parts, lambda b: _group_sum(b, ["k"], ["c"]), fanin_rows=50
+    )
+    assert converged
+    df = merged.to_pandas()
+    assert len(df) == 120  # one row per key, fully merged
+    assert (df["c"] == 3).all()
