@@ -744,6 +744,21 @@ def q_reproject_conic(sf_dir: str) -> ray.data.Dataset:
         batch = proj(batch)
         x = batch["ax"].to_numpy(zero_copy_only=False)
         y = batch["ay"].to_numpy(zero_copy_only=False)
+        # hash-safety guard (ADVICE r3): the oracle mirrors the Snyder
+        # arithmetic but numpy's SIMD sin/log and DuckDB's libm can
+        # differ in the last ulp (~1e-8 m); a point *on* a 10 km cell
+        # edge would flip cell id under that divergence. Fail loudly if
+        # any point sits within 1e-4 m of an edge (4 orders above the
+        # ulp gap) rather than hash-flake silently.
+        for v in (x, y):
+            if len(v):
+                edge = np.abs(v / 10000.0 - np.round(v / 10000.0)) * 10000.0
+                if float(edge.min()) < 1e-4:
+                    raise ValueError(
+                        "reproject_conic: projected coordinate within "
+                        f"{float(edge.min()):.2e} m of a 10 km cell edge — "
+                        "cell ids are not hash-safe for this input"
+                    )
         cx = np.floor(x / 10000.0).astype(np.int64)
         cy = np.floor(y / 10000.0).astype(np.int64)
         uniq, counts = np.unique(cx * 100000 + cy, return_counts=True)

@@ -58,13 +58,25 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
             if code == eoi:
                 return out[:pos]
             if prev is None:
+                if code >= len(table) or not table[code]:
+                    raise ValueError(
+                        f"LZW: first code {code} not a literal root"
+                    )
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
+                if not entry:  # clear/eoi placeholder slots hold b''
+                    raise ValueError(
+                        f"LZW: code {code} hits a clear/eoi placeholder"
+                    )
                 table.append(prev + entry[:1])
-            else:  # the KwKwK case
+            elif code == len(table):  # the (only legal) KwKwK case
                 entry = prev + prev[:1]
                 table.append(entry)
+            else:
+                raise ValueError(
+                    f"LZW: code {code} beyond next table slot {len(table)}"
+                )
             n = len(entry)
             if pos + n > n_pixels:
                 n = n_pixels - pos

@@ -23,6 +23,8 @@ sqlite3 C API (same bound as the codec stages); rows land in Arrow in
 
 from __future__ import annotations
 
+import re
+
 import sqlite3
 
 import pyarrow as pa
@@ -30,6 +32,11 @@ import pyarrow.compute as pc
 import ray.data
 
 from geomesa_ray.sources.sft import infer_spec, parse_spec
+
+# anchored UTC-designator strip: only a *trailing* 'Z' / '+00:00' is a
+# zone suffix; stripping it mid-string would corrupt unexpected formats
+# instead of failing the downstream cast (ADVICE r3).
+_UTC_SUFFIX = re.compile(r"(Z|\+00:00)$")
 
 
 def _connect_ro(db_path: str) -> sqlite3.Connection:
@@ -55,7 +62,7 @@ def _chunk_to_table(names: list[str], rows: list[tuple], schema: pa.Schema) -> p
             strs = [
                 None
                 if v is None
-                else str(v).replace("Z", "").replace("+00:00", "")
+                else _UTC_SUFFIX.sub("", str(v))
                 for v in vals
             ]
             naive = pc.cast(
@@ -130,7 +137,10 @@ def read_sqlite(
 
     - ``table``: distributed arm — the driver plans ``partitions`` rowid
       ranges (rowid is sqlite's implicit clustered key) and each Ray task
-      reads one range, so the read scales with the pool.
+      reads one range, so the read scales with the pool. ``WITHOUT
+      ROWID`` tables have no implicit key to range-split on; the rowid
+      probe fails for them and the read falls back to the
+      single-statement path (one partition, still correct).
     - ``sql``: newline-separated SELECT statements, one partition each
       (reference StatementIterator parity — arbitrary SQL can't be
       range-split).
@@ -143,10 +153,15 @@ def read_sqlite(
         if table is not None:
             if not table.replace("_", "").isalnum():
                 raise ValueError(f"bad table name: {table!r}")
-            lo, hi = conn.execute(
-                f"SELECT MIN(rowid), MAX(rowid) FROM {table}"
-            ).fetchone()
-            if lo is None:  # empty table: one statement, zero rows
+            try:
+                lo, hi = conn.execute(
+                    f"SELECT MIN(rowid), MAX(rowid) FROM {table}"
+                ).fetchone()
+            except sqlite3.OperationalError:
+                # WITHOUT ROWID table: no implicit key to range-split on —
+                # fall back to one full-table statement (single partition)
+                lo = hi = None
+            if lo is None:  # empty or WITHOUT ROWID: one statement
                 stmts = [f"SELECT * FROM {table}"]
             else:
                 n = max(1, min(partitions, hi - lo + 1))

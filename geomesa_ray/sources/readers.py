@@ -120,12 +120,11 @@ def read_delimited(
                 # parse as zoneless ISO then assume UTC — the zoneless
                 # cast REJECTS explicit offsets, so the common 'Z' /
                 # '+00:00' UTC suffixes are stripped first (infer_type
-                # accepts them, and jdbc.py strips them the same way)
-                strs = pc.replace_substring(
-                    pc.replace_substring(
-                        pc.cast(col, pa.string()), "Z", ""
-                    ),
-                    "+00:00", "",
+                # accepts them, and jdbc.py strips them the same way).
+                # Anchored at end-of-string so an unexpected format fails
+                # the cast loudly instead of being silently mangled.
+                strs = pc.replace_substring_regex(
+                    pc.cast(col, pa.string()), r"(Z|\+00:00)$", ""
                 )
                 naive = pc.cast(strs, pa.timestamp(field.type.unit))
                 out[field.name] = (
@@ -190,10 +189,10 @@ def read_fixed_width(
                 continue
             col = batch[field.name]
             if pa.types.is_timestamp(field.type):
-                strs = pc.replace_substring(
-                    pc.replace_substring(pc.cast(col, pa.string()), "Z", ""),
-                    "+00:00", "",
-                )  # zoneless cast rejects UTC suffixes (see read_delimited)
+                strs = pc.replace_substring_regex(
+                    pc.cast(col, pa.string()), r"(Z|\+00:00)$", ""
+                )  # zoneless cast rejects UTC suffixes; anchored strip
+                # (see read_delimited)
                 naive = pc.cast(strs, pa.timestamp(field.type.unit))
                 out[field.name] = (
                     pc.assume_timezone(naive, field.type.tz) if field.type.tz else naive

@@ -570,8 +570,10 @@ def cdf_buckets(ds: ray.data.Dataset, value_col: str = "n_chars",
     )
     if not converged:
         raise ValueError(
-            f"more than ~{fanin_rows * 8 ** 10} distinct {value_col} values; "
-            "quantize the score column before bucketing"
+            f"histogram tree-merge did not converge: still "
+            f"{merged.num_blocks()} blocks of up to {fanin_rows} rows — "
+            f"too many distinct {value_col} values; quantize the score "
+            "column before bucketing"
         )
     vs_parts, cs_parts = [], []
     total_distinct = 0

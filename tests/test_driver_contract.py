@@ -47,6 +47,12 @@ SUBSET = [
     "incremental_dedup",
     "tumbling_counts",
     "stratified_sample",
+    # round-4 additions: the three queries that previously carried only
+    # pytest-level evidence (VERDICT r3 "Next round" #1); verified at
+    # sf0.01 too via the full sweep recorded in BASELINE.md.
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "top_ngram_stats",
 ]
 
 

@@ -127,3 +127,46 @@ def test_sample_frames_real_rejects_non_gif(ray_session):
     stage = SampleFrames(mode="real")
     with pytest.raises(NotImplementedError, match="GIF only"):
         stage._real_frames(b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_lzw_rejects_out_of_range_code():
+    """A code beyond the next free table slot is not a legal KwKwK —
+    corrupt streams must raise, not decode to wrong pixels (ADVICE r3)."""
+    # encode a tiny stream, then splice in a far-out-of-range code word
+    enc = _lzw_encode(2, np.array([0, 1, 2, 3, 0, 1], dtype=np.uint8))
+    # min_code_size=2: after clear(4), codes are 3 bits; craft a raw
+    # stream: clear(4), literal 0, then code 7 (table has 6 entries,
+    # next slot is 6 → 7 is out of range)
+    bits = [(4, 3), (0, 3), (7, 3)]
+    acc = nbits = 0
+    raw = bytearray()
+    for code, w in bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        raw.append(acc & 0xFF)
+    with pytest.raises(ValueError, match="beyond next table slot"):
+        _lzw_decode(2, bytes(raw), 16)
+    assert isinstance(enc, bytes)  # sanity: encoder untouched
+
+
+def test_lzw_rejects_first_code_nonliteral():
+    """The first code after a clear must be a literal root."""
+    bits = [(4, 3), (6, 3)]  # clear, then a non-literal (table slot 6)
+    acc = nbits = 0
+    raw = bytearray()
+    for code, w in bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        raw.append(acc & 0xFF)
+    with pytest.raises(ValueError, match="not a literal root"):
+        _lzw_decode(2, bytes(raw), 16)

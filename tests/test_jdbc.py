@@ -100,3 +100,36 @@ def test_registry_resolves_jdbc(ray_session, example_db):
     fn = converter("jdbc")
     ds, _ = fn(example_db, table="example")
     assert sum(len(b) for b in ds.iter_batches(batch_format="pyarrow")) == 10
+
+
+def test_without_rowid_falls_back_single_statement(ray_session, tmp_path):
+    """WITHOUT ROWID tables have no implicit key to range-split on —
+    the rowid probe fails and the read must fall back to one full-table
+    statement instead of erroring (ADVICE r3)."""
+    path = str(tmp_path / "worowid.db")
+    conn = sqlite3.connect(path)
+    conn.execute(
+        "CREATE TABLE kv(k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID"
+    )
+    conn.executemany(
+        "INSERT INTO kv VALUES (?, ?)", [(f"k{i}", i) for i in range(7)]
+    )
+    conn.commit()
+    conn.close()
+    ds, _ = read_sqlite(path, table="kv", partitions=4)
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert tbl.sort_by("v")["v"].to_pylist() == list(range(7))
+
+
+def test_anchored_utc_strip_rejects_midstring_z(ray_session, tmp_path):
+    """A 'Z' inside the value (not a trailing UTC designator) must fail
+    the timestamp cast loudly, not be silently deleted (ADVICE r3)."""
+    path = str(tmp_path / "badts.db")
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE t(id INTEGER PRIMARY KEY, dtg TEXT)")
+    conn.execute("INSERT INTO t VALUES (1, '2017-02-03TZ00:01:01.000')")
+    conn.commit()
+    conn.close()
+    ds, _ = read_sqlite(path, table="t", spec="id:Integer,dtg:Date")
+    with pytest.raises(Exception):
+        pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
