@@ -6,6 +6,11 @@ Implemented without a CRS library (none is available in this environment):
 * EPSG:4326 ↔ every UTM zone (EPSG:32601-32660 north, 32701-32760 south)
   via the ellipsoidal Transverse Mercator in Krüger's n-series to 6th
   order (Karney 2011 formulation — sub-millimeter within a zone);
+* EPSG:4326 ↔ the common national Transverse Mercator grids via a
+  parameterized ellipsoidal TM (same Krüger series, arbitrary ellipsoid /
+  origin / scale) — built in: EPSG:27700 (OSGB36 British National Grid,
+  through a published 7-parameter Helmert datum hop), EPSG:2193
+  (NZTM2000), EPSG:25832/25833 (ETRS89 UTM), EPSG:28355 (GDA94 MGA55);
 * EPSG:4326 ↔ ellipsoidal Lambert Conformal Conic (2SP) and Albers
   Equal-Area conics (Snyder, *Map Projections — A Working Manual*, USGS
   PP 1395, pp. 98-110), parameterized by proj-style constants; a table of
@@ -37,42 +42,48 @@ _N = _F_WGS / (2.0 - _F_WGS)
 _A_BAR = _A_WGS / (1 + _N) * (1 + _N**2 / 4 + _N**4 / 64 + _N**6 / 256)
 _K0 = 0.9996
 
-_ALPHA = np.array([
-    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180
-    - 127 * _N**5 / 288 + 7891 * _N**6 / 37800,
-    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440 + 281 * _N**5 / 630
-    - 1983433 * _N**6 / 1935360,
-    61 * _N**3 / 240 - 103 * _N**4 / 140 + 15061 * _N**5 / 26880
-    + 167603 * _N**6 / 181440,
-    49561 * _N**4 / 161280 - 179 * _N**5 / 168 + 6601661 * _N**6 / 7257600,
-    34729 * _N**5 / 80640 - 3418889 * _N**6 / 1995840,
-    212378941 * _N**6 / 319334400,
-])
+def _kruger_series(n: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(alpha, beta, delta) Krüger 6th-order coefficient arrays for third
+    flattening ``n`` (Karney 2011 Tables; same expressions the module-level
+    WGS84 constants were built from, so those stay bit-identical)."""
+    alpha = np.array([
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440 + 281 * n**5 / 630
+        - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+        - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+        - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+        + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    ])
+    # geographic latitude from conformal latitude (series in n)
+    delta = np.array([
+        2 * n - 2 * n**2 / 3 - 2 * n**3 + 116 * n**4 / 45 + 26 * n**5 / 45
+        - 2854 * n**6 / 675,
+        7 * n**2 / 3 - 8 * n**3 / 5 - 227 * n**4 / 45 + 2704 * n**5 / 315
+        + 2323 * n**6 / 945,
+        56 * n**3 / 15 - 136 * n**4 / 35 - 1262 * n**5 / 105
+        + 73814 * n**6 / 2835,
+        4279 * n**4 / 630 - 332 * n**5 / 35 - 399572 * n**6 / 14175,
+        4174 * n**5 / 315 - 144838 * n**6 / 6237,
+        601676 * n**6 / 22275,
+    ])
+    return alpha, beta, delta
 
-_BETA = np.array([
-    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360
-    - 81 * _N**5 / 512 + 96199 * _N**6 / 604800,
-    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440 + 46 * _N**5 / 105
-    - 1118711 * _N**6 / 3870720,
-    17 * _N**3 / 480 - 37 * _N**4 / 840 - 209 * _N**5 / 4480
-    + 5569 * _N**6 / 90720,
-    4397 * _N**4 / 161280 - 11 * _N**5 / 504 - 830251 * _N**6 / 7257600,
-    4583 * _N**5 / 161280 - 108847 * _N**6 / 3991680,
-    20648693 * _N**6 / 638668800,
-])
 
-# geographic latitude from conformal latitude (series in n)
-_DELTA = np.array([
-    2 * _N - 2 * _N**2 / 3 - 2 * _N**3 + 116 * _N**4 / 45 + 26 * _N**5 / 45
-    - 2854 * _N**6 / 675,
-    7 * _N**2 / 3 - 8 * _N**3 / 5 - 227 * _N**4 / 45 + 2704 * _N**5 / 315
-    + 2323 * _N**6 / 945,
-    56 * _N**3 / 15 - 136 * _N**4 / 35 - 1262 * _N**5 / 105
-    + 73814 * _N**6 / 2835,
-    4279 * _N**4 / 630 - 332 * _N**5 / 35 - 399572 * _N**6 / 14175,
-    4174 * _N**5 / 315 - 144838 * _N**6 / 6237,
-    601676 * _N**6 / 22275,
-])
+_ALPHA, _BETA, _DELTA = _kruger_series(_N)
 
 
 def lonlat_to_utm(lon, lat, zone: int, south: bool) -> tuple[np.ndarray, np.ndarray]:
@@ -122,6 +133,220 @@ def utm_to_lonlat(e, n, zone: int, south: bool) -> tuple[np.ndarray, np.ndarray]
     return lon0 + np.degrees(lam), np.degrees(phi)
 
 
+# --- general Transverse Mercator (arbitrary ellipsoid / origin) -------------
+# Same Krüger n-series as the UTM fast path above, parameterized by
+# proj-style constants (lat_0, lon_0, k, x_0, y_0, a, f) so the common
+# national grids (OSGB 27700, NZTM 2193, ETRS89/GDA UTM variants) resolve
+# without a CRS library. Reference analog: GeoTools EPSG registry via
+# index/utils/Reprojection.scala / GeometricDistanceFunctions.scala:21-41.
+
+_TMERC_CACHE: dict[tuple[float, float], tuple] = {}
+
+
+def _tmerc_consts(a: float, f: float):
+    """Per-ellipsoid Krüger constants, cached by (a, f)."""
+    key = (a, f)
+    hit = _TMERC_CACHE.get(key)
+    if hit is None:
+        n = f / (2.0 - f)
+        a_bar = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        hit = (n, a_bar) + _kruger_series(n)
+        _TMERC_CACHE[key] = hit
+    return hit
+
+
+def _tmerc_xi_eta(lon_rad, lat_rad, lon0_rad, n, alpha):
+    """Conformal-sphere forward: (xi, eta) Gauss-Krüger coordinates."""
+    lam = lon_rad - lon0_rad
+    s2n = 2 * np.sqrt(n) / (1 + n)
+    t = np.sinh(
+        np.arctanh(np.sin(lat_rad)) - s2n * np.arctanh(s2n * np.sin(lat_rad))
+    )
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    j = np.arange(1, 7, dtype=np.float64)
+    xi = xi_p + np.sum(
+        alpha * np.sin(2 * j * xi_p[..., None]) * np.cosh(2 * j * eta_p[..., None]),
+        axis=-1,
+    )
+    eta = eta_p + np.sum(
+        alpha * np.cos(2 * j * xi_p[..., None]) * np.sinh(2 * j * eta_p[..., None]),
+        axis=-1,
+    )
+    return xi, eta
+
+
+def _tmerc_m0(p: dict) -> float:
+    """Meridian-arc northing of the projection origin (k * A_bar * xi at
+    (lat_0, lon_0)) — subtracted so lat_0 maps to northing y_0."""
+    if p["lat_0"] == 0.0:
+        return 0.0
+    n, a_bar, alpha, _beta, _delta = _tmerc_consts(p["a"], p["f"])
+    xi0, _ = _tmerc_xi_eta(
+        np.float64(np.radians(p["lon_0"])),
+        np.float64(np.radians(p["lat_0"])),
+        np.radians(p["lon_0"]), n, alpha,
+    )
+    return float(p["k"] * a_bar * xi0)
+
+
+def lonlat_to_tmerc(lon, lat, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Geodetic lon/lat (on p's ellipsoid) → Transverse Mercator x/y."""
+    n, a_bar, alpha, _beta, _delta = _tmerc_consts(p["a"], p["f"])
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    xi, eta = _tmerc_xi_eta(
+        np.radians(lon), np.radians(lat), np.radians(p["lon_0"]), n, alpha
+    )
+    x = p["x_0"] + p["k"] * a_bar * eta
+    y = p["y_0"] + p["k"] * a_bar * xi - _tmerc_m0(p)
+    return x, y
+
+
+def tmerc_to_lonlat(x, y, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Transverse Mercator x/y → geodetic lon/lat on p's ellipsoid."""
+    n, a_bar, _alpha, beta, delta = _tmerc_consts(p["a"], p["f"])
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    xi = (y - p["y_0"] + _tmerc_m0(p)) / (p["k"] * a_bar)
+    eta = (x - p["x_0"]) / (p["k"] * a_bar)
+    j = np.arange(1, 7, dtype=np.float64)
+    xi_p = xi - np.sum(
+        beta * np.sin(2 * j * xi[..., None]) * np.cosh(2 * j * eta[..., None]),
+        axis=-1,
+    )
+    eta_p = eta - np.sum(
+        beta * np.cos(2 * j * xi[..., None]) * np.sinh(2 * j * eta[..., None]),
+        axis=-1,
+    )
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi + np.sum(delta * np.sin(2 * j * chi[..., None]), axis=-1)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return p["lon_0"] + np.degrees(lam), np.degrees(phi)
+
+
+# --- 7-parameter Helmert datum shift (EPSG 9606, position vector) -----------
+
+
+def _geodetic_to_ecef(lon, lat, a: float, f: float):
+    """Geodetic lon/lat (deg, h=0) → geocentric X/Y/Z on the ellipsoid."""
+    e2 = 2 * f - f * f
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64))
+    nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    cphi = np.cos(phi)
+    return nu * cphi * np.cos(lam), nu * cphi * np.sin(lam), nu * (1 - e2) * np.sin(phi)
+
+
+def _ecef_to_geodetic(X, Y, Z, a: float, f: float):
+    """Geocentric X/Y/Z → geodetic lon/lat (deg), fixed-point in tan(phi)
+    (converges below 1e-12 rad in <10 rounds for surface points)."""
+    e2 = 2 * f - f * f
+    lam = np.arctan2(Y, X)
+    rho = np.sqrt(X * X + Y * Y)
+    phi = np.arctan2(Z, rho * (1 - e2))
+    for _ in range(10):
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        phi = np.arctan2(Z + e2 * nu * np.sin(phi), rho)
+    return np.degrees(lam), np.degrees(phi)
+
+
+_ARCSEC = np.pi / (180.0 * 3600.0)
+
+
+def _helmert_matrix(towgs84) -> tuple[np.ndarray, np.ndarray]:
+    """(M, T): local-datum ECEF → WGS84 ECEF as X' = M @ X + T (position-
+    vector sign convention; rotations in arcsec, scale in ppm)."""
+    dx, dy, dz, rx, ry, rz, ds = towgs84
+    rx, ry, rz = rx * _ARCSEC, ry * _ARCSEC, rz * _ARCSEC
+    s = 1.0 + ds * 1e-6
+    m = s * np.array([[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]])
+    return m, np.array([dx, dy, dz], np.float64)
+
+
+def _wgs84_to_datum(lon, lat, p: dict):
+    m, t = _helmert_matrix(p["towgs84"])
+    xyz = np.stack(_geodetic_to_ecef(lon, lat, _A_WGS, _F_WGS))
+    # exact inverse of the (small-angle) forward map — solve, don't negate
+    # the parameters, so the ECEF hop itself is bit-exactly invertible
+    out = np.linalg.solve(m, xyz.reshape(3, -1) - t[:, None])
+    return _ecef_to_geodetic(out[0], out[1], out[2], p["a"], p["f"])
+
+
+def _datum_to_wgs84(lon, lat, p: dict):
+    m, t = _helmert_matrix(p["towgs84"])
+    xyz = np.stack(_geodetic_to_ecef(lon, lat, p["a"], p["f"]))
+    out = m @ xyz.reshape(3, -1) + t[:, None]
+    w_lon, w_lat = _ecef_to_geodetic(out[0], out[1], out[2], _A_WGS, _F_WGS)
+    # The 2D hop drops ellipsoidal height (projections are planar), so the
+    # direct ECEF path is only the inverse of _wgs84_to_datum to ~2 mm
+    # (the dropped ±50 m height rides the ~0.5″ Helmert rotation). Two
+    # fixed-point refinements against the forward map make this the exact
+    # functional inverse (residual < 1e-12°), so 4326→code→4326
+    # round-trips meet the 1e-9° contract.
+    for _ in range(2):
+        d_lon, d_lat = _wgs84_to_datum(w_lon, w_lat, p)
+        w_lon = w_lon + (lon - d_lon)
+        w_lat = w_lat + (lat - d_lat)
+    return w_lon, w_lat
+
+
+# --- built-in national Transverse Mercator grids -----------------------------
+
+_AIRY_A, _AIRY_F = 6377563.396, 1.0 / 299.3249646         # Airy 1830
+_GRS80_A = 6378137.0
+
+# proj-style parameters per EPSG code; towgs84 = published Helmert to
+# WGS84 (position vector). ETRS89 / NZGD2000 / GDA94 are WGS84-equivalent
+# at this accuracy (no towgs84); OSGB36 ships the standard 7-parameter
+# set (~2 m vs the OSTN grid — the accepted grid-free practice).
+_TM_CRS: dict[str, dict] = {
+    # OSGB36 / British National Grid
+    "EPSG:27700": dict(
+        proj="tmerc", lat_0=49.0, lon_0=-2.0, k=0.9996012717,
+        x_0=400000.0, y_0=-100000.0, a=_AIRY_A, f=_AIRY_F,
+        towgs84=(446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
+    ),
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    "EPSG:2193": dict(
+        proj="tmerc", lat_0=0.0, lon_0=173.0, k=0.9996,
+        x_0=1600000.0, y_0=10000000.0, a=_GRS80_A, f=1.0 / 298.257222101,
+    ),
+    # ETRS89 / UTM zones 32N, 33N (GRS80 — differs from WGS84 UTM only in
+    # the 1e-10 flattening gap, kept separate for parameter honesty)
+    "EPSG:25832": dict(
+        proj="tmerc", lat_0=0.0, lon_0=9.0, k=0.9996,
+        x_0=500000.0, y_0=0.0, a=_GRS80_A, f=1.0 / 298.257222101,
+    ),
+    "EPSG:25833": dict(
+        proj="tmerc", lat_0=0.0, lon_0=15.0, k=0.9996,
+        x_0=500000.0, y_0=0.0, a=_GRS80_A, f=1.0 / 298.257222101,
+    ),
+    # GDA94 / MGA zone 55 (southeast Australia)
+    "EPSG:28355": dict(
+        proj="tmerc", lat_0=0.0, lon_0=147.0, k=0.9996,
+        x_0=500000.0, y_0=10000000.0, a=_GRS80_A, f=1.0 / 298.257222101,
+    ),
+}
+
+
+def _tm_fns(code: str):
+    """(to_4326, from_4326) for a tabled tmerc code, else None — with the
+    Helmert datum hop composed in when the entry carries towgs84."""
+    p = _TM_CRS.get(code)
+    if p is None:
+        return None
+    if "towgs84" in p:
+        return (
+            lambda x, y: _datum_to_wgs84(*tmerc_to_lonlat(x, y, p), p),
+            lambda lon, lat: lonlat_to_tmerc(*_wgs84_to_datum(lon, lat, p), p),
+        )
+    return (
+        lambda x, y: tmerc_to_lonlat(x, y, p),
+        lambda lon, lat: lonlat_to_tmerc(lon, lat, p),
+    )
+
+
 # --- conic projections (ellipsoidal LCC 2SP + Albers; Snyder PP 1395) -------
 
 _GRS80_F = 1.0 / 298.257222101  # NAD83 / RGF93 ellipsoid flattening
@@ -147,14 +372,21 @@ _CONIC_CRS: dict[str, dict] = {
 
 
 def register_crs(code: str, **params) -> None:
-    """Register a conic CRS by proj-style constants: ``proj`` ("lcc" or
-    "aea"), ``lat_1``/``lat_2`` standard parallels, ``lat_0``/``lon_0``
+    """Register a CRS by proj-style constants — the SPI-analog extension
+    point for codes outside the built-in tables. ``proj`` is "lcc" /
+    "aea" (``lat_1``/``lat_2`` standard parallels, ``lat_0``/``lon_0``
     origin, ``x_0``/``y_0`` false offsets, ``a`` semi-major, ``f``
-    flattening — the SPI-analog extension point for CRSes outside the
-    built-in table."""
-    if params.get("proj") not in ("lcc", "aea"):
-        raise ValueError("proj must be 'lcc' or 'aea'")
-    _CONIC_CRS[code.upper()] = params
+    flattening) or "tmerc" (``lat_0``/``lon_0``/``k``/``x_0``/``y_0``/
+    ``a``/``f``). An optional ``towgs84`` 7-tuple (dx, dy, dz, rx″, ry″,
+    rz″, ds ppm; EPSG 9606 position-vector) composes a Helmert datum hop
+    with the projection."""
+    proj = params.get("proj")
+    if proj == "tmerc":
+        _TM_CRS[code.upper()] = params
+    elif proj in ("lcc", "aea"):
+        _CONIC_CRS[code.upper()] = params
+    else:
+        raise ValueError("proj must be 'lcc', 'aea', or 'tmerc'")
 
 
 def _lcc_consts(p: dict):
@@ -263,18 +495,23 @@ def aea_to_lonlat(x, y, p: dict) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _conic_fns(code: str):
-    """(to_4326, from_4326) for a registered conic code, else None."""
+    """(to_4326, from_4326) for a registered conic code, else None — with
+    the Helmert datum hop composed in when the entry carries towgs84."""
     p = _CONIC_CRS.get(code)
     if p is None:
         return None
     if p["proj"] == "lcc":
+        inv, fwd = lcc_to_lonlat, lonlat_to_lcc
+    else:
+        inv, fwd = aea_to_lonlat, lonlat_to_aea
+    if "towgs84" in p:
         return (
-            lambda x, y: lcc_to_lonlat(x, y, p),
-            lambda lon, lat: lonlat_to_lcc(lon, lat, p),
+            lambda x, y: _datum_to_wgs84(*inv(x, y, p), p),
+            lambda lon, lat: fwd(*_wgs84_to_datum(lon, lat, p), p),
         )
     return (
-        lambda x, y: aea_to_lonlat(x, y, p),
-        lambda lon, lat: lonlat_to_aea(lon, lat, p),
+        lambda x, y: inv(x, y, p),
+        lambda lon, lat: fwd(lon, lat, p),
     )
 
 
@@ -319,6 +556,9 @@ def _to_4326(code: str):
     if utm is not None:
         zone, south = utm
         return lambda x, y: utm_to_lonlat(x, y, zone, south)
+    tm = _tm_fns(code)
+    if tm is not None:
+        return tm[0]
     conic = _conic_fns(code)
     if conic is not None:
         return conic[0]
@@ -334,6 +574,9 @@ def _from_4326(code: str):
     if utm is not None:
         zone, south = utm
         return lambda lon, lat: lonlat_to_utm(lon, lat, zone, south)
+    tm = _tm_fns(code)
+    if tm is not None:
+        return tm[1]
     conic = _conic_fns(code)
     if conic is not None:
         return conic[1]
@@ -359,8 +602,9 @@ class Reproject:
     """map_batches stage: transform (x_col, y_col) between CRSes, writing
     ``out_x``/``out_y`` columns (defaults overwrite in place). Supported:
     EPSG:4326, EPSG:3857, all UTM zones EPSG:326xx/327xx, the built-in +
-    :func:`register_crs` conic CRSes (LCC 2SP / Albers), and any pair of
-    those (composed through 4326)."""
+    :func:`register_crs` national TM grids (27700/2193/25832/25833/28355)
+    and conic CRSes (LCC 2SP / Albers), optionally through a Helmert
+    datum hop, and any pair of those (composed through 4326)."""
 
     def __init__(self, src: str, dst: str, x_col: str = "lon", y_col: str = "lat",
                  out_x: str | None = None, out_y: str | None = None):

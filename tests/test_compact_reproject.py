@@ -10,6 +10,7 @@ import pytest
 from geomesa_ray.geometry.reproject import (
     Reproject,
     lonlat_to_webmercator,
+    transform_fn,
     webmercator_to_lonlat,
 )
 from geomesa_ray.pipelines.compact import compact
@@ -70,7 +71,7 @@ def test_reprojection_roundtrip():
     out = Reproject("EPSG:4326", "EPSG:3857", out_x="mx", out_y="my")(batch)
     assert out["mx"].to_numpy().tolist() == x.tolist()
     with pytest.raises(NotImplementedError):
-        Reproject("EPSG:4326", "EPSG:27700")  # not in the UTM/conic tables
+        Reproject("EPSG:4326", "EPSG:29902")  # Irish grid: not in the tables
 
 
 def test_utm_transverse_mercator():
@@ -308,3 +309,116 @@ def test_compact_rerun_after_publish_crash_no_double_count(ray_session, tmp_path
     assert entry.rows_out == rows_before
     q = Query(bbox=(-180, -90, 180, 90))
     assert len(scan(str(idx), q).to_pandas()) == rows_before
+
+
+# --- national TM grids (round 4: built-in EPSG parameter table) -------------
+
+
+def test_osgb_worked_example_projection_kernel():
+    """OS 'A guide to coordinate systems in Great Britain' worked example:
+    OSGB36 52°39'27.2531"N, 1°43'4.5177"E → E 651409.903, N 313177.270
+    (projection kernel only — the published vector is OSGB36-geodetic)."""
+    from geomesa_ray.geometry.reproject import _TM_CRS, lonlat_to_tmerc
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    x, y = lonlat_to_tmerc(np.array([lon]), np.array([lat]), _TM_CRS["EPSG:27700"])
+    assert abs(x[0] - 651409.903) < 1e-3
+    assert abs(y[0] - 313177.270) < 1e-3
+
+
+def test_nztm_origin_and_roundtrip():
+    from geomesa_ray.geometry.reproject import _TM_CRS, lonlat_to_tmerc, tmerc_to_lonlat
+
+    p = _TM_CRS["EPSG:2193"]
+    x, y = lonlat_to_tmerc(np.array([173.0]), np.array([0.0]), p)
+    assert abs(x[0] - 1_600_000.0) < 1e-6 and abs(y[0] - 10_000_000.0) < 1e-6
+    lon = np.linspace(166.0, 179.0, 53)
+    lat = np.linspace(-47.5, -34.0, 53)
+    lo, la = tmerc_to_lonlat(*lonlat_to_tmerc(lon, lat, p), p)
+    assert np.abs(lo - lon).max() < 1e-11 and np.abs(la - lat).max() < 1e-11
+
+
+def test_etrs89_utm_matches_wgs84_utm_to_sub_mm():
+    """GRS80 vs WGS84 flattening differ at 1e-11 — EPSG:25832 must agree
+    with the WGS84 UTM-32 fast path to well under a millimeter."""
+    from geomesa_ray.geometry.reproject import _TM_CRS, lonlat_to_tmerc, lonlat_to_utm
+
+    lon = np.linspace(6.5, 11.5, 23)
+    lat = np.linspace(47.0, 58.0, 23)
+    e1, n1 = lonlat_to_utm(lon, lat, 32, False)
+    e2, n2 = lonlat_to_tmerc(lon, lat, _TM_CRS["EPSG:25832"])
+    assert np.abs(e1 - e2).max() < 1e-3 and np.abs(n1 - n2).max() < 1e-3
+
+
+@pytest.mark.parametrize("code,lons,lats", [
+    ("EPSG:27700", (-6.9, 1.9), (50.1, 58.9)),
+    ("EPSG:2193", (166.5, 178.5), (-47.0, -34.5)),
+    ("EPSG:25833", (12.0, 18.0), (35.0, 70.0)),
+    ("EPSG:28355", (144.0, 150.0), (-43.5, -10.0)),
+])
+def test_national_grid_full_roundtrip_1e9(code, lons, lats):
+    """4326 → grid → 4326 (incl. the Helmert datum hop for 27700) must
+    round-trip ≤1e-9° — the VERDICT r3 item-4 acceptance bar."""
+    fwd = transform_fn("EPSG:4326", code)
+    inv = transform_fn(code, "EPSG:4326")
+    lon = np.linspace(*lons, 101)
+    lat = np.linspace(*lats, 101)
+    lo, la = inv(*fwd(lon, lat))
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+
+def test_osgb_full_chain_greenwich_offset():
+    """The WGS84 prime meridian lies ~102 m east of the OSGB36 zero
+    meridian (the Airy Transit Circle sits at WGS84 lon −0.00148°): the
+    full 4326→27700 chain must reproduce that offset, which pins the
+    Helmert hop's sign conventions against a public geodetic fact."""
+    fwd = transform_fn("EPSG:4326", "EPSG:27700")
+    x0, _ = fwd(np.array([0.0]), np.array([51.4779]))
+    x1, _ = fwd(np.array([-0.00148]), np.array([51.4779]))
+    assert 95.0 < (x0[0] - x1[0]) < 110.0   # ~102.6 m at that latitude
+    assert 538_900.0 < x0[0] < 539_100.0    # known grid easting of WGS84 0°
+
+
+def test_register_crs_tmerc_with_datum_roundtrip():
+    """register_crs extension point for proj='tmerc' + towgs84."""
+    from geomesa_ray.geometry.reproject import _TM_CRS, register_crs
+
+    register_crs(
+        "EPSG:900914", proj="tmerc", lat_0=36.0, lon_0=127.5, k=0.9996,
+        x_0=1_000_000.0, y_0=2_000_000.0, a=6377397.155, f=1.0 / 299.1528128,
+        towgs84=(-115.8, 474.99, 674.11, 1.16, -2.31, -1.63, 6.43),
+    )
+    try:
+        fwd = transform_fn("EPSG:4326", "EPSG:900914")
+        inv = transform_fn("EPSG:900914", "EPSG:4326")
+        lon = np.linspace(125.0, 130.0, 31)
+        lat = np.linspace(33.0, 39.0, 31)
+        lo, la = inv(*fwd(lon, lat))
+        assert np.abs(lo - lon).max() < 1e-9
+        assert np.abs(la - lat).max() < 1e-9
+    finally:
+        _TM_CRS.pop("EPSG:900914", None)
+
+
+def test_register_crs_conic_with_datum_roundtrip():
+    """towgs84 composes with the conic arm too (lcc + Helmert)."""
+    from geomesa_ray.geometry.reproject import _CONIC_CRS, register_crs
+
+    register_crs(
+        "EPSG:900915", proj="lcc", lat_1=51.1666672333, lat_2=49.8333339,
+        lat_0=90.0, lon_0=4.3674866667, x_0=150000.013, y_0=5400088.438,
+        a=6378388.0, f=1.0 / 297.0,
+        towgs84=(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747),
+    )
+    try:
+        fwd = transform_fn("EPSG:4326", "EPSG:900915")
+        inv = transform_fn("EPSG:900915", "EPSG:4326")
+        lon = np.linspace(2.6, 6.3, 31)
+        lat = np.linspace(49.6, 51.4, 31)
+        lo, la = inv(*fwd(lon, lat))
+        assert np.abs(lo - lon).max() < 1e-9
+        assert np.abs(la - lat).max() < 1e-9
+    finally:
+        _CONIC_CRS.pop("EPSG:900915", None)

@@ -53,6 +53,7 @@ SUBSET = [
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "top_ngram_stats",
+    "reproject_osgb",
 ]
 
 
