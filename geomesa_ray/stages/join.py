@@ -290,6 +290,44 @@ def hot_cell_histogram(points: ray.data.Dataset, top_k: int = 64,
     return dict(top)
 
 
+def hot_cells_from_manifest(
+    layout_dir: str,
+    cell_res: int = DEFAULT_CELL_RES,
+    top_k: int = 64,
+    span_limit: int = 4096,
+) -> dict[int, int]:
+    """Hot-cell histogram derived from manifest per-file z2 stats — free
+    skew detection for ingested layouts (zero pipeline execution, the
+    manifest is a few KB of footer stats collected at ingest).
+
+    Cells at ``cell_res`` are z2 prefixes (encode.cell_of_z2), so each
+    file's ``[z2_min, z2_max]`` span maps to a contiguous cell range; the
+    file's row count is spread uniformly over that range. Files whose
+    span exceeds ``span_limit`` cells contribute nothing: they are
+    un-clustered at this resolution (z3-sorted layouts interleave time,
+    widening z2 spans), hence not evidence of *concentrated* skew — the
+    z2-sorted layout is the one that localizes files to cells. Unlike
+    :func:`hot_cell_histogram`'s 1M-row sampled counts, the returned
+    counts are full-table totals; size ``hot_threshold`` accordingly.
+    """
+    from geomesa_ray.state.manifest import load_manifest
+
+    shift = 2 * (31 - cell_res)
+    acc: dict[int, float] = {}
+    for entry in load_manifest(layout_dir).values():
+        for fs in entry.files:
+            lo = fs.z2_min >> shift
+            hi = fs.z2_max >> shift
+            span = hi - lo + 1
+            if fs.rows <= 0 or span > span_limit:
+                continue
+            per = fs.rows / span
+            for c in range(lo, hi + 1):
+                acc[c] = acc.get(c, 0.0) + per
+    top = sorted(acc.items(), key=lambda kv: -kv[1])[:top_k]
+    return {int(c): int(round(v)) for c, v in top}
+
+
 _BROADCAST_CACHE: dict = {}
 
 
@@ -481,6 +519,7 @@ def pip_join_shuffle(
     broadcast_limit_bytes: int = 256 * 1024 * 1024,
     stats: dict | None = None,
     hot_cells: dict[int, int] | None = None,
+    layout_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Shuffle PIP join keyed by quadtree cell, with hot-cell salting.
 
@@ -489,6 +528,13 @@ def pip_join_shuffle(
     (the probe re-executes a bounded 1M-row prefix of the lazy pipeline)
     or when skew is known ahead of time. Requires ``cell_res`` to be set
     so the caller's cells and the join's cells agree.
+
+    ``layout_dir``: when the point side comes from an ingested layout,
+    pass its directory and the skew histogram is derived for free from
+    the manifest's per-file z2 stats (:func:`hot_cells_from_manifest`)
+    instead of re-executing a sampled prefix of the pipeline. Also
+    requires ``cell_res``. ``stats['histogram_source']`` records which
+    path ran (``'manifest'`` | ``'provided'`` | ``'sample'``).
 
     ``points`` must carry ``lon``/``lat``. The shuffle cell resolution is
     chosen from the polygon size distribution when ``cell_res`` is None
@@ -528,8 +574,14 @@ def pip_join_shuffle(
     sharded = isinstance(polygons, ray.data.Dataset)
     if stats is not None:
         stats["polygon_transport"] = "sharded" if sharded else "broadcast"
-    if hot_cells is not None and cell_res is None:
-        raise ValueError("hot_cells requires an explicit cell_res")
+    if (hot_cells is not None or layout_dir is not None) and cell_res is None:
+        raise ValueError("hot_cells / layout_dir require an explicit cell_res")
+    source = "provided" if hot_cells is not None else "sample"
+    if hot_cells is None and layout_dir is not None:
+        hot_cells = hot_cells_from_manifest(layout_dir, cell_res=cell_res)
+        source = "manifest"
+    if stats is not None:
+        stats["histogram_source"] = source
     common = dict(
         predicate=predicate, cell_res=cell_res, n_salt=n_salt,
         hot_threshold=hot_threshold, max_cover=max_cover, id_col=id_col,

@@ -233,3 +233,77 @@ def test_precomputed_hot_cells_skips_probe(ray_session, points_table, polygons,
         pip_join_shuffle(
             ray.data.from_arrow(points_table), polygons, hot_cells={}
         )
+
+
+def test_manifest_hot_cells_skips_probe(ray_session, polygons, tmp_path,
+                                        monkeypatch):
+    """layout_dir derives the skew histogram from manifest z2 stats: the
+    sampled probe never executes, stats records the source, and the pair
+    set still matches the oracle (VERDICT r3 next-round #3)."""
+    import ray.data
+
+    from geomesa_ray.pipelines.ingest import ingest_pages
+    from geomesa_ray.pipelines.scan import Query, scan
+    from geomesa_ray.stages import join as join_mod
+    from geomesa_ray.stages.encode import DEFAULT_CELL_RES
+
+    import pyarrow.parquet as pq
+
+    from geomesa_ray.curves.sfc import Z2SFC
+    from geomesa_ray.stages.encode import cell_of_z2
+
+    # skewed points: half clustered inside one res-12 cell (the hot cell),
+    # half uniform world-wide. A z2-sorted layout gives the hot region its
+    # own tight-span files (equal-frequency bucketing), which is exactly
+    # what makes manifest-derived skew detection work at scale.
+    rng = np.random.default_rng(3)
+    n_hot, n_bg = 2000, 2000
+    lon = np.concatenate([2.30 + rng.random(n_hot) * 0.02,
+                          rng.random(n_bg) * 340.0 - 170.0])
+    lat = np.concatenate([48.85 + rng.random(n_hot) * 0.01,
+                          rng.random(n_bg) * 160.0 - 80.0])
+    n = n_hot + n_bg
+    tbl = pa.table({
+        "url": pa.array([f"https://x.test/{i}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array(
+            np.full(n, 1704672000000000, np.int64), pa.timestamp("us")
+        ),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+    })
+    pages_dir = tmp_path / "pages"
+    layout = tmp_path / "layout"
+    pages_dir.mkdir()
+    pq.write_table(tbl, str(pages_dir / "part0.parquet"))
+    ingest_pages(str(pages_dir), str(layout), n_groups=2, extract=False,
+                 target_rows_per_file=250, sort_by="z2")
+
+    hist = join_mod.hot_cells_from_manifest(str(layout), DEFAULT_CELL_RES)
+    assert hist and all(v > 0 for v in hist.values())
+    hot_cell = int(cell_of_z2(
+        Z2SFC().index(np.array([2.31]), np.array([48.855])), DEFAULT_CELL_RES
+    )[0])
+    top_cell, top_n = max(hist.items(), key=lambda kv: kv[1])
+    assert top_cell == hot_cell
+    assert top_n > n_hot * 0.75  # nearly all cluster rows attributed to it
+
+    def _boom(*a, **k):
+        raise AssertionError("hot_cell_histogram must not run")
+
+    monkeypatch.setattr(join_mod, "hot_cell_histogram", _boom)
+
+    points = scan(str(layout), Query())
+    stats: dict = {}
+    joined = pip_join_shuffle(
+        points, polygons, predicate="intersects",
+        cell_res=DEFAULT_CELL_RES, n_salt=4, hot_threshold=50,
+        layout_dir=str(layout), stats=stats,
+    )
+    got = _pairs_of(joined)
+    pts = pa.concat_tables(
+        scan(str(layout), Query()).iter_batches(batch_format="pyarrow")
+    )
+    expect = oracle_pairs(pts, polygons, "intersects")
+    assert stats["histogram_source"] == "manifest"
+    assert len(got) == len(expect)
+    assert set(got) == expect
