@@ -261,90 +261,426 @@ def read_xml(
     return ray.data.from_arrow(pa.table(out)), spec
 
 
-def read_osm(path: str, entity: str = "nodes") -> ray.data.Dataset:
-    """OpenStreetMap XML (.osm) converter (geomesa-convert-osm analog).
+# --- OpenStreetMap XML converter (geomesa-convert-osm analog) ---------------
+#
+# The reference ships osm-nodes / osm-ways SFTs
+# (geomesa-tools/conf/sfts/osm/reference.conf): nodes become Points with
+# user/tags(JSON)/dtg, ways resolve their <nd ref=...> node references into
+# LineStrings. The XML parse runs INSIDE Ray tasks (one per .osm file) so
+# driver RSS stays flat; multi-file extracts resolve way refs through a
+# distributed nodes-x-refs path (broadcast lookup under a size cap, hash
+# Dataset.join above it) instead of a driver node map.
 
-    The reference ships osm-nodes / osm-ways SFTs
-    (geomesa-tools/conf/sfts/osm/reference.conf): nodes become Points with
-    ``user``/``tags``(JSON)/``dtg``, ways resolve their ``<nd ref=...>``
-    node references into LineStrings. ``entity`` selects "nodes" or
-    "ways". Single-file parse resolves way refs against the in-file node
-    map (OSM extracts are self-contained); at planet scale the resolve
-    step is the nodes⨝refs hash join over Datasets instead.
-    """
+import re as _re
+
+_OSM_TS_SUFFIX = _re.compile(r"(Z|\+00:00)$")  # anchored UTC-designator strip
+
+_OSM_NODE, _OSM_REF, _OSM_META = 0, 1, 2
+
+_OSM_UNION_SCHEMA = pa.schema([
+    ("role", pa.int8()),
+    ("way_id", pa.int64()),   # node id for role=NODE rows
+    ("seq", pa.int64()),
+    ("nid", pa.int64()),
+    ("lon", pa.float64()),
+    ("lat", pa.float64()),
+    ("user", pa.string()),
+    ("name", pa.string()),
+    ("dtg", pa.string()),
+    ("tags", pa.string()),
+])
+
+_OSM_WAYS_SCHEMA = pa.schema([
+    ("osm_id", pa.int64()),
+    ("user", pa.string()),
+    ("name", pa.string()),
+    ("tags", pa.string()),
+    ("dtg", pa.timestamp("ms", tz="UTC")),
+    ("geometry_wkt", pa.string()),
+])
+
+
+def _pc_equal_i8(col, v: int):
+    import pyarrow.compute as pc
+
+    return pc.equal(col, pa.scalar(v, pa.int8()))
+
+
+def _osm_ts(col: list) -> pa.Array:
+    import pyarrow.compute as pc
+
+    naive = pc.cast(
+        pa.array(
+            [None if v is None else _OSM_TS_SUFFIX.sub("", v) for v in col],
+            pa.string(),
+        ),
+        pa.timestamp("ms"),
+    )
+    return pc.assume_timezone(naive, "UTC")
+
+
+def _osm_paths(path) -> list[str]:
+    import os
+
+    if isinstance(path, (list, tuple)):
+        return list(path)
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".osm")
+        )
+    return [path]
+
+
+def _parse_osm_nodes(path: str) -> pa.Table:
+    """One-file streaming parse -> final nodes table (runs in a Ray task)."""
     import json as _json
     import xml.etree.ElementTree as ET
 
-    import pyarrow.compute as pc
+    ids, lons, lats, users, tss, tags = [], [], [], [], [], []
+    for _event, elem in ET.iterparse(path, events=("end",)):
+        if elem.tag == "node":
+            ids.append(int(elem.get("id")))
+            lons.append(float(elem.get("lon")))
+            lats.append(float(elem.get("lat")))
+            users.append(elem.get("user"))
+            tss.append(elem.get("timestamp"))
+            tags.append(_json.dumps(
+                {t.get("k"): t.get("v") for t in elem.findall("tag")},
+                sort_keys=True,
+            ))
+            elem.clear()
+        elif elem.tag == "way":
+            elem.clear()
+    return pa.table({
+        "osm_id": pa.array(ids, pa.int64()),
+        "user": pa.array(users, pa.string()),
+        "tags": pa.array(tags, pa.string()),
+        "dtg": _osm_ts(tss),
+        "lon": pa.array(lons, pa.float64()),
+        "lat": pa.array(lats, pa.float64()),
+    })
 
-    if entity not in ("nodes", "ways"):
-        raise ValueError("entity must be 'nodes' or 'ways'")
 
-    node_ids: list[int] = []
-    node_lon: list[float] = []
-    node_lat: list[float] = []
-    node_user: list = []
-    node_ts: list = []
-    node_tags: list = []
-    coords: dict[int, tuple[float, float]] = {}
-    way_rows: list[dict] = []
+def _parse_osm_union(path: str) -> pa.Table:
+    """One-file streaming parse -> role-tagged union rows (node coords,
+    way refs, way metadata) for the distributed ways-resolve arms."""
+    import json as _json
+    import xml.etree.ElementTree as ET
+
+    role, way_id, seq, nid = [], [], [], []
+    lon, lat, user, name, dtg, tags = [], [], [], [], [], []
+
+    def _row(r, w=0, s=-1, n_=0, lo=None, la=None, u=None, nm=None,
+             d=None, tg=None):
+        role.append(r); way_id.append(w); seq.append(s); nid.append(n_)
+        lon.append(lo); lat.append(la); user.append(u); name.append(nm)
+        dtg.append(d); tags.append(tg)
 
     for _event, elem in ET.iterparse(path, events=("end",)):
         if elem.tag == "node":
-            nid = int(elem.get("id"))
-            lon = float(elem.get("lon"))
-            lat = float(elem.get("lat"))
-            coords[nid] = (lon, lat)
-            if entity == "nodes":
-                node_ids.append(nid)
-                node_lon.append(lon)
-                node_lat.append(lat)
-                node_user.append(elem.get("user"))
-                node_ts.append(elem.get("timestamp"))
-                node_tags.append(
-                    _json.dumps(
-                        {t.get("k"): t.get("v") for t in elem.findall("tag")},
-                        sort_keys=True,
-                    )
-                )
+            _row(_OSM_NODE, n_=int(elem.get("id")),
+                 lo=float(elem.get("lon")), la=float(elem.get("lat")))
             elem.clear()
         elif elem.tag == "way":
-            if entity == "ways":
-                tags = {t.get("k"): t.get("v") for t in elem.findall("tag")}
-                way_rows.append(
-                    {
-                        "osm_id": int(elem.get("id")),
-                        "user": elem.get("user"),
-                        "name": tags.get("name"),
-                        "dtg": elem.get("timestamp"),
-                        "tags": _json.dumps(tags, sort_keys=True),
-                        "refs": [int(nd.get("ref")) for nd in elem.findall("nd")],
-                    }
-                )
+            wid = int(elem.get("id"))
+            tg = {t.get("k"): t.get("v") for t in elem.findall("tag")}
+            for i, nd in enumerate(elem.findall("nd")):
+                _row(_OSM_REF, w=wid, s=i, n_=int(nd.get("ref")))
+            _row(_OSM_META, w=wid, u=elem.get("user"), nm=tg.get("name"),
+                 d=elem.get("timestamp"), tg=_json.dumps(tg, sort_keys=True))
             elem.clear()
+    return pa.table({
+        "role": pa.array(role, pa.int8()),
+        "way_id": pa.array(way_id, pa.int64()),
+        "seq": pa.array(seq, pa.int64()),
+        "nid": pa.array(nid, pa.int64()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+        "user": pa.array(user, pa.string()),
+        "name": pa.array(name, pa.string()),
+        "dtg": pa.array(dtg, pa.string()),
+        "tags": pa.array(tags, pa.string()),
+    })
 
-    def _ts(col: list) -> pa.Array:
-        naive = pc.cast(
-            pa.array(
-                [None if v is None else v.replace("Z", "") for v in col],
-                pa.string(),
-            ),
-            pa.timestamp("ms"),
+
+def _osm_ways_from_parts(way_ids, seqs, lons, lats, meta: dict) -> pa.Table:
+    """Vectorized ways assembly: lexsort refs by (way_id, seq), segment at
+    way boundaries, build LineStrings only for ways with >=2 resolved
+    points. ``meta``: way_id -> (user, name, dtg, tags)."""
+    from geomesa_ray.geometry.base import LineString
+    from geomesa_ray.geometry.wkt import to_wkt
+
+    wkts: dict[int, str] = {}
+    if len(way_ids):
+        order = np.lexsort((seqs, way_ids))
+        w, lo, la = way_ids[order], lons[order], lats[order]
+        starts = np.nonzero(np.concatenate([[True], w[1:] != w[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(w)]])
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                wkts[int(w[s])] = to_wkt(
+                    LineString(list(zip(lo[s:e], la[s:e])))
+                )
+    out_ids = sorted(meta)
+    return pa.table({
+        "osm_id": pa.array(out_ids, pa.int64()),
+        "user": pa.array([meta[i][0] for i in out_ids], pa.string()),
+        "name": pa.array([meta[i][1] for i in out_ids], pa.string()),
+        "tags": pa.array([meta[i][3] for i in out_ids], pa.string()),
+        "dtg": _osm_ts([meta[i][2] for i in out_ids]),
+        "geometry_wkt": pa.array(
+            [wkts.get(i) for i in out_ids], pa.string()
+        ),
+    })
+
+
+def _parse_osm_ways_single(path: str) -> pa.Table:
+    """Self-contained one-file ways parse (OSM extracts carry their own
+    nodes): resolve refs against the in-task node map, no shuffle."""
+    t = _parse_osm_union(path)
+    role = t["role"].to_numpy(zero_copy_only=False)
+    nids = t["nid"].to_numpy(zero_copy_only=False)
+    node_m = role == _OSM_NODE
+    ids = nids[node_m]
+    order = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order]
+    lon_sorted = t["lon"].to_numpy(zero_copy_only=False)[node_m][order]
+    lat_sorted = t["lat"].to_numpy(zero_copy_only=False)[node_m][order]
+
+    ref_m = role == _OSM_REF
+    pos = np.searchsorted(ids_sorted, nids[ref_m])
+    pos_c = np.minimum(pos, max(len(ids_sorted) - 1, 0))
+    ok = (len(ids_sorted) > 0) & (ids_sorted[pos_c] == nids[ref_m])
+    mt = t.filter(pa.array(role == _OSM_META))
+    meta = {
+        int(w): (u, nm, d, tg)
+        for w, u, nm, d, tg in zip(
+            mt["way_id"].to_pylist(), mt["user"].to_pylist(),
+            mt["name"].to_pylist(), mt["dtg"].to_pylist(),
+            mt["tags"].to_pylist(),
         )
-        return pc.assume_timezone(naive, "UTC")
+    }
+    return _osm_ways_from_parts(
+        t["way_id"].to_numpy(zero_copy_only=False)[ref_m][ok],
+        t["seq"].to_numpy(zero_copy_only=False)[ref_m][ok],
+        lon_sorted[pos_c[ok]],
+        lat_sorted[pos_c[ok]],
+        meta,
+    )
+
+
+class _OsmParse:
+    """Actor-style map_batches callable: parse each path in its own task."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fn = {
+            "nodes": _parse_osm_nodes,
+            "union": _parse_osm_union,
+            "ways_single": _parse_osm_ways_single,
+        }[self.mode]
+        tables = [fn(p) for p in batch["path"].to_pylist()]
+        return pa.concat_tables(tables)  # batch_size=1 over ≥1 path
+
+
+def read_osm(
+    path,
+    entity: str = "nodes",
+    broadcast_limit_bytes: int = 64 * 1024 * 1024,
+    num_partitions: int = 16,
+    n_shards: int = 32,
+) -> ray.data.Dataset:
+    """OpenStreetMap XML converter (geomesa-convert-osm analog).
+
+    ``path``: one ``.osm`` file, a directory of them, or a list. The XML
+    parse runs inside Ray tasks (one per file) — the driver never holds
+    node maps or row lists. ``entity`` selects:
+
+    - ``"nodes"``: each file parses independently to Point rows.
+    - ``"ways"``: ``<nd ref=...>`` node references resolve to LineStrings.
+      A single file resolves in-task (extracts are self-contained); a
+      multi-file extract resolves through the distributed nodes⨝refs
+      path: node coords broadcast (``ray.put`` once, ``searchsorted`` per
+      batch) while they fit ``broadcast_limit_bytes``, else a hash
+      ``Dataset.join`` over ``num_partitions``; ways then reassemble in a
+      bounded ``way_id % n_shards`` shuffle (vectorized lexsort+segment
+      kernel per shard — never one Python call per way).
+    """
+    if entity not in ("nodes", "ways"):
+        raise ValueError("entity must be 'nodes' or 'ways'")
+    paths = _osm_paths(path)
+    if not paths:
+        raise ValueError(f"no .osm files under {path!r}")
+    parts = ray.data.from_arrow(
+        pa.table({"path": pa.array(paths, pa.string())})
+    ).repartition(len(paths))
 
     if entity == "nodes":
-        tbl = pa.table(
-            {
-                "osm_id": pa.array(node_ids, pa.int64()),
-                "user": pa.array(node_user, pa.string()),
-                "tags": pa.array(node_tags, pa.string()),
-                "dtg": _ts(node_ts),
-                "lon": pa.array(node_lon, pa.float64()),
-                "lat": pa.array(node_lat, pa.float64()),
-            }
+        return parts.map_batches(
+            _OsmParse("nodes"), batch_size=1, batch_format="pyarrow"
         )
-        return ray.data.from_arrow(tbl)
+    if len(paths) == 1:
+        return parts.map_batches(
+            _OsmParse("ways_single"), batch_size=1, batch_format="pyarrow"
+        )
+    return _osm_ways_distributed(
+        parts, broadcast_limit_bytes, num_partitions, n_shards
+    )
+
+
+def _osm_ways_distributed(
+    parts: ray.data.Dataset,
+    broadcast_limit_bytes: int,
+    num_partitions: int,
+    n_shards: int,
+) -> ray.data.Dataset:
+    """Multi-file ways arm: parse once (materialized union blocks), then
+    nodes⨝refs resolve + bounded-shard reassembly."""
+    from geomesa_ray.stages.dedup import _drop_empty_blocks
+
+    parsed = parts.map_batches(
+        _OsmParse("union"), batch_size=1, batch_format="pyarrow"
+    ).materialize()  # parse each file ONCE; blocks spill to plasma
+
+    def _coords(b: pa.Table) -> pa.Table:
+        m = _pc_equal_i8(b["role"], _OSM_NODE)
+        t = b.filter(m)
+        return t.select(["nid", "lon", "lat"])
+
+    def _refs(b: pa.Table) -> pa.Table:
+        t = b.filter(_pc_equal_i8(b["role"], _OSM_REF))
+        return t.select(["way_id", "seq", "nid"])
+
+    def _meta(b: pa.Table) -> pa.Table:
+        t = b.filter(_pc_equal_i8(b["role"], _OSM_META))
+        return t.select(["way_id", "user", "name", "dtg", "tags"])
+
+    coords = parsed.map_batches(_coords, batch_format="pyarrow").materialize()
+    refs = parsed.map_batches(_refs, batch_format="pyarrow")
+
+    if coords.size_bytes() <= broadcast_limit_bytes:
+        # broadcast resolve: assemble the sorted coord arrays in a remote
+        # task from block refs (the driver never holds the node table)
+        blocks = [
+            ref
+            for bund in coords.iter_internal_ref_bundles()
+            for ref, m in bund.blocks
+            if m.num_rows
+        ]
+
+        @ray.remote
+        def _build(*tbls):
+            t = pa.concat_tables(list(tbls))
+            ids = t["nid"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            return (
+                ids[order],
+                t["lon"].to_numpy(zero_copy_only=False)[order],
+                t["lat"].to_numpy(zero_copy_only=False)[order],
+            )
+
+        lookup_ref = _build.remote(*blocks)
+
+        def _resolve(b: pa.Table) -> pa.Table:
+            from geomesa_ray.stages.join import _resolve_broadcast
+
+            ids_s, lon_s, lat_s = _resolve_broadcast(lookup_ref)
+            nid = b["nid"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids_s, nid)
+            pos_c = np.minimum(pos, max(len(ids_s) - 1, 0))
+            ok = (len(ids_s) > 0) & (ids_s[pos_c] == nid)
+            t = b.filter(pa.array(ok))
+            keep = pos_c[ok]
+            return pa.table({
+                "way_id": t["way_id"],
+                "seq": t["seq"],
+                "lon": pa.array(lon_s[keep], pa.float64()),
+                "lat": pa.array(lat_s[keep], pa.float64()),
+            })
+
+        resolved = refs.map_batches(_resolve, batch_format="pyarrow")
+    else:
+        refs_schema = pa.schema([
+            ("way_id", pa.int64()), ("seq", pa.int64()), ("nid", pa.int64())
+        ])
+        coords_schema = pa.schema([
+            ("nid", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64())
+        ])
+        resolved = _drop_empty_blocks(refs, refs_schema).join(
+            _drop_empty_blocks(coords, coords_schema),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("nid",),
+        ).map_batches(
+            lambda b: b.select(["way_id", "seq", "lon", "lat"]),
+            batch_format="pyarrow",
+        )
+
+    # bounded-fan-out reassembly: one way_id%n_shards shuffle, vectorized
+    # per-shard kernel (never one Python group call per way)
+    def _tag_ref(b: pa.Table) -> pa.Table:
+        w = b["way_id"].to_numpy(zero_copy_only=False)
+        n = len(b)
+        return pa.table({
+            "shard": pa.array(w % n_shards, pa.int64()),
+            "role": pa.array(np.full(n, _OSM_REF, np.int8()), pa.int8()),
+            "way_id": b["way_id"],
+            "seq": b["seq"],
+            "lon": b["lon"],
+            "lat": b["lat"],
+            "user": pa.nulls(n, pa.string()),
+            "name": pa.nulls(n, pa.string()),
+            "dtg": pa.nulls(n, pa.string()),
+            "tags": pa.nulls(n, pa.string()),
+        })
+
+    def _tag_meta(b: pa.Table) -> pa.Table:
+        w = b["way_id"].to_numpy(zero_copy_only=False)
+        n = len(b)
+        return pa.table({
+            "shard": pa.array(w % n_shards, pa.int64()),
+            "role": pa.array(np.full(n, _OSM_META, np.int8()), pa.int8()),
+            "way_id": b["way_id"],
+            "seq": pa.array(np.full(n, -1, np.int64()), pa.int64()),
+            "lon": pa.nulls(n, pa.float64()),
+            "lat": pa.nulls(n, pa.float64()),
+            "user": b["user"],
+            "name": b["name"],
+            "dtg": b["dtg"],
+            "tags": b["tags"],
+        })
+
+    meta = parsed.map_batches(_meta, batch_format="pyarrow")
+    union = resolved.map_batches(_tag_ref, batch_format="pyarrow").union(
+        meta.map_batches(_tag_meta, batch_format="pyarrow")
+    )
+
+    def _assemble(group: pa.Table) -> pa.Table:
+        role = group["role"].to_numpy(zero_copy_only=False)
+        rm = role == _OSM_REF
+        mt = group.filter(pa.array(role == _OSM_META))
+        meta_d = {
+            int(w): (u, nm, d, tg)
+            for w, u, nm, d, tg in zip(
+                mt["way_id"].to_pylist(), mt["user"].to_pylist(),
+                mt["name"].to_pylist(), mt["dtg"].to_pylist(),
+                mt["tags"].to_pylist(),
+            )
+        }
+        return _osm_ways_from_parts(
+            group["way_id"].to_numpy(zero_copy_only=False)[rm],
+            group["seq"].to_numpy(zero_copy_only=False)[rm],
+            group["lon"].to_numpy(zero_copy_only=False)[rm],
+            group["lat"].to_numpy(zero_copy_only=False)[rm],
+            meta_d,
+        )
+
+    return union.groupby("shard").map_groups(
+        _assemble, batch_format="pyarrow"
+    )
+
 
     from geomesa_ray.geometry.base import LineString
     from geomesa_ray.geometry.wkt import to_wkt

@@ -284,3 +284,90 @@ def test_registry_user_registration_before_first_lookup():
         reg._EXPORTERS.clear(); reg._EXPORTERS.update(saved[1])
         reg._PARTITION_SCHEMES.clear(); reg._PARTITION_SCHEMES.update(saved[2])
         reg._builtins_loaded = saved[3]
+
+
+_OSM_XML_F1 = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6" generator="test">
+  <node id="1" lat="48.0" lon="2.0" user="alice" timestamp="2020-01-01T10:00:00Z"/>
+  <node id="2" lat="48.1" lon="2.1" user="bob" timestamp="2020-01-02T11:30:00Z"/>
+  <way id="10" user="carol" timestamp="2020-02-01T00:00:00Z">
+    <nd ref="1"/>
+    <nd ref="2"/>
+    <nd ref="3"/>
+    <tag k="name" v="Cross-File Way"/>
+  </way>
+</osm>
+"""
+
+_OSM_XML_F2 = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6" generator="test">
+  <node id="3" lat="48.2" lon="2.2" user="bob" timestamp="2020-01-02T12:00:00Z"/>
+  <node id="4" lat="48.3" lon="2.3" user="bob" timestamp="2020-01-03T12:00:00Z"/>
+  <way id="11" user="dave" timestamp="2020-02-02T00:00:00Z">
+    <nd ref="4"/>
+    <nd ref="999"/>
+  </way>
+  <way id="12" user="dave" timestamp="2020-02-03T00:00:00Z">
+    <nd ref="4"/>
+    <nd ref="1"/>
+  </way>
+</osm>
+"""
+
+
+def _write_osm_pair(tmp_path):
+    (tmp_path / "a.osm").write_text(_OSM_XML_F1)
+    (tmp_path / "b.osm").write_text(_OSM_XML_F2)
+    return str(tmp_path)
+
+
+def _check_multifile_ways(tbl):
+    tbl = tbl.sort_by("osm_id")
+    assert tbl["osm_id"].to_pylist() == [10, 11, 12]
+    # way 10 spans files: refs 1,2 live in a.osm, ref 3 in b.osm
+    w10 = tbl["geometry_wkt"][0].as_py()
+    assert w10.startswith("LINESTRING")
+    for frag in ("2 48", "2.1 48.1", "2.2 48.2"):
+        assert frag in w10
+    # way 11: one dangling ref -> single resolved point -> null geometry
+    assert tbl["geometry_wkt"][1].as_py() is None
+    # way 12 resolves across files in ref order (4 then 1)
+    w12 = tbl["geometry_wkt"][2].as_py()
+    assert w12.index("2.3 48.3") < w12.index("2 48")
+    assert tbl["name"].to_pylist() == ["Cross-File Way", None, None]
+
+
+def test_osm_multifile_ways_broadcast_arm(ray_session, tmp_path):
+    """Multi-file extract: refs resolve across files via the broadcast
+    nodes lookup (driver RSS never holds the node map)."""
+    from geomesa_ray.sources.readers import read_osm
+
+    d = _write_osm_pair(tmp_path)
+    tbl = pa.concat_tables(
+        read_osm(d, entity="ways").iter_batches(batch_format="pyarrow")
+    )
+    _check_multifile_ways(tbl)
+
+
+def test_osm_multifile_ways_join_arm(ray_session, tmp_path):
+    """Forcing broadcast_limit_bytes=0 routes through the hash
+    Dataset.join arm — results identical to the broadcast arm."""
+    from geomesa_ray.sources.readers import read_osm
+
+    d = _write_osm_pair(tmp_path)
+    tbl = pa.concat_tables(
+        read_osm(d, entity="ways", broadcast_limit_bytes=0,
+                 num_partitions=4).iter_batches(batch_format="pyarrow")
+    )
+    _check_multifile_ways(tbl)
+
+
+def test_osm_multifile_nodes(ray_session, tmp_path):
+    from geomesa_ray.sources.readers import read_osm
+
+    d = _write_osm_pair(tmp_path)
+    tbl = pa.concat_tables(
+        read_osm(d, entity="nodes").iter_batches(batch_format="pyarrow")
+    ).sort_by("osm_id")
+    assert tbl["osm_id"].to_pylist() == [1, 2, 3, 4]
+    assert tbl["lon"].to_pylist() == [2.0, 2.1, 2.2, 2.3]
