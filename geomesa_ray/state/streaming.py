@@ -27,6 +27,7 @@ import os
 import shutil
 import tempfile
 
+import pyarrow as pa
 import ray.data
 
 from geomesa_ray.state.upsert import expire, latest_view
@@ -166,3 +167,224 @@ class StreamingUpsert:
             if os.path.isdir(old):
                 shutil.rmtree(old, ignore_errors=True)
         return {"segments": len(pending), "view_rows": rows}
+
+
+class StreamingWindow:
+    """Checkpointed micro-batch tumbling-window aggregator with
+    bounded-lateness event-time drops.
+
+    Composes the segment-replay consumer (same atomic
+    generation-dir + checkpoint protocol as :class:`StreamingUpsert`)
+    with the tumbling-window combiner (stages/sessions.tumbling_counts)
+    so a live topic maintains per-``(window, key)`` counts. Event-time
+    semantics mirror the reference's Kafka feature-expiry path
+    (KafkaDataStore.scala:598-614, ordered=true late-drop):
+
+    - the **watermark** is ``max(event time seen in completed polls) −
+      allowed_lateness`` (event times read from parquet footer stats —
+      metadata only, no extra pipeline execution);
+    - events older than the watermark *at the start of the poll* are
+      dropped and counted (``late_dropped``) — the watermark only
+      advances after a poll commits, so crash-replay of an uncommitted
+      poll filters with the same watermark and is exactly idempotent;
+    - windows entirely below the watermark are FINAL
+      (:meth:`final_windows`) — no in-flight segment can change them.
+
+    All counting is Dataset combiner work (per-batch partials,
+    tree-merged); state per generation is the bounded windows×keys table.
+    """
+
+    def __init__(self, source_dir: str, state_dir: str,
+                 ts_col: str = "ts", key_col: str | None = "event_type",
+                 window_s: int = 3600, allowed_lateness_s: int = 0):
+        self.source_dir = source_dir
+        self.state_dir = state_dir
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.window_s = int(window_s)
+        self.lateness_us = int(allowed_lateness_s) * 1_000_000
+        os.makedirs(state_dir, exist_ok=True)
+        self._ckpt_path = os.path.join(state_dir, "CHECKPOINT.json")
+        if os.path.exists(self._ckpt_path):
+            with open(self._ckpt_path) as f:
+                self._ckpt = json.load(f)
+        else:
+            self._ckpt = {
+                "generation": 0,
+                "consumed": [],
+                "watermark_us": -(1 << 62),
+                "late_dropped": 0,
+            }
+
+    # -- state ----------------------------------------------------------
+
+    @property
+    def consumed(self) -> set[str]:
+        return set(self._ckpt["consumed"])
+
+    @property
+    def watermark_us(self) -> int:
+        return int(self._ckpt["watermark_us"])
+
+    @property
+    def late_dropped(self) -> int:
+        return int(self._ckpt["late_dropped"])
+
+    def _view_dir(self, gen: int) -> str:
+        return os.path.join(self.state_dir, f"win-{gen:06d}")
+
+    def counts(self) -> ray.data.Dataset | None:
+        """Current (window_start_us[, key], n_events) view — open AND
+        final windows."""
+        gen = self._ckpt["generation"]
+        d = self._view_dir(gen)
+        if gen == 0 or not os.path.isdir(d):
+            return None
+        if not any(f.endswith(".parquet") for f in os.listdir(d)):
+            return None
+        return ray.data.read_parquet(d)
+
+    def final_windows(self) -> ray.data.Dataset | None:
+        """Windows whose end ≤ watermark: closed — late events beyond the
+        watermark are dropped, so these counts can never change."""
+        cur = self.counts()
+        if cur is None:
+            return None
+        w_us = self.window_s * 1_000_000
+        wm = self.watermark_us
+        import pyarrow.compute as pc
+
+        return cur.map_batches(
+            lambda b: b.filter(
+                pc.less_equal(
+                    pc.add(b["window_start_us"], w_us), pa.scalar(wm)
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    # -- consumption ------------------------------------------------------
+
+    def pending_segments(self) -> list[str]:
+        names = sorted(
+            f for f in os.listdir(self.source_dir) if f.endswith(".parquet")
+        )
+        return [f for f in names if f not in self.consumed]
+
+    def _segment_ts_bounds_us(self, paths: list[str]) -> tuple[int, int]:
+        """(min, max) event time across segment parquet footers (µs)."""
+        import pyarrow.parquet as _pq
+
+        from geomesa_ray.state.manifest import _ts_to_ms
+
+        lo, hi = (1 << 62), -(1 << 62)
+        for p in paths:
+            md = _pq.ParquetFile(p).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema != self.ts_col:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"segment {p} lacks {self.ts_col} footer stats"
+                        )
+                    lo = min(lo, _ts_to_ms(st.min) * 1000)
+                    hi = max(hi, _ts_to_ms(st.max) * 1000)
+        return lo, hi
+
+    def poll(self) -> dict:
+        """Consume pending segments; returns {'segments', 'window_rows',
+        'late_dropped' (this poll), 'watermark_us' (after the poll)}."""
+        import pyarrow.compute as pc
+
+        from geomesa_ray.stages.corpus import _group_sum, _tree_merge
+        from geomesa_ray.stages.sessions import tumbling_counts
+
+        pending = self.pending_segments()
+        if not pending:
+            return {"segments": 0, "window_rows": None,
+                    "late_dropped": 0, "watermark_us": self.watermark_us}
+        paths = [os.path.join(self.source_dir, f) for f in pending]
+        wm = self.watermark_us  # prior watermark: replay-stable late filter
+        _seg_lo, seg_hi = self._segment_ts_bounds_us(paths)
+
+        updates = ray.data.read_parquet(paths)
+
+        def _drop_late(b: pa.Table) -> pa.Table:
+            t = b[self.ts_col]
+            unit = t.type.unit if pa.types.is_timestamp(t.type) else "us"
+            ints = t.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[unit]
+            us = ints // 1_000 if scale is None else ints * scale
+            return b.filter(pa.array(us >= wm))
+
+        import pyarrow.parquet as _pq
+
+        # footer row counts: no pipeline execution
+        total_in = sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+        new_counts = tumbling_counts(
+            updates.map_batches(_drop_late, batch_format="pyarrow"),
+            ts_col=self.ts_col, key_col=self.key_col,
+            window_s=self.window_s,
+        ).materialize()
+        kept = 0
+        for b in new_counts.iter_batches(batch_format="pyarrow"):
+            kept += int(pc.sum(b["n_events"]).as_py() or 0)
+        dropped = total_in - kept
+
+        key_cols = ["window_start_us"] + ([self.key_col] if self.key_col else [])
+        schema = pa.schema(
+            [pa.field("window_start_us", pa.int64())]
+            + ([pa.field(self.key_col, pa.string())] if self.key_col else [])
+            + [pa.field("n_events", pa.int64())]
+        )
+
+        def merge(batch: pa.Table) -> pa.Table:
+            return _group_sum(batch.cast(schema), key_cols, ["n_events"])
+
+        cur = self.counts()
+        merged = new_counts if cur is None else cur.union(new_counts)
+        merged, converged = _tree_merge(
+            merged.map_batches(merge, batch_format="pyarrow"), merge
+        )
+        if not converged:  # unbounded window×key product: exact shuffle
+            from ray.data.aggregate import Sum
+
+            merged = merged.groupby(key_cols).aggregate(
+                Sum("n_events", alias_name="n_events")
+            )
+
+        new_gen = self._ckpt["generation"] + 1
+        out_dir = self._view_dir(new_gen)
+        tmp = tempfile.mkdtemp(dir=self.state_dir, prefix=".win-tmp-")
+        merged.write_parquet(tmp)
+        if os.path.isdir(out_dir):  # uncommitted prior attempt: discard
+            shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+        import pyarrow.parquet as _pq
+
+        rows = sum(
+            _pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+            for f in os.listdir(out_dir) if f.endswith(".parquet")
+        )
+        new_ckpt = {
+            "generation": new_gen,
+            "consumed": sorted(self.consumed | set(pending)),
+            "watermark_us": max(wm, seg_hi - self.lateness_us),
+            "late_dropped": self.late_dropped + int(dropped),
+        }
+        fd, ctmp = tempfile.mkstemp(dir=self.state_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_ckpt, f)
+        os.replace(ctmp, self._ckpt_path)
+        self._ckpt = new_ckpt
+        for g in range(1, new_gen):
+            old = self._view_dir(g)
+            if os.path.isdir(old):
+                shutil.rmtree(old, ignore_errors=True)
+        return {"segments": len(pending), "window_rows": rows,
+                "late_dropped": int(dropped),
+                "watermark_us": self.watermark_us}

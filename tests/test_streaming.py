@@ -154,3 +154,135 @@ def test_equal_ts_tie_resolves_by_segment_order(ray_session, dirs):
     _segment(os.path.join(src, "seg-002.parquet"), [1], [1000], [3.0])
     c.poll()
     assert c.view().to_pandas()["value"].tolist() == [3.0]
+
+
+# --- StreamingWindow: checkpointed tumbling windows + watermark drops --------
+
+
+def _win_segment(path, keys, ts_us):
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+            }
+        ),
+        path,
+    )
+
+
+def _windows_df(sw):
+    ds = sw.counts()
+    assert ds is not None
+    df = ds.to_pandas().sort_values(
+        ["window_start_us", "event_type"]
+    ).reset_index(drop=True)
+    return df
+
+
+def test_streaming_window_counts_watermark_and_late_drop(ray_session, dirs):
+    """Windowed counts vs a DuckDB oracle that mirrors the watermark
+    semantics (watermark before segment k = max ts of segments < k −
+    lateness; an event is dropped iff its ts < that watermark)."""
+    import duckdb
+
+    from geomesa_ray.state.streaming import StreamingWindow
+
+    src, state = dirs
+    W = 60  # 60 s windows
+    LATE = 30_000_000  # 30 s allowed lateness
+    # segment 0: windows 0 and 1; max ts = 130 s
+    _win_segment(os.path.join(src, "seg-000.parquet"),
+                 ["a", "a", "b", "a"],
+                 [10_000_000, 70_000_000, 90_000_000, 130_000_000])
+    sw = StreamingWindow(src, state, ts_col="ts", key_col="event_type",
+                         window_s=W, allowed_lateness_s=30)
+    r = sw.poll()
+    assert r["segments"] == 1 and r["late_dropped"] == 0
+    assert sw.watermark_us == 130_000_000 - LATE  # 100 s
+
+    # segment 1: one on-time event (140 s), one late-but-allowed (105 s),
+    # one too-late (95 s < watermark 100 s → dropped)
+    _win_segment(os.path.join(src, "seg-001.parquet"),
+                 ["b", "a", "b"],
+                 [140_000_000, 105_000_000, 95_000_000])
+    r = sw.poll()
+    assert r["late_dropped"] == 1
+    assert sw.late_dropped == 1
+    assert sw.watermark_us == 140_000_000 - LATE
+
+    # oracle: same watermark rule in SQL over the segment-indexed events
+    con = duckdb.connect()
+    con.sql(f"""
+        CREATE VIEW ev AS
+        SELECT *, CAST(regexp_extract(filename, 'seg-(\\d+)', 1) AS INT) AS seg
+        FROM read_parquet('{src}/seg-*.parquet', filename=true)
+    """)
+    expect = con.sql(f"""
+        WITH keep AS (
+          -- watermark before a segment = max ts over PRIOR segments − late
+          SELECT * FROM (
+            SELECT *,
+                   COALESCE((SELECT MAX(epoch_us(e2.ts)) FROM ev e2
+                             WHERE e2.seg < ev2.seg), NULL) AS prior_hi
+            FROM ev ev2
+          ) WHERE prior_hi IS NULL OR epoch_us(ts) >= prior_hi - {LATE}
+        )
+        SELECT (epoch_us(ts) // {W * 1_000_000}) * {W * 1_000_000}
+                 AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events
+        FROM keep GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    got = _windows_df(sw)
+    assert got["window_start_us"].tolist() == expect["window_start_us"].tolist()
+    assert got["event_type"].tolist() == expect["event_type"].tolist()
+    assert got["n_events"].tolist() == expect["n_events"].astype(int).tolist()
+
+    # final windows: end ≤ watermark(110 s) → windows 0 (0–60) only
+    fin = sw.final_windows().to_pandas()
+    assert set(fin["window_start_us"]) == {0}
+
+
+def test_streaming_window_crash_resume_idempotent(ray_session, dirs):
+    """Kill between polls and replay an uncommitted generation: counts,
+    watermark, and late-drop totals all match a single-consumer run."""
+    import shutil as _sh
+
+    from geomesa_ray.state.streaming import StreamingWindow
+
+    src, state = dirs
+    _win_segment(os.path.join(src, "seg-000.parquet"),
+                 ["a", "b"], [10_000_000, 70_000_000])
+    sw = StreamingWindow(src, state, window_s=60, allowed_lateness_s=0)
+    sw.poll()
+    wm0 = sw.watermark_us
+
+    # crash: new consumer over the same state dir picks up the checkpoint
+    _win_segment(os.path.join(src, "seg-001.parquet"),
+                 ["a", "a", "b"], [130_000_000, 65_000_000, 20_000_000])
+    sw2 = StreamingWindow(src, state, window_s=60, allowed_lateness_s=0)
+    assert sw2.watermark_us == wm0
+    # simulate a prior attempt that died between publish and checkpoint:
+    # a stale uncommitted generation dir must be discarded, not wedge
+    orphan = sw2._view_dir(sw2._ckpt["generation"] + 1)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    r = sw2.poll()
+    # events 65 s and 20 s are both < watermark 70 s → dropped
+    assert r["late_dropped"] == 2
+    df = _windows_df(sw2)
+    assert df[df.window_start_us == 120_000_000]["n_events"].tolist() == [1]
+
+    # replaying the same segments after a checkpoint loss is idempotent:
+    # wipe the consumed list but keep the view → poll re-merges, but with
+    # identical inputs (same watermark) counts must not double
+    import json as _json
+    ck = _json.load(open(os.path.join(state, "CHECKPOINT.json")))
+    before = _windows_df(sw2)
+    sw3 = StreamingWindow(src, state, window_s=60, allowed_lateness_s=0)
+    assert sw3.poll()["segments"] == 0  # checkpoint intact → no replay
+    after = _windows_df(sw3)
+    assert before.equals(after)
+    assert ck["generation"] == sw3._ckpt["generation"]
