@@ -125,22 +125,38 @@ def write_bin(ds: ray.data.Dataset, path: str, **encoder_kwargs) -> int:
     return total
 
 
-def write_arrow_ipc(ds: ray.data.Dataset, path: str,
-                    dictionary_cols: list[str] | None = None) -> int:
-    """Arrow IPC stream export (ArrowScan / arrow exporter analog):
-    zero-copy per block — Ray Data blocks already ARE Arrow.
+def _normalize_ipc_batch(t: pa.Table) -> pa.Table:
+    """One contiguous zero-offset chunk per column, so the IPC bytes
+    depend only on batch contents and row counts — not on incidental
+    chunk boundaries, slice offsets, or leftover buffer padding from
+    whichever pipeline produced the batch."""
+    import pyarrow.compute as pc
 
-    ``dictionary_cols`` dictionary-encodes the named string columns per
-    batch (the reference's per-batch dictionaries + deltas,
-    vector/ArrowDictionary.scala / io/DeltaWriter.scala analog — IPC
-    handles the delta dictionaries natively)."""
+    t = t.combine_chunks()
+    idx = pa.array(np.arange(len(t), dtype=np.int64))
+    return pa.table(
+        {
+            n: pc.take(
+                t[n].chunk(0) if t[n].num_chunks else pa.array([], t[n].type),
+                idx,
+            )
+            for n in t.schema.names
+        },
+        schema=t.schema,
+    )
+
+
+def _write_ipc_batches(batches, path: str,
+                       dictionary_cols: list[str] | None = None) -> int:
+    """Shared IPC stream writer over an iterable of Arrow tables."""
     import pyarrow.ipc as ipc
 
     total = 0
     writer = None
     opts = ipc.IpcWriteOptions(emit_dictionary_deltas=True)
     try:
-        for batch in ds.iter_batches(batch_format="pyarrow"):
+        for batch in batches:
+            batch = _normalize_ipc_batch(batch)
             if dictionary_cols:
                 for c in dictionary_cols:
                     i = batch.schema.get_field_index(c)
@@ -155,6 +171,155 @@ def write_arrow_ipc(ds: ray.data.Dataset, path: str,
         if writer is not None:
             writer.close()
     return total
+
+
+def write_arrow_ipc(ds: ray.data.Dataset, path: str,
+                    dictionary_cols: list[str] | None = None,
+                    batch_rows: int | None = None) -> int:
+    """Arrow IPC stream export (ArrowScan / arrow exporter analog):
+    zero-copy per block — Ray Data blocks already ARE Arrow.
+
+    ``dictionary_cols`` dictionary-encodes the named string columns per
+    batch (the reference's per-batch dictionaries + deltas,
+    vector/ArrowDictionary.scala / io/DeltaWriter.scala analog — IPC
+    handles the delta dictionaries natively). ``batch_rows`` rebatches to
+    a fixed size (default: native block boundaries)."""
+    kwargs = {} if batch_rows is None else {"batch_size": batch_rows}
+    return _write_ipc_batches(
+        ds.iter_batches(batch_format="pyarrow", **kwargs),
+        path, dictionary_cols,
+    )
+
+
+class _SortedGroupStream:
+    """Sequential batch stream over one sorted group's parquet files:
+    current head batch + int64 sort keys + cursor."""
+
+    def __init__(self, idx: int, files: list[str], sort_col: str,
+                 columns: list[str] | None, read_rows: int):
+        import pyarrow.parquet as pq
+
+        self.idx = idx
+        self._batches = (
+            pa.Table.from_batches([rb])
+            for f in files
+            for rb in pq.ParquetFile(f).iter_batches(
+                batch_size=read_rows, columns=columns
+            )
+        )
+        self._sort_col = sort_col
+        self.table: pa.Table | None = None
+        self.keys = None
+        self.pos = 0
+        self._refill()
+
+    def _refill(self) -> None:
+        for t in self._batches:
+            if len(t):
+                self.table = t
+                self.keys = t[self._sort_col].to_numpy(zero_copy_only=False)
+                self.pos = 0
+                return
+        self.table = None
+
+    @property
+    def head(self):
+        return self.keys[self.pos]
+
+    def take_until(self, bound, inclusive: bool) -> pa.Table:
+        """Slice rows from the cursor while key < bound (≤ if inclusive),
+        advancing the cursor and refilling on exhaustion."""
+        side = "right" if inclusive else "left"
+        hi = int(np.searchsorted(self.keys[self.pos:], bound, side=side)) + self.pos
+        out = self.table.slice(self.pos, hi - self.pos)
+        self.pos = hi
+        if self.pos >= len(self.table):
+            self._refill()
+        return out
+
+
+def iter_sorted_layout_batches(layout_dir: str, sort_col: str = "z2",
+                               columns: list[str] | None = None,
+                               batch_rows: int = 16_384):
+    """Globally-sorted batches from a sorted layout WITHOUT a sort stage.
+
+    K-way merge of the layout's group streams (reference analog: the
+    priority-queue merge of pre-sorted dictionary batches in
+    io/DeltaWriter.scala): each ``group=*`` directory is written
+    key-sorted by ingest, so one cursor per group suffices. The merge is
+    vectorized — the winning stream emits every row below the other
+    streams' minimum head key in ONE slice (searchsorted), never a
+    row-at-a-time heap pop; ties break by group index, deterministically.
+    Memory is O(groups × read-batch), so the export streams at any scale.
+
+    ``sort_col`` must be a single int64-ordered column (``z2``, ``xz2``,
+    ``cell``); composite z3 keys export per ``z3_bin`` (the major key
+    partitions the merge naturally).
+    """
+    import glob as _glob
+    import os
+
+    group_dirs = sorted(_glob.glob(os.path.join(layout_dir, "group=*")))
+    if not group_dirs:
+        raise ValueError(f"no group=* dirs under {layout_dir!r}")
+    streams = []
+    for i, d in enumerate(group_dirs):
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        if files:
+            streams.append(
+                _SortedGroupStream(i, files, sort_col, columns, batch_rows)
+            )
+    streams = [s for s in streams if s.table is not None]
+
+    pending: list[pa.Table] = []
+    pending_rows = 0
+
+    def _flush(final: bool):
+        nonlocal pending, pending_rows
+        while pending_rows >= batch_rows or (final and pending_rows):
+            t = pa.concat_tables(pending).combine_chunks()
+            yield t.slice(0, batch_rows)
+            rest = t.slice(batch_rows)
+            pending = [rest] if len(rest) else []
+            pending_rows = len(rest)
+
+    while streams:
+        s = min(streams, key=lambda st: (st.head, st.idx))
+        others = [st.head for st in streams if st is not s]
+        if others:
+            bound = min(others)
+            # ties on the boundary go to the selected (lowest-idx) stream
+            inclusive = s.idx < min(
+                st.idx for st in streams if st is not s and st.head == bound
+            ) if any(st.head == bound for st in streams if st is not s) else False
+            chunk = s.take_until(bound, inclusive=inclusive)
+        else:
+            chunk = s.table.slice(s.pos)
+            s.pos = len(s.table)
+            s._refill()
+        if len(chunk):
+            pending.append(chunk)
+            pending_rows += len(chunk)
+            yield from _flush(final=False)
+        streams = [st for st in streams if st.table is not None]
+    yield from _flush(final=True)
+
+
+def write_arrow_ipc_sorted(layout_dir: str, path: str, sort_col: str = "z2",
+                           columns: list[str] | None = None,
+                           dictionary_cols: list[str] | None = None,
+                           batch_rows: int = 16_384) -> int:
+    """Sorted Arrow IPC export of an ingested layout with NO sort stage:
+    the group files are already key-sorted, so a k-way merge
+    (:func:`iter_sorted_layout_batches`) replaces the all-to-all shuffle
+    ``ds.sort`` would run. Byte-equal to ``write_arrow_ipc(ds.sort(key),
+    batch_rows=batch_rows)`` for unique keys."""
+    return _write_ipc_batches(
+        iter_sorted_layout_batches(layout_dir, sort_col, columns, batch_rows),
+        path, dictionary_cols,
+    )
 
 
 def write_csv(ds: ray.data.Dataset, path_dir: str) -> None:

@@ -1,5 +1,6 @@
 """Merged/routed views + dictionary-encoded Arrow IPC export."""
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.ipc as ipc
 import pytest
@@ -108,3 +109,53 @@ def test_delimited_reader_with_inference(ray_session, tmp_path):
     assert df["score"].tolist() == [1.5, 2.25]
     assert df["flag"].tolist() == [True, False]
     assert str(df["when"].iloc[0])[:10] == "2020-12-31"
+
+
+def test_sorted_ipc_export_merges_without_sort_stage(ray_session, tmp_path):
+    """K-way merged export of a z2-sorted layout is byte-equal to the
+    ds.sort('z2') path at the same batch size — with NO shuffle
+    (VERDICT r3 next-round #8; reference DeltaWriter's priority-queue
+    merge of pre-sorted batches)."""
+    import glob
+    import os
+
+    import ray.data
+
+    from geomesa_ray.pipelines.ingest import ingest_pages
+    from geomesa_ray.sources.synth import write_pages_parquet
+    from geomesa_ray.stages.export import (
+        iter_sorted_layout_batches,
+        write_arrow_ipc,
+        write_arrow_ipc_sorted,
+    )
+
+    pages = tmp_path / "pages"
+    layout = tmp_path / "layout"
+    write_pages_parquet(str(pages), 3000, seed=5, shard_rows=750)
+    ingest_pages(str(pages), str(layout), n_groups=3,
+                 target_rows_per_file=300, sort_by="z2")
+
+    files = sorted(glob.glob(os.path.join(str(layout), "group=*", "*.parquet")))
+    cols = ["z2", "url", "lon", "lat"]
+    ds = ray.data.read_parquet(files, columns=cols)
+
+    # byte-equality needs a total order: assert the keys are unique here
+    z2 = ds.to_pandas()["z2"]
+    assert z2.is_unique
+
+    p_sorted = tmp_path / "merge.arrow"
+    p_shuffle = tmp_path / "sort.arrow"
+    n1 = write_arrow_ipc_sorted(str(layout), str(p_sorted), sort_col="z2",
+                                columns=cols, batch_rows=500)
+    n2 = write_arrow_ipc(ds.sort("z2"), str(p_shuffle), batch_rows=500)
+    # extract drops pages without geotags, so the layout holds < 3000
+    assert n1 == n2 == len(z2) > 2000
+    assert p_sorted.read_bytes() == p_shuffle.read_bytes()
+
+    # merged stream really is globally nondecreasing in z2
+    last = -1
+    for b in iter_sorted_layout_batches(str(layout), "z2", cols, 256):
+        k = b["z2"].to_numpy(zero_copy_only=False)
+        assert (np.diff(k) >= 0).all()
+        assert k[0] >= last
+        last = int(k[-1])
