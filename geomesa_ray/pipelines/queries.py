@@ -740,6 +740,13 @@ def q_reproject_conic(sf_dir: str) -> ray.data.Dataset:
     proj = Reproject("EPSG:4326", "EPSG:5070", out_x="ax", out_y="ay")
 
     def cells(batch: pa.Table) -> pa.Table:
+        # exclude the central meridian (lon == lon_0 == -96.0 exactly —
+        # the derived lons are exact 0.01° lattice values, so the filter
+        # is bit-identical in SQL): those points project to easting
+        # exactly x_0 = 0.0, which sits ON a cell edge by construction
+        # and would trip the hash-safety guard below at any data scale.
+        lon_in = batch["lon"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(lon_in != -96.0))
         batch = proj(batch)
         x = batch["ax"].to_numpy(zero_copy_only=False)
         y = batch["ay"].to_numpy(zero_copy_only=False)
@@ -873,6 +880,7 @@ proj AS (
     )) / {repr(float(n))} AS rho,
     {repr(float(n))} * (RADIANS(lon) - {repr(lon0)}) AS theta
   FROM derived
+  WHERE lon <> -96.0  -- central meridian: easting exactly on a cell edge
 ),
 xy AS (
   SELECT rho * SIN(theta) + {repr(float(p['x_0']))} AS ax,
