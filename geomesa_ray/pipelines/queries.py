@@ -1577,6 +1577,68 @@ def q_latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_STREAM_WIN_S = 86_400               # 1-day tumbling windows
+_STREAM_LATE_US = 7 * 86_400_000_000  # 7-day allowed lateness
+
+
+def q_stream_window_counts(sf_dir: str) -> pa.Table:
+    """Streaming windowed aggregate over the checkpointed micro-batch
+    consumer (state/streaming.StreamingWindow, the KafkaDataStore
+    event-time-expiry analog): the events table replays as 4 deterministic
+    segments (``event_id % 4``, polled in order); each poll advances the
+    event-time watermark to the consumed max ts − 7 days, dropping older
+    events. Final per-(1-day window, event_type) counts hash-match the
+    SQL mirror of the same watermark rule (all-integer µs arithmetic)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def build(out: str) -> None:
+        from geomesa_ray.state.streaming import StreamingWindow
+
+        topic = os.path.join(out, "topic")
+        state = os.path.join(out, "state")
+        os.makedirs(topic, exist_ok=True)
+        ds = _read_events(sf_dir, ["event_id", "ts", "event_type"])
+        sw = StreamingWindow(
+            topic, state, ts_col="ts", key_col="event_type",
+            window_s=_STREAM_WIN_S,
+            allowed_lateness_s=_STREAM_LATE_US // 1_000_000,
+        )
+        for k in range(4):
+            seg = ds.map_batches(
+                lambda b, k=k: b.filter(
+                    pa.array(
+                        b["event_id"].to_numpy(zero_copy_only=False) % 4 == k
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            # stream-write the segment (one file = one offset; row-group
+            # per batch, never a driver concat of the table)
+            path = os.path.join(topic, f"seg-{k:03d}.parquet")
+            writer = None
+            for b in seg.iter_batches(batch_size=20_000, batch_format="pyarrow"):
+                if writer is None:
+                    writer = pq.ParquetWriter(path, b.schema)
+                writer.write_table(b)
+            if writer is not None:
+                writer.close()
+            sw.poll()  # one poll per segment: the watermark advances 4×
+        counts = sw.counts()
+        counts.write_parquet(os.path.join(out, "counts"))
+
+    layout = _cached_layout("stream_win", sf_dir, build)
+    tbl = pa.concat_tables(
+        ray.data.read_parquet(os.path.join(layout, "counts")).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    return tbl.select(["window_start_us", "event_type", "n_events"]).sort_by(
+        [("window_start_us", "ascending"), ("event_type", "ascending")]
+    )
+
+
 def q_line_dedup(sf_dir: str) -> ray.data.Dataset:
     """Corpus-wide line-level (CCNet-style) dedup. The synthetic docs are
     single-line, so the query derives its line structure deterministically:
@@ -1925,6 +1987,7 @@ QUERIES = {
     "proximity_join": q_proximity_join,
     "semi_join": q_semi_join,
     "latest_event_per_user": q_latest_event_per_user,
+    "stream_window_counts": q_stream_window_counts,
     "bbox_scan": q_bbox_scan,
     "bbox_time_scan": q_bbox_time_scan,
     "attr_filter": q_attr_filter,
@@ -2296,6 +2359,30 @@ SELECT event_id, 6378137.0 * RADIANS(lon) AS mx FROM derived
 """
 
 ORACLE_SQL["reproject_conic"] = _reproject_conic_oracle_sql()
+
+# StreamingWindow replay: segment s = event_id % 4 polled in order, so the
+# watermark before segment s is max ts over segments < s minus lateness;
+# an event is dropped iff its ts is below that watermark. All-integer µs
+# arithmetic, mirrored verbatim (see q_stream_window_counts).
+ORACLE_SQL["stream_window_counts"] = f"""
+WITH seg AS (
+  SELECT event_id, ts, event_type, event_id % 4 AS s FROM events
+),
+keep AS (
+  SELECT * FROM (
+    SELECT *,
+           (SELECT MAX(epoch_us(e2.ts)) FROM seg e2 WHERE e2.s < seg1.s)
+             AS prior_hi
+    FROM seg seg1
+  )
+  WHERE prior_hi IS NULL OR epoch_us(ts) >= prior_hi - {_STREAM_LATE_US}
+)
+SELECT (epoch_us(ts) // {_STREAM_WIN_S * 1_000_000})
+         * {_STREAM_WIN_S * 1_000_000} AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events
+FROM keep GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 # UK-window row set + per-row round-trip contract flag (the Krüger/Helmert
 # transcendentals aren't bit-mirrorable in SQL; see q_reproject_osgb)

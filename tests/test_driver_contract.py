@@ -54,6 +54,7 @@ SUBSET = [
     "ann_ivf_pq_topk",
     "top_ngram_stats",
     "reproject_osgb",
+    "stream_window_counts",
 ]
 
 
