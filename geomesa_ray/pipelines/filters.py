@@ -6,8 +6,10 @@ clip to world, empty → whole world) and `extractIntervals` (:146-169 with
 typed bounds And=intersect / Or=union), feeding FilterSplitter's
 primary/secondary split (planning/FilterSplitter.scala:25-121).
 
-Our AST is explicit (no CQL parser): predicate leaves are BBox / GeomPredicate
-/ During / AttrEq / AttrRange; And / Or combine them. ``plan`` extracts the
+The AST is explicit: predicate leaves are BBox / GeomPredicate / During /
+AttrEq / AttrRange / AttrCmp / AttrLike / AttrIn; And / Or / Not combine
+them (an (E)CQL string front end lives in :mod:`geomesa_ray.pipelines.cql`
+— ``parse_ecql`` produces these trees). ``plan`` extracts the
 index-drivable parts (spatial extents as a list of OR'd bboxes; time as a
 list of OR'd intervals) plus a residual callable evaluated per batch — the
 same primary/secondary contract the reference's planner produces.
@@ -64,6 +66,38 @@ class AttrRange(Filter):
     column: str
     lo: object = None
     hi: object = None  # inclusive bounds; None = unbounded
+
+
+@dataclass(frozen=True)
+class AttrCmp(Filter):
+    """Single comparison with explicit operator (CQL <, <=, >, >=, <>)."""
+
+    column: str
+    op: str  # one of < <= > >= <> =
+    value: object
+
+
+@dataclass(frozen=True)
+class AttrLike(Filter):
+    """CQL LIKE: ``%`` = any run, ``_`` = any single char."""
+
+    column: str
+    pattern: str
+
+
+@dataclass(frozen=True)
+class AttrIn(Filter):
+    column: str
+    values: tuple
+
+    def __init__(self, column, values):
+        object.__setattr__(self, "column", column)
+        object.__setattr__(self, "values", tuple(values))
+
+
+@dataclass(frozen=True)
+class Not(Filter):
+    part: Filter
 
 
 @dataclass(frozen=True)
@@ -202,6 +236,33 @@ def evaluate(f: Filter, batch: pa.Table, lon_col="lon", lat_col="lat",
                 pc.less_equal(batch[f.column], f.hi), False
             ).to_numpy(zero_copy_only=False)
         return mask
+    if isinstance(f, AttrCmp):
+        ops = {
+            "<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+            ">=": pc.greater_equal, "=": pc.equal, "<>": pc.not_equal,
+        }
+        return pc.fill_null(ops[f.op](batch[f.column], f.value), False).to_numpy(
+            zero_copy_only=False
+        )
+    if isinstance(f, AttrLike):
+        import re
+
+        # CQL wildcards → anchored regex: % = any run, _ = any char
+        rx = "^" + "".join(
+            ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+            for ch in f.pattern
+        ) + "$"
+        return pc.fill_null(
+            pc.match_substring_regex(batch[f.column].cast(pa.string()), rx),
+            False,
+        ).to_numpy(zero_copy_only=False)
+    if isinstance(f, AttrIn):
+        return pc.fill_null(
+            pc.is_in(batch[f.column], value_set=pa.array(list(f.values))),
+            False,
+        ).to_numpy(zero_copy_only=False)
+    if isinstance(f, Not):
+        return ~evaluate(f.part, batch, lon_col, lat_col, ts_col)
     if isinstance(f, And):
         mask = np.ones(len(batch), dtype=bool)
         for p in f.parts:

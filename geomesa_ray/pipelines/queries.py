@@ -686,6 +686,37 @@ def q_filter_scan(sf_dir: str) -> pa.Table:
     )
 
 
+_CQL = (
+    f"BBOX(geom, {FILTER_BBOX[0]}, {FILTER_BBOX[1]}, "
+    f"{FILTER_BBOX[2]}, {FILTER_BBOX[3]}) "
+    "AND warc_ts DURING 2024-01-08T00:00:00Z/2024-01-15T00:00:00Z "
+    "AND (event_type IN ('click', 'view') OR NOT value <= 150.0) "
+    "AND url LIKE '%1_'"
+)
+
+
+def q_cql_scan(sf_dir: str) -> pa.Table:
+    """The reference's user-facing query syntax end-to-end: an (E)CQL
+    string (pipelines/cql.py, from-scratch parser per the public OGC
+    CQL / GeoTools ECQL grammar — the reference routes every query string
+    through ECQL into FilterHelper, geomesa-filter/.../FilterHelper.scala)
+    parsed into the filter algebra, split by the planner into index
+    extents + exact residual, and run over the indexed layout. Exercises
+    BBOX, DURING, IN, NOT, comparison, and LIKE leaves; the oracle
+    mirrors each leaf verbatim in SQL."""
+    from geomesa_ray.pipelines.cql import parse_ecql
+    from geomesa_ray.pipelines.filters import scan_with_filter
+
+    layout = _indexed_events_layout(sf_dir)
+    out = scan_with_filter(layout, parse_ecql(_CQL)).to_pandas()
+    if "event_id" not in out.columns:  # empty result loses the schema
+        return pa.table({"event_id": pa.array([], pa.int64())})
+    out = out.sort_values("event_id")
+    return pa.table(
+        {"event_id": pa.array(out["event_id"].to_numpy().astype(np.int64), pa.int64())}
+    )
+
+
 def q_merged_view_counts(sf_dir: str) -> ray.data.Dataset:
     """Merged store view (MergedDataStoreView analog): two per-type stores
     unioned, then counted per type."""
@@ -1988,6 +2019,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "latest_event_per_user": q_latest_event_per_user,
     "stream_window_counts": q_stream_window_counts,
+    "cql_scan": q_cql_scan,
     "bbox_scan": q_bbox_scan,
     "bbox_time_scan": q_bbox_time_scan,
     "attr_filter": q_attr_filter,
@@ -2390,6 +2422,20 @@ ORACLE_SQL["reproject_osgb"] = f"""
 WITH {_DERIVE_SQL.strip()}
 SELECT event_id, CAST(1 AS BIGINT) AS ok FROM derived
 WHERE lon >= -7.0 AND lon <= 2.0 AND lat >= 50.0 AND lat <= 59.0
+"""
+
+# every CQL leaf of _CQL mirrored verbatim; url in the layout is
+# str(event_id), so LIKE mirrors over CAST(event_id AS VARCHAR). The
+# events table carries no NULLs, so NOT is two-valued in both engines.
+ORACLE_SQL["cql_scan"] = f"""
+WITH {_DERIVE_SQL.strip()}
+SELECT event_id FROM derived
+WHERE lon >= {FILTER_BBOX[0]} AND lon <= {FILTER_BBOX[2]}
+  AND lat >= {FILTER_BBOX[1]} AND lat <= {FILTER_BBOX[3]}
+  AND EPOCH_MS(ts) >= {FILTER_TS[0]} AND EPOCH_MS(ts) < {FILTER_TS[1]}
+  AND (event_type IN ('click', 'view') OR NOT (value <= 150.0))
+  AND CAST(event_id AS VARCHAR) LIKE '%1_'
+ORDER BY event_id
 """
 
 ORACLE_SQL["filter_scan"] = f"""

@@ -1,0 +1,123 @@
+"""(E)CQL parser → filter algebra: grammar coverage, evaluation parity
+with hand-built trees, planner extraction, and loud error modes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.pipelines.cql import CqlParseError, parse_ecql
+from geomesa_ray.pipelines.filters import (
+    And,
+    AttrCmp,
+    AttrEq,
+    AttrIn,
+    AttrLike,
+    BBox,
+    During,
+    GeomPredicate,
+    Not,
+    Or,
+    evaluate,
+    extract_bboxes,
+    extract_intervals,
+    plan,
+)
+
+
+def test_parse_composite_matches_hand_tree():
+    f = parse_ecql(
+        "BBOX(geom, -10, 40, 30, 60) AND dtg DURING "
+        "2024-01-05T00:00:00Z/2024-01-12T00:00:00Z AND event_type = 'click'"
+    )
+    assert f == And(
+        BBox(-10.0, 40.0, 30.0, 60.0),
+        During(1704412800000, 1705017600000),
+        AttrEq("event_type", "click"),
+    )
+
+
+def test_parse_precedence_and_grouping():
+    f = parse_ecql("a = 1 OR b = 2 AND c = 3")
+    # AND binds tighter than OR
+    assert f == Or(AttrEq("a", 1), And(AttrEq("b", 2), AttrEq("c", 3)))
+    g = parse_ecql("(a = 1 OR b = 2) AND c = 3")
+    assert g == And(Or(AttrEq("a", 1), AttrEq("b", 2)), AttrEq("c", 3))
+
+
+def test_parse_between_in_like_not():
+    assert parse_ecql("v BETWEEN 10 AND 20") == And(
+        AttrCmp("v", ">=", 10), AttrCmp("v", "<=", 20)
+    )
+    assert parse_ecql("t IN ('a', 'b''c')") == AttrIn("t", ("a", "b'c"))
+    assert parse_ecql("u LIKE 'x%_'") == AttrLike("u", "x%_")
+    assert parse_ecql("NOT v > 3") == Not(AttrCmp("v", ">", 3))
+
+
+def test_parse_intersects_wkt_and_temporal_edges():
+    f = parse_ecql("INTERSECTS(geom, POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))")
+    assert isinstance(f, GeomPredicate)
+    assert f.geometry.bounds == (0.0, 0.0, 4.0, 4.0)
+    after = parse_ecql("dtg AFTER 2024-01-15T12:00:00Z")
+    assert after.lo_ms == 1705320000001  # strictly after
+    before = parse_ecql("dtg BEFORE 2024-01-02")
+    assert before.hi_ms == 1704153600000  # exclusive upper
+
+
+def test_parsed_tree_evaluates_like_sql_semantics():
+    batch = pa.table(
+        {
+            "lon": pa.array([0.0, 20.0, 50.0], pa.float64()),
+            "lat": pa.array([50.0, 50.0, 50.0], pa.float64()),
+            "event_type": pa.array(["click", "view", "error"], pa.string()),
+            "value": pa.array([5.0, 200.0, 100.0], pa.float64()),
+            "name": pa.array(["ab1x", "zz19", "none"], pa.string()),
+        }
+    )
+    f = parse_ecql(
+        "BBOX(geom, -10, 40, 30, 60) AND "
+        "(event_type IN ('click','view') OR NOT value <= 150.0) AND "
+        "name LIKE '%1_'"
+    )
+    mask = evaluate(f, batch)
+    # row0: in bbox, click, name ab1x matches %1_ → True
+    # row1: in bbox, view, zz19 matches %1_ → True
+    # row2: lon 50 outside bbox → False
+    assert mask.tolist() == [True, True, False]
+
+
+def test_planner_extracts_from_parsed_tree():
+    f = parse_ecql(
+        "BBOX(geom, -10, 40, 30, 60) AND dtg DURING "
+        "2024-01-05T00:00:00Z/2024-01-12T00:00:00Z AND NOT a = 1"
+    )
+    fp = plan(f)
+    assert fp.bboxes == [(-10.0, 40.0, 30.0, 60.0)]
+    assert fp.intervals == [(1704412800000, 1705017600000)]
+    # NOT arms never tighten extraction (conservative over-covering)
+    assert extract_bboxes(parse_ecql("NOT BBOX(geom, 0, 0, 1, 1)")) == []
+    assert extract_intervals(
+        parse_ecql("NOT dtg DURING 2024-01-01T00:00:00Z/2024-01-02T00:00:00Z")
+    ) == []
+
+
+@pytest.mark.parametrize("bad", [
+    "BBOX(geom, 1, 2, 3)",
+    "a = ",
+    "a == 1",
+    "INTERSECTS(geom, POLYGON((0 0, 1 1)",
+    "a = 1 extra",
+    "dtg DURING notadate/2024-01-02",
+    "u LIKE unquoted",
+])
+def test_parse_errors_are_loud(bad):
+    with pytest.raises(CqlParseError):
+        parse_ecql(bad)
+
+
+def test_not_and_cmp_null_semantics_documented():
+    """Our NOT complements the matched set (NULL attr rows PASS a NOT),
+    which diverges from SQL three-valued logic — assert the behavior so
+    a silent change breaks the build."""
+    batch = pa.table({"v": pa.array([1.0, None], pa.float64())})
+    assert evaluate(parse_ecql("v <= 5"), batch).tolist() == [True, False]
+    assert evaluate(parse_ecql("NOT v <= 5"), batch).tolist() == [False, True]

@@ -55,6 +55,7 @@ SUBSET = [
     "top_ngram_stats",
     "reproject_osgb",
     "stream_window_counts",
+    "cql_scan",
 ]
 
 
