@@ -48,6 +48,8 @@ HEADLINE = [
     "pricing_summary",
     "token_counts",
     "reproject_conic",
+    "reproject_osgb",
+    "cql_scan",
     "line_dedup",
     "pii_redact",
     "ann_pq_topk",

@@ -52,6 +52,17 @@ def cmd_ingest(args) -> dict:
 def cmd_scan(args) -> dict:
     from geomesa_ray.pipelines.scan import Query, scan
 
+    if getattr(args, "cql", None):
+        # the reference's query syntax: parse the (E)CQL string and run it
+        # through the planner (extents + exact residual)
+        if args.bbox or args.interval:
+            raise SystemExit("--cql is exclusive with --bbox/--interval")
+        from geomesa_ray.pipelines.cql import parse_ecql
+        from geomesa_ray.pipelines.filters import scan_with_filter
+
+        ds = scan_with_filter(args.index, parse_ecql(args.cql))
+        ds.write_parquet(args.out)
+        return {"rows": ds.count()}
     bbox = tuple(float(v) for v in args.bbox.split(",")) if args.bbox else None
     interval = None
     if args.interval:
@@ -226,6 +237,10 @@ def main(argv=None) -> int:
     p.add_argument("--bbox", default=None, help="xmin,ymin,xmax,ymax")
     p.add_argument("--interval", default=None, help="ISO/ISO")
     p.add_argument("--loose", action="store_true")
+    p.add_argument("--cql", default=None,
+                   help="(E)CQL filter string, e.g. \"BBOX(geom,-10,40,30,60)"
+                        " AND event_type = 'click'\" (exclusive with"
+                        " --bbox/--interval)")
     p.set_defaults(fn=cmd_scan)
 
     p = sub.add_parser("join")

@@ -327,6 +327,18 @@ _TM_CRS: dict[str, dict] = {
         proj="tmerc", lat_0=0.0, lon_0=147.0, k=0.9996,
         x_0=500000.0, y_0=10000000.0, a=_GRS80_A, f=1.0 / 298.257222101,
     ),
+    # TM65 / Irish Grid and TM75 / Irish Grid (Airy Modified 1849; both
+    # datums ship the same published OSi/OSNI 7-parameter set)
+    "EPSG:29902": dict(
+        proj="tmerc", lat_0=53.5, lon_0=-8.0, k=1.000035,
+        x_0=200000.0, y_0=250000.0, a=6377340.189, f=1.0 / 299.3249646,
+        towgs84=(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15),
+    ),
+    "EPSG:29903": dict(
+        proj="tmerc", lat_0=53.5, lon_0=-8.0, k=1.000035,
+        x_0=200000.0, y_0=250000.0, a=6377340.189, f=1.0 / 299.3249646,
+        towgs84=(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15),
+    ),
 }
 
 

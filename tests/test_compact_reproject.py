@@ -71,7 +71,7 @@ def test_reprojection_roundtrip():
     out = Reproject("EPSG:4326", "EPSG:3857", out_x="mx", out_y="my")(batch)
     assert out["mx"].to_numpy().tolist() == x.tolist()
     with pytest.raises(NotImplementedError):
-        Reproject("EPSG:4326", "EPSG:29902")  # Irish grid: not in the tables
+        Reproject("EPSG:4326", "EPSG:21781")  # Swiss oblique: not tabled
 
 
 def test_utm_transverse_mercator():
@@ -356,6 +356,7 @@ def test_etrs89_utm_matches_wgs84_utm_to_sub_mm():
     ("EPSG:2193", (166.5, 178.5), (-47.0, -34.5)),
     ("EPSG:25833", (12.0, 18.0), (35.0, 70.0)),
     ("EPSG:28355", (144.0, 150.0), (-43.5, -10.0)),
+    ("EPSG:29902", (-10.7, -5.4), (51.3, 55.5)),
 ])
 def test_national_grid_full_roundtrip_1e9(code, lons, lats):
     """4326 → grid → 4326 (incl. the Helmert datum hop for 27700) must

@@ -85,6 +85,9 @@ def test_cli_end_to_end(tmp_path):
     r2 = run("scan", "--index", str(idx), "--out", str(tmp_path / "scan_out"),
              "--bbox=-80,30,10,55")
     assert r2["rows"] > 0
+    r2c = run("scan", "--index", str(idx), "--out", str(tmp_path / "cqlscan"),
+              "--cql", "BBOX(geom, -80, 30, 10, 55)")
+    assert r2c["rows"] == r2["rows"]  # CQL front end ≡ --bbox path
     r3 = run("join", "--index", str(idx), "--polygons", str(polys),
              "--out", str(tmp_path / "pairs"))
     assert r3["pairs"] > 0
