@@ -558,3 +558,29 @@ def jpeg_encode(
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def jpeg_size(data: bytes) -> tuple[int, int]:
+    """(height, width) from the first SOF marker — a header probe that
+    works for ANY SOF type (progressive included), unlike the baseline
+    decoder above."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(data):
+            break
+        seglen = struct.unpack(">H", data[i + 2:i + 4])[0]
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", data[i + 5:i + 9])
+            return h, w
+        i += 2 + seglen
+    raise ValueError("no SOF marker found")
