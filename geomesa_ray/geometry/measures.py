@@ -239,3 +239,43 @@ def _elem_closest(ea, eb):
         if d < best:
             best, best_pt = d, p
     return best, best_pt
+
+
+def points_within_m(px, py, g: Geometry, radius_m: float) -> np.ndarray:
+    """Vectorized geodesic DWithin: mask of points within ``radius_m``
+    meters of geometry ``g`` (CQL DWITHIN / ProximitySearchProcess
+    semantics). Point elements use exact haversine; segments use a local
+    equirectangular frame anchored at the segment start (lon wrapped to
+    ±180°, scaled by cos(lat)) — relative error ≲1e-3 for segment spans
+    under a few degrees. Points inside a polygonal ``g`` are within at
+    any radius."""
+    from geomesa_ray.geometry.predicates import points_in_polygon
+
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    mask = np.zeros(len(px), dtype=bool)
+    if getattr(g, "geom_type", "") in ("Polygon", "MultiPolygon"):
+        mask |= points_in_polygon(px, py, g, include_boundary=True)
+    m_per_deg = MEAN_EARTH_RADIUS * np.pi / 180.0
+    for kind, data in _all_segments_or_points(g):
+        todo = ~mask
+        if not todo.any():
+            break
+        if kind == "pt":
+            x, y = data
+            d = haversine_m(px[todo], py[todo], x, y)
+        else:
+            (x1, y1), (x2, y2) = data
+            scale = np.cos(np.radians((y1 + y2) / 2.0))
+            ax = (((x2 - x1) + 180.0) % 360.0 - 180.0) * scale * m_per_deg
+            ay = (y2 - y1) * m_per_deg
+            bx = (((px[todo] - x1) + 180.0) % 360.0 - 180.0) * scale * m_per_deg
+            by = (py[todo] - y1) * m_per_deg
+            seg2 = ax * ax + ay * ay
+            t = np.clip((bx * ax + by * ay) / seg2, 0.0, 1.0) if seg2 > 0 \
+                else np.zeros(int(todo.sum()))
+            d = np.hypot(bx - t * ax, by - t * ay)
+        sub = mask[todo]
+        sub |= d <= radius_m
+        mask[todo] = sub
+    return mask

@@ -73,8 +73,13 @@ _TOKEN_RX = re.compile(
 
 _KEYWORDS = {
     "AND", "OR", "NOT", "BBOX", "INTERSECTS", "CONTAINS", "WITHIN",
-    "DURING", "AFTER", "BEFORE", "BETWEEN", "IN", "LIKE",
+    "DWITHIN", "BEYOND", "DURING", "AFTER", "BEFORE", "BETWEEN", "IN",
+    "LIKE",
 }
+
+_UNIT_M = {"METERS": 1.0, "METRE": 1.0, "METRES": 1.0, "M": 1.0,
+           "KILOMETERS": 1000.0, "KM": 1000.0, "FEET": 0.3048,
+           "STATUTE_MILES": 1609.344, "NAUTICAL_MILES": 1852.0}
 
 
 def _tokenize(text: str) -> list[tuple[str, object, int]]:
@@ -221,6 +226,33 @@ class _Parser:
                 vals.append(float(vv))
             self._expect("punct", ")")
             return BBox(*vals)
+        if k == "kw" and v in ("DWITHIN", "BEYOND"):
+            from geomesa_ray.geometry.wkt import from_wkt
+            from geomesa_ray.pipelines.filters import DWithin
+
+            self._expect("punct", "(")
+            self._expect_geom_attr()
+            self._expect("punct", ",")
+            wkt = self._wkt()
+            self._expect("punct", ",")
+            dk, dv, dp = self._next()
+            if dk != "num":
+                raise CqlParseError(f"expected distance at {dp}, got {dv!r}")
+            self._expect("punct", ",")
+            uk, uv, up = self._next()
+            unit = _UNIT_M.get(str(uv).upper()) if uk == "word" else None
+            if unit is None:
+                raise CqlParseError(
+                    f"unknown distance unit at {up}: {uv!r} "
+                    f"(one of {sorted(_UNIT_M)})"
+                )
+            self._expect("punct", ")")
+            try:
+                geom = from_wkt(wkt)
+            except Exception as e:
+                raise CqlParseError(f"bad WKT at {pos}: {e}") from None
+            dw = DWithin(geom, float(dv) * unit)
+            return dw if v == "DWITHIN" else Not(dw)
         if k == "kw" and v in ("INTERSECTS", "CONTAINS", "WITHIN"):
             from geomesa_ray.geometry.wkt import from_wkt
 

@@ -96,6 +96,19 @@ class AttrIn(Filter):
 
 
 @dataclass(frozen=True)
+class DWithin(Filter):
+    """Geodesic distance predicate: point rows within ``radius_m`` meters
+    of ``geometry`` (CQL DWITHIN; reference ProximitySearchProcess /
+    GeometricDistanceFunctions semantics). Point geometries use the exact
+    vectorized haversine; line/polygon elements use a per-segment local
+    equirectangular frame (relative error ≲1e-3 for segment spans under a
+    few degrees — document radii near a boundary accordingly)."""
+
+    geometry: Geometry
+    radius_m: float
+
+
+@dataclass(frozen=True)
 class Not(Filter):
     part: Filter
 
@@ -138,6 +151,18 @@ def extract_bboxes(f: Filter) -> list[tuple]:
     if isinstance(f, GeomPredicate):
         clipped = _bbox_intersect(f.geometry.bounds, WORLD)
         return [clipped] if clipped else []
+    if isinstance(f, DWithin):
+        # geometry bounds expanded by the radius (pole-safe, lon widened
+        # by 1/cos at the extreme latitude — strictly over-covering, the
+        # exact geodesic residual decides membership)
+        xmin, ymin, xmax, ymax = f.geometry.bounds
+        dlat = f.radius_m / 111_000.0
+        edge = min(max(abs(ymin), abs(ymax)) + dlat, 89.9)
+        dlon = f.radius_m / (111_000.0 * max(np.cos(np.radians(edge)), 1e-6))
+        clipped = _bbox_intersect(
+            (xmin - dlon, ymin - dlat, xmax + dlon, ymax + dlat), WORLD
+        )
+        return [clipped] if clipped else []
     if isinstance(f, And):
         lists = [extract_bboxes(p) for p in f.parts]
         # [] means UNBOUNDED (e.g. an Or with a non-spatial arm), so an
@@ -161,7 +186,7 @@ def extract_bboxes(f: Filter) -> list[tuple]:
 
 
 def _is_spatial(f: Filter) -> bool:
-    if isinstance(f, (BBox, GeomPredicate)):
+    if isinstance(f, (BBox, GeomPredicate, DWithin)):
         return True
     if isinstance(f, (And, Or)):
         return any(_is_spatial(p) for p in f.parts)
@@ -236,6 +261,12 @@ def evaluate(f: Filter, batch: pa.Table, lon_col="lon", lat_col="lat",
                 pc.less_equal(batch[f.column], f.hi), False
             ).to_numpy(zero_copy_only=False)
         return mask
+    if isinstance(f, DWithin):
+        from geomesa_ray.geometry.measures import points_within_m
+
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        return points_within_m(lon, lat, f.geometry, f.radius_m)
     if isinstance(f, AttrCmp):
         ops = {
             "<": pc.less, "<=": pc.less_equal, ">": pc.greater,

@@ -717,6 +717,48 @@ def q_cql_scan(sf_dir: str) -> pa.Table:
     )
 
 
+_DWITHIN_CENTER = (2.35, 48.85)   # Paris
+_DWITHIN_M = 300_000.0
+
+
+def q_dwithin_scan(sf_dir: str) -> ray.data.Dataset:
+    """CQL DWITHIN through the parser + planner: events within 300 km
+    (geodesic haversine) of a point, bbox-pruned then exactly filtered.
+    Hash-safe: the oracle mirrors the haversine op-for-op (same spherical
+    radius constant) and a Ray-side guard asserts no row sits within 1 m
+    of the radius boundary (ulp-level libm divergence is ~1e-9 m).
+    Reference analog: ProximitySearchProcess / GeometricDistanceFunctions
+    + ECQL DWITHIN."""
+    from geomesa_ray.geometry.measures import haversine_m
+    from geomesa_ray.pipelines.cql import parse_ecql
+    from geomesa_ray.pipelines.filters import evaluate
+
+    cql = (
+        f"DWITHIN(geom, POINT ({_DWITHIN_CENTER[0]} {_DWITHIN_CENTER[1]}), "
+        f"{_DWITHIN_M}, meters)"
+    )
+    f = parse_ecql(cql)
+    ds = events_points(sf_dir)
+
+    def run(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        if len(lon):
+            d = haversine_m(lon, lat, *_DWITHIN_CENTER)
+            near = np.abs(d - _DWITHIN_M)
+            if float(near.min()) < 1.0:
+                raise ValueError(
+                    f"dwithin_scan: point within {float(near.min()):.3e} m "
+                    "of the radius boundary — not hash-safe for this input"
+                )
+        mask = evaluate(f, batch, ts_col="ts")
+        return pa.table(
+            {"event_id": batch["event_id"].filter(pa.array(mask))}
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 def q_merged_view_counts(sf_dir: str) -> ray.data.Dataset:
     """Merged store view (MergedDataStoreView analog): two per-type stores
     unioned, then counted per type."""
@@ -2020,6 +2062,7 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "stream_window_counts": q_stream_window_counts,
     "cql_scan": q_cql_scan,
+    "dwithin_scan": q_dwithin_scan,
     "bbox_scan": q_bbox_scan,
     "bbox_time_scan": q_bbox_time_scan,
     "attr_filter": q_attr_filter,
@@ -2423,6 +2466,19 @@ WITH {_DERIVE_SQL.strip()}
 SELECT event_id, CAST(1 AS BIGINT) AS ok FROM derived
 WHERE lon >= -7.0 AND lon <= 2.0 AND lat >= 50.0 AND lat <= 59.0
 """
+
+# haversine mirrored op-for-op (radians → sin²(Δφ/2)+cosφ₁cosφ₂sin²(Δλ/2)
+# → 2R·asin(min(1,√h)) with the identical IUGG R1 constant); the Ray side
+# guards a ≥1 m boundary margin so libm ulp divergence cannot flip a row
+ORACLE_SQL["dwithin_scan"] = f"""
+WITH {{derive}}
+SELECT event_id FROM derived
+WHERE 2 * 6371008.7714 * ASIN(LEAST(1.0, SQRT(
+    POW(SIN((RADIANS(lat) - RADIANS({_DWITHIN_CENTER[1]})) / 2), 2)
+    + COS(RADIANS({_DWITHIN_CENTER[1]})) * COS(RADIANS(lat))
+      * POW(SIN((RADIANS(lon) - RADIANS({_DWITHIN_CENTER[0]})) / 2), 2)
+))) <= {_DWITHIN_M}
+""".replace("{derive}", _DERIVE_SQL.strip())
 
 # every CQL leaf of _CQL mirrored verbatim; url in the layout is
 # str(event_id), so LIKE mirrors over CAST(event_id AS VARCHAR). The

@@ -121,3 +121,57 @@ def test_not_and_cmp_null_semantics_documented():
     batch = pa.table({"v": pa.array([1.0, None], pa.float64())})
     assert evaluate(parse_ecql("v <= 5"), batch).tolist() == [True, False]
     assert evaluate(parse_ecql("NOT v <= 5"), batch).tolist() == [False, True]
+
+
+def test_dwithin_beyond_parse_and_eval():
+    from geomesa_ray.pipelines.filters import DWithin
+
+    f = parse_ecql("DWITHIN(geom, POINT (2.35 48.85), 300, kilometers)")
+    assert isinstance(f, DWithin) and f.radius_m == 300_000.0
+    g = parse_ecql("BEYOND(geom, POINT (2.35 48.85), 300, kilometers)")
+    assert g == Not(f)
+    batch = pa.table({
+        "lon": pa.array([2.35, 6.0, 30.0], pa.float64()),
+        "lat": pa.array([48.85, 49.0, 49.0], pa.float64()),
+    })
+    assert evaluate(f, batch).tolist() == [True, True, False]
+    assert evaluate(g, batch).tolist() == [False, False, True]
+    with pytest.raises(CqlParseError, match="unit"):
+        parse_ecql("DWITHIN(geom, POINT (0 0), 10, furlongs)")
+
+
+def test_dwithin_extraction_overcovers_geodesic_disc():
+    from geomesa_ray.geometry.measures import haversine_m
+
+    f = parse_ecql("DWITHIN(geom, POINT (10 60), 200, kilometers)")
+    (xmin, ymin, xmax, ymax), = extract_bboxes(f)
+    # every point of the geodesic disc must fall inside the box
+    ang = np.linspace(0, 2 * np.pi, 720)
+    # crude disc boundary sample by radial search
+    for a in ang[::37]:
+        lo, hi = 0.0, 10.0
+        for _ in range(40):
+            mid = (lo + hi) / 2
+            lon = 10 + mid * np.sin(a)
+            lat = 60 + mid * np.cos(a)
+            if haversine_m(np.array([lon]), np.array([lat]), 10, 60)[0] <= 200_000:
+                lo = mid
+            else:
+                hi = mid
+        lon = 10 + lo * np.sin(a)
+        lat = 60 + lo * np.cos(a)
+        assert xmin <= lon <= xmax and ymin <= lat <= ymax
+
+
+def test_dwithin_polygon_segments():
+    from geomesa_ray.pipelines.filters import DWithin, evaluate as ev
+    from geomesa_ray.geometry.base import Polygon
+
+    poly = Polygon([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)])
+    f = DWithin(poly, 60_000.0)
+    batch = pa.table({
+        "lon": pa.array([2.0, 5.0, 4.5], pa.float64()),
+        "lat": pa.array([2.0, 2.0, 2.0], pa.float64()),
+    })
+    # inside → within; 1° out (~111 km) → no; 0.5° out (~56 km) → yes
+    assert ev(f, batch).tolist() == [True, False, True]

@@ -56,6 +56,7 @@ SUBSET = [
     "reproject_osgb",
     "stream_window_counts",
     "cql_scan",
+    "dwithin_scan",
 ]
 
 
