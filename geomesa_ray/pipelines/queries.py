@@ -756,7 +756,11 @@ def q_dwithin_scan(sf_dir: str) -> ray.data.Dataset:
             {"event_id": batch["event_id"].filter(pa.array(mask))}
         )
 
-    return ds.map_batches(run, batch_format="pyarrow")
+    out = ds.map_batches(run, batch_format="pyarrow")
+    parts = list(out.iter_batches(batch_format="pyarrow"))
+    if not parts:  # tiny tiers can filter to zero rows: keep the schema
+        return pa.table({"event_id": pa.array([], pa.int64())})
+    return pa.concat_tables(parts)
 
 
 def q_merged_view_counts(sf_dir: str) -> ray.data.Dataset:
