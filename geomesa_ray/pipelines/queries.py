@@ -1286,6 +1286,24 @@ def _read_docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
     return _read_split(sf_dir, "documents", columns)
 
 
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Concat-then-chunk sequence packing over the documents table
+    (corpus.pack_sequences: distributed ordered prefix sum — bucket
+    combiner + driver exclusive prefix + one bounded shuffle). Every
+    output value is an exact integer; the oracle mirrors the \\w+ token
+    kernel and the running sum with a SQL window."""
+    from geomesa_ray.stages.corpus import pack_sequences
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    out = pack_sequences(ds, ctx_len=2048, bucket_size=512)
+    return out.map_batches(
+        lambda b: b.drop_columns(
+            [c for c in ("__shard__",) if c in b.schema.names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.dedup import exact_dedup
 
@@ -2067,6 +2085,7 @@ QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "cql_scan": q_cql_scan,
     "dwithin_scan": q_dwithin_scan,
+    "pack_sequences": q_pack_sequences,
     "bbox_scan": q_bbox_scan,
     "bbox_time_scan": q_bbox_time_scan,
     "attr_filter": q_attr_filter,
@@ -2469,6 +2488,26 @@ ORACLE_SQL["reproject_osgb"] = f"""
 WITH {_DERIVE_SQL.strip()}
 SELECT event_id, CAST(1 AS BIGINT) AS ok FROM derived
 WHERE lon >= -7.0 AND lon <= 2.0 AND lat >= 50.0 AND lat <= 59.0
+"""
+
+# concat-then-chunk packing: the global running token sum in doc_id order
+# is a SQL window; every emitted value is an exact integer
+ORACLE_SQL["pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id, LEN(regexp_extract_all(text, '\w+')) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS start_tok FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // 2048 AS chunk_first,
+       start_tok % 2048 AS chunk_off,
+       CASE WHEN n_tokens = 0 THEN start_tok // 2048
+            ELSE (start_tok + n_tokens - 1) // 2048 END AS chunk_last
+FROM p
 """
 
 # haversine mirrored op-for-op (radians → sin²(Δφ/2)+cosφ₁cosφ₂sin²(Δλ/2)

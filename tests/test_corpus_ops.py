@@ -959,3 +959,58 @@ def test_tree_merge_final_block_fully_merged(ray_session):
     df = merged.to_pandas()
     assert len(df) == 120  # one row per key, fully merged
     assert (df["c"] == 3).all()
+
+
+def test_pack_sequences_prefix_sum_exact(ray_session):
+    """Distributed ordered prefix sum ≡ a single-threaded cumsum oracle,
+    across bucket and shard boundaries."""
+    import ray.data
+
+    from geomesa_ray.stages.corpus import pack_sequences
+    from geomesa_ray.stages.textstats import token_count
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    texts = [
+        " ".join(f"w{j}" for j in range(int(rng.integers(0, 40))))
+        for _ in range(n)
+    ]
+    ids = rng.permutation(n).astype(np.int64)  # arrival order ≠ id order
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    out = (
+        pack_sequences(ds, ctx_len=100, bucket_size=64, n_shards=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # oracle: sort by id, cumsum
+    toks = token_count(tbl["text"]).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    by_id_start = {int(i): int(s) for i, s in zip(ids[order], np.concatenate([[0], np.cumsum(toks[order])[:-1]]))}
+    assert out["start_tok"].tolist() == [by_id_start[int(i)] for i in out["doc_id"]]
+    assert (out["chunk_first"] == out["start_tok"] // 100).all()
+    assert (out["chunk_off"] == out["start_tok"] % 100).all()
+    nt = out["n_tokens"].to_numpy()
+    end = out["start_tok"].to_numpy() + nt
+    last = np.where(nt > 0, (end - 1) // 100, out["chunk_first"].to_numpy())
+    assert (out["chunk_last"].to_numpy() == last).all()
+    # total stream length conserved
+    assert end.max() == toks.sum()
+
+
+def test_pack_sequences_empty_and_zero_token_docs(ray_session):
+    import ray.data
+
+    from geomesa_ray.stages.corpus import pack_sequences
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["", "one two", "..."], pa.string()),
+    })
+    out = (
+        pack_sequences(ray.data.from_arrow(tbl), ctx_len=4, bucket_size=2)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["n_tokens"].tolist() == [0, 2, 0]
+    assert out["start_tok"].tolist() == [0, 0, 2]
+    assert out["chunk_last"].tolist() == [0, 0, 0]

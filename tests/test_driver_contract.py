@@ -57,6 +57,7 @@ SUBSET = [
     "stream_window_counts",
     "cql_scan",
     "dwithin_scan",
+    "pack_sequences",
 ]
 
 
