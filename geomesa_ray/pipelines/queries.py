@@ -1304,6 +1304,24 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_MIX_EPOCHS = {"src0": 2.0, "src1": 2.5, "src2": 0.5, "src3": 0.0}
+
+
+def q_mix_epochs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic mixture up-sampling (corpus.mix_epochs): src0 ×2,
+    src1 ×2.5, src2 ×0.5, src3 dropped, everything else ×1 — the
+    pretraining data-mixing pass. The fractional repeat rides
+    splitmix64(id) % 1000, limb-mirrored in the oracle."""
+    from geomesa_ray.stages.corpus import mix_epochs
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    out = mix_epochs(ds, _MIX_EPOCHS)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "source", "rep"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     from geomesa_ray.stages.dedup import exact_dedup
 
@@ -2086,6 +2104,7 @@ QUERIES = {
     "cql_scan": q_cql_scan,
     "dwithin_scan": q_dwithin_scan,
     "pack_sequences": q_pack_sequences,
+    "mix_epochs": q_mix_epochs,
     "bbox_scan": q_bbox_scan,
     "bbox_time_scan": q_bbox_time_scan,
     "attr_filter": q_attr_filter,
@@ -2873,6 +2892,32 @@ FROM b5
 
 
 ORACLE_SQL["split_assign"] = _split_assign_oracle_sql()
+
+
+def _mix_epochs_oracle_sql() -> str:
+    from geomesa_ray.pipelines.oracles import splitmix_ctes
+
+    base = " ".join(
+        f"WHEN '{k}' THEN {int(np.floor(v))}" for k, v in _MIX_EPOCHS.items()
+    )
+    frac = " ".join(
+        f"WHEN '{k}' THEN {int(round((v - np.floor(v)) * 1000))}"
+        for k, v in _MIX_EPOCHS.items()
+    )
+    return f"""
+WITH {splitmix_ctes("documents")},
+reps AS (
+  SELECT doc_id, source,
+         (CASE source {base} ELSE 1 END)
+         + CASE WHEN z % 1000 < (CASE source {frac} ELSE 0 END)
+                THEN 1 ELSE 0 END AS n_reps
+  FROM b5
+)
+SELECT doc_id, source, UNNEST(range(n_reps)) AS rep FROM reps
+"""
+
+
+ORACLE_SQL["mix_epochs"] = _mix_epochs_oracle_sql()
 
 # the injected mess mirrors q_normalize_text's messify exactly; both
 # engines' regexp layers are RE2, nfc_normalize matches utf8_normalize

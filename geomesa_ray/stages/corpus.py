@@ -897,3 +897,51 @@ def pack_sequences(
         .groupby("__shard__")
         .map_groups(assign, batch_format="pyarrow")
     )
+
+
+def mix_epochs(
+    ds: ray.data.Dataset,
+    epochs: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_epochs: float = 1.0,
+    out_col: str = "rep",
+) -> ray.data.Dataset:
+    """Deterministic mixture up-sampling (epoch repetition): a stratum
+    with weight ``e`` emits each row ``floor(e)`` times plus one more iff
+    ``splitmix64(id) % 1000 < round(frac(e)*1000)`` — the standard
+    pretraining data-mixing move (repeat high-value sources ~e epochs)
+    with :func:`stratified_sample`'s determinism guarantees (a row's
+    repeat count depends only on its id and stratum — never partitioning,
+    order, or corpus size). Copies carry ``out_col`` = 0..reps-1 so
+    downstream keys stay unique as (id, rep).
+
+    One stateless map_batches (np.repeat explode) — no shuffle."""
+    import pyarrow.compute as pc
+
+    if any(e < 0 or e > 1000 for e in list(epochs.values()) + [default_epochs]):
+        raise ValueError("epochs must be in [0, 1000]")
+    keys = pa.array(sorted(epochs), pa.string())
+    evals = np.array([epochs[k] for k in sorted(epochs)], dtype=np.float64)
+    base_tbl = np.floor(evals).astype(np.int64)
+    frac_tbl = np.rint((evals - base_tbl) * 1000).astype(np.int64)
+    d_base = np.int64(np.floor(default_epochs))
+    d_frac = np.int64(round((default_epochs - np.floor(default_epochs)) * 1000))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (_splitmix64(ids.astype(np.uint64)) % np.uint64(1000)).astype(np.int64)
+        idx = pc.fill_null(
+            pc.index_in(batch[key_col].cast(pa.string()), value_set=keys), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        base = np.where(idx < 0, d_base, base_tbl[np.maximum(idx, 0)])
+        frac = np.where(idx < 0, d_frac, frac_tbl[np.maximum(idx, 0)])
+        reps = base + (bucket < frac).astype(np.int64)
+        take = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        out = batch.take(pa.array(take, pa.int64()))
+        ends = np.cumsum(reps)
+        rep = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+            - np.repeat(ends - reps, reps)
+        return out.append_column(out_col, pa.array(rep, pa.int64()))
+
+    return ds.map_batches(explode, batch_format="pyarrow")

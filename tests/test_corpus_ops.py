@@ -1014,3 +1014,35 @@ def test_pack_sequences_empty_and_zero_token_docs(ray_session):
     assert out["n_tokens"].tolist() == [0, 2, 0]
     assert out["start_tok"].tolist() == [0, 0, 2]
     assert out["chunk_last"].tolist() == [0, 0, 0]
+
+
+def test_mix_epochs_deterministic_repeats(ray_session):
+    import ray.data
+
+    from geomesa_ray.stages.corpus import _splitmix64, mix_epochs
+
+    n = 400
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array([f"s{i % 4}" for i in range(n)], pa.string()),
+    })
+    epochs = {"s0": 2.0, "s1": 1.5, "s2": 0.25, "s3": 0.0}
+    out = (
+        mix_epochs(ray.data.from_arrow(tbl).repartition(5), epochs)
+        .to_pandas().sort_values(["doc_id", "rep"]).reset_index(drop=True)
+    )
+    bucket = (_splitmix64(np.arange(n).astype(np.uint64)) % np.uint64(1000)).astype(int)
+    for i in range(n):
+        e = epochs[f"s{i % 4}"]
+        expect = int(np.floor(e)) + (1 if bucket[i] < round((e % 1) * 1000) else 0)
+        got = (out["doc_id"] == i).sum()
+        assert got == expect, (i, got, expect)
+    # rep numbering 0..k-1 per doc
+    sub = out[out["doc_id"] == out[out["source"] == "s0"]["doc_id"].iloc[0]]
+    assert sub["rep"].tolist() == [0, 1]
+    # partition-invariance: same output regardless of block structure
+    out2 = (
+        mix_epochs(ray.data.from_arrow(tbl).repartition(17), epochs)
+        .to_pandas().sort_values(["doc_id", "rep"]).reset_index(drop=True)
+    )
+    assert out.equals(out2)

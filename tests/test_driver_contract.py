@@ -58,6 +58,7 @@ SUBSET = [
     "cql_scan",
     "dwithin_scan",
     "pack_sequences",
+    "mix_epochs",
 ]
 
 
