@@ -71,6 +71,7 @@ def _ensure_builtins() -> None:
         "avro": _avro.read_avro,
         "jdbc": _jdbc.read_sqlite,
         "osm": _readers.read_osm,
+        "jsonl": _readers.read_jsonl,
     }.items():
         _CONVERTERS.setdefault(k, v)
     for k, v in {

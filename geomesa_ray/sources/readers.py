@@ -700,3 +700,49 @@ def _osm_ways_distributed(
         }
     )
     return ray.data.from_arrow(tbl)
+
+
+def read_jsonl(
+    paths: str | list[str],
+    spec: str | None = None,
+    infer_sample: int = 100,
+) -> "tuple[ray.data.Dataset, str]":
+    """JSON-lines converter (geomesa-convert-json JsonConverter.scala
+    analog; jsonl is also the lingua franca of LLM-corpus interchange):
+    one JSON object per line → (Dataset typed by an SFT spec, the spec
+    used). Ray's arrow-native ``read_json`` does the distributed parse;
+    SFT inference then types string-ish columns exactly like
+    :func:`read_delimited` (timestamps get the anchored UTC-suffix strip
+    before the zoneless cast)."""
+    import pyarrow.compute as pc
+
+    raw = ray.data.read_json(paths)
+    if spec is None:
+        sample = raw.limit(infer_sample).to_pandas()
+        spec = infer_spec(
+            {c: [None if v is None else str(v) for v in sample[c]]
+             for c in sample.columns}
+        )
+    schema = parse_spec(spec)
+
+    def typed(batch: pa.Table) -> pa.Table:
+        out = {}
+        for field in schema:
+            if field.name not in batch.schema.names:
+                out[field.name] = pa.nulls(len(batch), field.type)
+                continue
+            col = batch[field.name]
+            if pa.types.is_timestamp(field.type):
+                strs = pc.replace_substring_regex(
+                    pc.cast(col, pa.string()), r"(Z|\+00:00)$", ""
+                )
+                naive = pc.cast(strs, pa.timestamp(field.type.unit))
+                out[field.name] = (
+                    pc.assume_timezone(naive, field.type.tz)
+                    if field.type.tz else naive
+                )
+            else:
+                out[field.name] = pc.cast(col, field.type)
+        return pa.table(out)
+
+    return raw.map_batches(typed, batch_format="pyarrow"), spec

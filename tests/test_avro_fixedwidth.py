@@ -371,3 +371,25 @@ def test_osm_multifile_nodes(ray_session, tmp_path):
     ).sort_by("osm_id")
     assert tbl["osm_id"].to_pylist() == [1, 2, 3, 4]
     assert tbl["lon"].to_pylist() == [2.0, 2.1, 2.2, 2.3]
+
+
+def test_read_jsonl_inferred_and_typed(ray_session, tmp_path):
+    from geomesa_ray.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "dtg": "2024-01-02T03:04:05Z", "v": 1.5}\n'
+        '{"id": 2, "name": "b", "dtg": "2024-01-03T00:00:00Z", "v": 2.5}\n'
+        '{"id": 3, "name": null, "dtg": "2024-01-04T12:00:00Z", "v": -1.0}\n'
+    )
+    ds, spec = read_jsonl(str(p))
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("id")
+    assert "dtg:Date" in spec
+    assert tbl["id"].to_pylist() == [1, 2, 3]
+    assert tbl["name"].to_pylist() == ["a", "b", None]
+    assert pa.types.is_timestamp(tbl.schema.field("dtg").type)
+    assert tbl["v"].to_pylist() == [1.5, 2.5, -1.0]
+
+    from geomesa_ray.registry import converter
+
+    assert converter("jsonl") is read_jsonl
