@@ -1304,6 +1304,18 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_chunk_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Materialized training chunks (corpus.chunk_corpus): the corpus
+    \\w+-token stream in doc_id order, space-joined and split into
+    512-token examples. Text moves exactly twice (offset shuffle +
+    per-chunk segment shuffle); the oracle is the full STRING_AGG mirror
+    so every chunk's text hash-matches byte-for-byte."""
+    from geomesa_ray.stages.corpus import chunk_corpus
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return chunk_corpus(ds, ctx_len=512, bucket_size=512)
+
+
 _MIX_EPOCHS = {"src0": 2.0, "src1": 2.5, "src2": 0.5, "src3": 0.0}
 
 
@@ -2105,6 +2117,7 @@ QUERIES = {
     "dwithin_scan": q_dwithin_scan,
     "pack_sequences": q_pack_sequences,
     "mix_epochs": q_mix_epochs,
+    "chunk_corpus": q_chunk_corpus,
     "bbox_scan": q_bbox_scan,
     "bbox_time_scan": q_bbox_time_scan,
     "attr_filter": q_attr_filter,
@@ -2918,6 +2931,23 @@ SELECT doc_id, source, UNNEST(range(n_reps)) AS rep FROM reps
 
 
 ORACLE_SQL["mix_epochs"] = _mix_epochs_oracle_sql()
+
+# the materialized-chunk mirror: ROW_NUMBER over the unique (doc_id, tno)
+# order IS the global token index; STRING_AGG with the same order
+# reproduces each chunk's text byte-for-byte
+ORACLE_SQL["chunk_corpus"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '\w+'), 1) AS tno
+  FROM documents
+),
+g AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY doc_id, tno) - 1 AS gidx FROM toks
+)
+SELECT gidx // 512 AS chunk_id, COUNT(*) AS n_tokens,
+       STRING_AGG(tok, ' ' ORDER BY gidx) AS text
+FROM g GROUP BY 1
+"""
 
 # the injected mess mirrors q_normalize_text's messify exactly; both
 # engines' regexp layers are RE2, nfc_normalize matches utf8_normalize

@@ -945,3 +945,148 @@ def mix_epochs(
         return out.append_column(out_col, pa.array(rep, pa.int64()))
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def chunk_corpus(
+    ds: ray.data.Dataset,
+    ctx_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 4096,
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Materialize the packed chunks :func:`pack_sequences` assigns — the
+    training-example emitter: the corpus token stream (RE2 ``\\w+``
+    tokens in ``id_col`` order, single-space joined) split into
+    ``ctx_len``-token chunks, each emitted as (chunk_id, n_tokens, text).
+    The final chunk may be short.
+
+    Scale shape: the same bucket-total + driver-exclusive-prefix trick as
+    pack_sequences gives every doc its exact global token offset WITHOUT
+    a global sort; the text then moves exactly twice — once into the
+    ``bucket % n_shards`` offset shuffle, once as per-chunk SEGMENTS
+    (a doc contributes one segment per chunk it touches, so segment count
+    ≈ doc count + chunk crossings) into the ``chunk % n_shards``
+    reassembly shuffle. Per-shard kernels are polars list ops (extract_all
+    / per-row list.slice / join) — no Python token loops.
+    """
+    import polars as pl
+
+    from geomesa_ray.stages.join import _resolve_broadcast
+    from geomesa_ray.stages.textstats import token_count
+
+    if n_shards is None:
+        n_shards = default_shards()
+
+    tok_schema = pa.schema([("bucket", pa.int64()), ("toks", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = token_count(batch[text_col]).to_numpy(zero_copy_only=False)
+        return _group_sum(
+            pa.table({
+                "bucket": pa.array(ids // bucket_size, pa.int64()),
+                "toks": pa.array(t.astype(np.int64), pa.int64()),
+            }),
+            ["bucket"], ["toks"],
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        return _group_sum(batch.cast(tok_schema), ["bucket"], ["toks"])
+
+    merged, converged = _tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow"), merge
+    )
+    if not converged:
+        raise ValueError("chunk_corpus: raise bucket_size (bucket table "
+                         "did not converge)")
+    bt = pa.concat_tables(merged.iter_batches(batch_format="pyarrow"))
+    buckets = bt["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = bt["toks"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(buckets, kind="stable")
+    buckets, toks = buckets[order], toks[order]
+    bases = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    lookup_ref = ray.put((buckets, bases))
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ids // bucket_size
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            text_col: batch[text_col],
+            "__shard__": pa.array(b % n_shards, pa.int64()),
+        })
+
+    def segments(group: pa.Table) -> pa.Table:
+        """Per doc: global start via the broadcast bases, then one
+        segment row per chunk the doc touches, token list sliced per
+        segment — all vectorized polars list ops."""
+        bkts, base_arr = _resolve_broadcast(lookup_ref)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        b = ids // bucket_size
+        order = np.lexsort((ids, b))
+        ids, b = ids[order], b[order]
+        texts = group[text_col].take(pa.array(order, pa.int64()))
+        lf = pl.from_arrow(pa.table({"text": texts})).with_columns(
+            pl.col("text").str.extract_all(r"\w+").alias("toks")
+        )
+        toks_col = lf["toks"]
+        nt = toks_col.list.len().to_numpy().astype(np.int64)
+        cs = np.cumsum(nt)
+        excl = cs - nt
+        starts_seg = np.nonzero(np.concatenate([[True], b[1:] != b[:-1]]))[0]
+        seg_of = np.repeat(np.arange(len(starts_seg)), np.diff(
+            np.concatenate([starts_seg, [len(b)]])
+        ))
+        excl = excl - excl[starts_seg][seg_of]
+        start = excl + base_arr[np.searchsorted(bkts, b)]
+        # explode docs into per-chunk segments
+        first = start // ctx_len
+        end = start + nt
+        last = np.where(nt > 0, (end - 1) // ctx_len, first - 1)
+        n_seg = np.maximum(last - first + 1, 0)  # 0-token docs vanish
+        doc_idx = np.repeat(np.arange(len(ids)), n_seg)
+        seg_no = np.arange(int(n_seg.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(n_seg) - n_seg, n_seg
+        )
+        chunk = first[doc_idx] + seg_no
+        lo = np.maximum(chunk * ctx_len - start[doc_idx], 0)
+        hi = np.minimum((chunk + 1) * ctx_len - start[doc_idx], nt[doc_idx])
+        seg_start_tok = start[doc_idx] + lo
+        out = pl.DataFrame({
+            "chunk_id": chunk,
+            "start_tok": seg_start_tok,
+            "lo": lo,
+            "n": hi - lo,
+            "toks": toks_col.gather(doc_idx),
+        }).with_columns(
+            pl.col("toks").list.slice(pl.col("lo"), pl.col("n"))
+            .list.join(" ").alias("seg")
+        ).select(["chunk_id", "start_tok", "n", "seg"])
+        t = out.to_arrow()
+        shard = t["chunk_id"].to_numpy(zero_copy_only=False) % n_shards
+        return t.append_column("__shard__", pa.array(shard, pa.int64()))
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(group.drop_columns(["__shard__"]))
+            .sort(["chunk_id", "start_tok"])
+            .group_by("chunk_id", maintain_order=True)
+            .agg(
+                pl.col("n").sum().alias("n_tokens"),
+                pl.col("seg").str.join(" ").alias("text"),
+            )
+            .to_arrow()
+        )
+        return out.cast(pa.schema([
+            ("chunk_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("text", pa.string()),
+        ]))
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("__shard__")
+        .map_groups(segments, batch_format="pyarrow")
+        .groupby("__shard__")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

@@ -1046,3 +1046,43 @@ def test_mix_epochs_deterministic_repeats(ray_session):
         .to_pandas().sort_values(["doc_id", "rep"]).reset_index(drop=True)
     )
     assert out.equals(out2)
+
+
+def test_chunk_corpus_exact_stream(ray_session):
+    """Materialized chunks ≡ the single-threaded token-stream oracle:
+    byte-equal text, exact boundaries, partition-invariant."""
+    import re
+
+    import ray.data
+
+    from geomesa_ray.stages.corpus import chunk_corpus
+
+    rng = np.random.default_rng(5)
+    n = 300
+    texts = [
+        " ".join(f"t{int(v)}" for v in rng.integers(0, 500, int(rng.integers(0, 50))))
+        for _ in range(n)
+    ]
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = (
+        chunk_corpus(ray.data.from_arrow(tbl).repartition(6),
+                     ctx_len=64, bucket_size=32, n_shards=4)
+        .to_pandas().sort_values("chunk_id").reset_index(drop=True)
+    )
+    # oracle: concatenate all tokens in id order, chunk by 64
+    stream = []
+    for i in np.argsort(ids):
+        stream.extend(re.findall(r"\w+", texts[i]))
+    expect_chunks = [stream[i:i + 64] for i in range(0, len(stream), 64)]
+    assert out["chunk_id"].tolist() == list(range(len(expect_chunks)))
+    assert out["n_tokens"].tolist() == [len(c) for c in expect_chunks]
+    assert out["text"].tolist() == [" ".join(c) for c in expect_chunks]
+    # partition invariance
+    out2 = (
+        chunk_corpus(ray.data.from_arrow(tbl).repartition(13),
+                     ctx_len=64, bucket_size=32, n_shards=7)
+        .to_pandas().sort_values("chunk_id").reset_index(drop=True)
+    )
+    assert out.equals(out2)

@@ -59,6 +59,7 @@ SUBSET = [
     "dwithin_scan",
     "pack_sequences",
     "mix_epochs",
+    "chunk_corpus",
 ]
 
 
