@@ -1304,6 +1304,35 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_ann_filtered_topk(sf_dir: str) -> pa.Table:
+    """Metadata-filtered ANN (the production 'search within a subset'
+    shape): exact cosine top-10 among embeddings with ``label = 3``. The
+    predicate pushes down to the parquet read (row-group pruning), so at
+    scale only the matching stripes leave storage; scoring reuses the
+    brute kernel. Tie-break by ascending id, mirrored in SQL."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from geomesa_ray.stages.similarity import ann_brute
+
+    q = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+            pc.equal(pc.field("vec_id"), 0)
+        )["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", filter=pads.field("label") == 3
+    )
+    res = ann_brute(ds, q[None, :], 10).to_pandas().sort_values("rank")
+    return pa.table(
+        {
+            "vec_id": pa.array(res["vec_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(res["rank"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_chunk_corpus(sf_dir: str) -> ray.data.Dataset:
     """Materialized training chunks (corpus.chunk_corpus): the corpus
     \\w+-token stream in doc_id order, space-joined and split into
@@ -2118,6 +2147,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mix_epochs": q_mix_epochs,
     "chunk_corpus": q_chunk_corpus,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "bbox_scan": q_bbox_scan,
     "bbox_time_scan": q_bbox_time_scan,
     "attr_filter": q_attr_filter,
@@ -2779,6 +2809,16 @@ LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
 # exhaustive-candidate PQ ≡ exact search (see q_ann_pq_topk docstring)
 ORACLE_SQL["ann_pq_topk"] = ORACLE_SQL["ann_topk"]
 ORACLE_SQL["ann_ivf_pq_topk"] = ORACLE_SQL["ann_topk"]
+ORACLE_SQL["ann_filtered_topk"] = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.qe) DESC, e.vec_id
+       ) AS BIGINT) AS rank
+FROM embeddings e, q
+WHERE e.label = 3
+ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.qe) DESC, e.vec_id LIMIT 10
+"""
 
 ORACLE_SQL["domain_stats"] = r"""
 SELECT source,

@@ -60,6 +60,7 @@ SUBSET = [
     "pack_sequences",
     "mix_epochs",
     "chunk_corpus",
+    "ann_filtered_topk",
 ]
 
 
