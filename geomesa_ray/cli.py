@@ -195,6 +195,20 @@ def cmd_corpus(args) -> dict:
         from geomesa_ray.stages.corpus import split_assign
 
         out = split_assign(ds, id_col=args.id_col)
+    elif op == "pack":
+        from geomesa_ray.stages.corpus import pack_sequences
+
+        out = pack_sequences(
+            ds, ctx_len=args.ctx_len, id_col=args.id_col,
+            text_col=args.text_col,
+        )
+    elif op == "chunk":
+        from geomesa_ray.stages.corpus import chunk_corpus
+
+        out = chunk_corpus(
+            ds, ctx_len=args.ctx_len, id_col=args.id_col,
+            text_col=args.text_col,
+        )
     elif op == "decontaminate":
         if not args.bench:
             raise SystemExit("--bench (benchmark parquet) required")
@@ -279,10 +293,12 @@ def main(argv=None) -> int:
     p.add_argument("--op", required=True,
                    choices=["exact-dedup", "minhash-dedup", "quality",
                             "redact-pii", "normalize", "split",
-                            "decontaminate"])
+                            "decontaminate", "pack", "chunk"])
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--ctx-len", type=int, default=2048,
+                   help="chunk length in tokens (pack / chunk)")
     p.add_argument("--bench", default=None,
                    help="benchmark parquet (decontaminate)")
     p.set_defaults(fn=cmd_corpus)
