@@ -65,6 +65,8 @@ HEADLINE = [
     "incremental_dedup",
     "tumbling_counts",
     "stratified_sample",
+    "mix_epochs",
+    "ann_filtered_topk",
 ]
 
 
