@@ -96,14 +96,19 @@ def _tokenize(text: str) -> list[tuple[str, object, int]]:
         for kind in ("instant", "num", "str", "op", "punct", "word"):
             v = m.group(kind)
             if v is not None:
+                # token position = start of the CAPTURE, not the whole
+                # match (which includes consumed leading whitespace —
+                # that off-by-whitespace truncated WKT slices and skewed
+                # every error position)
+                at = m.start(kind)
                 if kind == "word" and v.upper() in _KEYWORDS:
-                    out.append(("kw", v.upper(), m.start()))
+                    out.append(("kw", v.upper(), at))
                 elif kind == "num":
-                    out.append(("num", float(v) if ("." in v or "e" in v.lower()) else int(v), m.start()))
+                    out.append(("num", float(v) if ("." in v or "e" in v.lower()) else int(v), at))
                 elif kind == "str":
-                    out.append(("str", v[1:-1].replace("''", "'"), m.start()))
+                    out.append(("str", v[1:-1].replace("''", "'"), at))
                 else:
-                    out.append((kind, v, m.start()))
+                    out.append((kind, v, at))
                 break
     return out
 

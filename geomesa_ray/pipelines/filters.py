@@ -154,15 +154,31 @@ def extract_bboxes(f: Filter) -> list[tuple]:
     if isinstance(f, DWithin):
         # geometry bounds expanded by the radius (pole-safe, lon widened
         # by 1/cos at the extreme latitude — strictly over-covering, the
-        # exact geodesic residual decides membership)
+        # exact geodesic residual decides membership). An expansion past
+        # ±180° WRAPS: the overflow re-enters from the other side as a
+        # second OR'd box, or dateline matches would be silently pruned
+        # before the residual ever sees them.
         xmin, ymin, xmax, ymax = f.geometry.bounds
         dlat = f.radius_m / 111_000.0
         edge = min(max(abs(ymin), abs(ymax)) + dlat, 89.9)
         dlon = f.radius_m / (111_000.0 * max(np.cos(np.radians(edge)), 1e-6))
-        clipped = _bbox_intersect(
-            (xmin - dlon, ymin - dlat, xmax + dlon, ymax + dlat), WORLD
-        )
-        return [clipped] if clipped else []
+        lo, hi = xmin - dlon, xmax + dlon
+        y0, y1 = max(ymin - dlat, -90.0), min(ymax + dlat, 90.0)
+        if hi - lo >= 360.0:
+            return [(-180.0, y0, 180.0, y1)]
+        boxes = []
+        main = _bbox_intersect((max(lo, -180.0), y0, min(hi, 180.0), y1), WORLD)
+        if main:
+            boxes.append(main)
+        if lo < -180.0:
+            wrap = _bbox_intersect((lo + 360.0, y0, 180.0, y1), WORLD)
+            if wrap:
+                boxes.append(wrap)
+        if hi > 180.0:
+            wrap = _bbox_intersect((-180.0, y0, hi - 360.0, y1), WORLD)
+            if wrap:
+                boxes.append(wrap)
+        return boxes
     if isinstance(f, And):
         lists = [extract_bboxes(p) for p in f.parts]
         # [] means UNBOUNDED (e.g. an Or with a non-spatial arm), so an

@@ -130,9 +130,11 @@ def mp4_probe(payload: bytes) -> dict:
 
     for t, ps, pe in _iter_boxes(buf, 0, len(buf)):
         if t == b"ftyp":
+            # [major_brand:4][minor_version:4][compatible brands:4 each] —
+            # the version word is binary, not a brand
             out["brands"] = [
                 bytes(buf[p:p + 4]).decode("ascii", "replace")
-                for p in range(ps, pe, 4)
+                for p in [ps] + list(range(ps + 8, pe, 4))
             ]
         elif t == b"moov":
             found_moov = True

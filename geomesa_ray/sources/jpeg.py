@@ -572,8 +572,13 @@ def jpeg_size(data: bytes) -> tuple[int, int]:
             i += 1
             continue
         marker = data[i + 1]
+        if marker == 0xFF:  # legal fill byte run: resync on the next 0xFF
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI: no SOF seen
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            i += 2
+            i += 2  # length-less markers
             continue
         if i + 4 > len(data):
             break

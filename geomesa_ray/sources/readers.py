@@ -448,9 +448,13 @@ def _parse_osm_ways_single(path: str) -> pa.Table:
     lat_sorted = t["lat"].to_numpy(zero_copy_only=False)[node_m][order]
 
     ref_m = role == _OSM_REF
-    pos = np.searchsorted(ids_sorted, nids[ref_m])
-    pos_c = np.minimum(pos, max(len(ids_sorted) - 1, 0))
-    ok = (len(ids_sorted) > 0) & (ids_sorted[pos_c] == nids[ref_m])
+    if len(ids_sorted) == 0:
+        ok = np.zeros(int(ref_m.sum()), dtype=bool)
+        pos_c = np.zeros(0, dtype=np.int64)
+    else:
+        pos = np.searchsorted(ids_sorted, nids[ref_m])
+        pos_c = np.minimum(pos, len(ids_sorted) - 1)
+        ok = ids_sorted[pos_c] == nids[ref_m]
     mt = t.filter(pa.array(role == _OSM_META))
     meta = {
         int(w): (u, nm, d, tg)
@@ -460,11 +464,15 @@ def _parse_osm_ways_single(path: str) -> pa.Table:
             mt["tags"].to_pylist(),
         )
     }
+    if len(ids_sorted) == 0:
+        hit = np.zeros(0, dtype=np.int64)
+    else:
+        hit = pos_c[ok]
     return _osm_ways_from_parts(
         t["way_id"].to_numpy(zero_copy_only=False)[ref_m][ok],
         t["seq"].to_numpy(zero_copy_only=False)[ref_m][ok],
-        lon_sorted[pos_c[ok]],
-        lat_sorted[pos_c[ok]],
+        lon_sorted[hit],
+        lat_sorted[hit],
         meta,
     )
 
@@ -572,6 +580,9 @@ def _osm_ways_distributed(
 
         @ray.remote
         def _build(*tbls):
+            if not tbls:
+                e = np.zeros(0, dtype=np.int64)
+                return e, e.astype(np.float64), e.astype(np.float64)
             t = pa.concat_tables(list(tbls))
             ids = t["nid"].to_numpy(zero_copy_only=False)
             order = np.argsort(ids, kind="stable")
@@ -588,11 +599,15 @@ def _osm_ways_distributed(
 
             ids_s, lon_s, lat_s = _resolve_broadcast(lookup_ref)
             nid = b["nid"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ids_s, nid)
-            pos_c = np.minimum(pos, max(len(ids_s) - 1, 0))
-            ok = (len(ids_s) > 0) & (ids_s[pos_c] == nid)
+            if len(ids_s) == 0:
+                ok = np.zeros(len(nid), dtype=bool)
+                keep = np.zeros(0, dtype=np.int64)
+            else:
+                pos = np.searchsorted(ids_s, nid)
+                pos_c = np.minimum(pos, len(ids_s) - 1)
+                ok = ids_s[pos_c] == nid
+                keep = pos_c[ok]
             t = b.filter(pa.array(ok))
-            keep = pos_c[ok]
             return pa.table({
                 "way_id": t["way_id"],
                 "seq": t["seq"],
@@ -608,8 +623,31 @@ def _osm_ways_distributed(
         coords_schema = pa.schema([
             ("nid", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64())
         ])
+
+        # adjacent extracts repeat boundary nodes: dedup coords by nid
+        # BEFORE the join, or each duplicate would emit an extra resolved
+        # row per ref (doubled LineString vertices — the broadcast arm's
+        # searchsorted picks exactly one, and the two arms must agree)
+        def _coord_shard(b: pa.Table) -> pa.Table:
+            nid = b["nid"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "__shard__", pa.array(nid % 64, pa.int64())
+            )
+
+        def _coord_dedup(group: pa.Table) -> pa.Table:
+            from geomesa_ray.stages.dedup import _first_per_key
+
+            return _first_per_key(
+                group.drop_columns(["__shard__"]), "nid", "nid"
+            )
+
+        coords_uniq = (
+            coords.map_batches(_coord_shard, batch_format="pyarrow")
+            .groupby("__shard__")
+            .map_groups(_coord_dedup, batch_format="pyarrow")
+        )
         resolved = _drop_empty_blocks(refs, refs_schema).join(
-            _drop_empty_blocks(coords, coords_schema),
+            _drop_empty_blocks(coords_uniq, coords_schema),
             join_type="inner",
             num_partitions=num_partitions,
             on=("nid",),
@@ -680,26 +718,6 @@ def _osm_ways_distributed(
     return union.groupby("shard").map_groups(
         _assemble, batch_format="pyarrow"
     )
-
-
-    from geomesa_ray.geometry.base import LineString
-    from geomesa_ray.geometry.wkt import to_wkt
-
-    wkts = []
-    for row in way_rows:
-        pts = [coords[r] for r in row["refs"] if r in coords]
-        wkts.append(to_wkt(LineString(pts)) if len(pts) >= 2 else None)
-    tbl = pa.table(
-        {
-            "osm_id": pa.array([r["osm_id"] for r in way_rows], pa.int64()),
-            "user": pa.array([r["user"] for r in way_rows], pa.string()),
-            "name": pa.array([r["name"] for r in way_rows], pa.string()),
-            "tags": pa.array([r["tags"] for r in way_rows], pa.string()),
-            "dtg": _ts([r["dtg"] for r in way_rows]),
-            "geometry_wkt": pa.array(wkts, pa.string()),
-        }
-    )
-    return ray.data.from_arrow(tbl)
 
 
 def read_jsonl(

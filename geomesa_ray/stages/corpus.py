@@ -1028,7 +1028,11 @@ def chunk_corpus(
         ids, b = ids[order], b[order]
         texts = group[text_col].take(pa.array(order, pa.int64()))
         lf = pl.from_arrow(pa.table({"text": texts})).with_columns(
-            pl.col("text").str.extract_all(r"\w+").alias("toks")
+            # ASCII class, NOT \w+: polars' Rust regex \w is Unicode
+            # while the pass-1 Arrow RE2 kernel (token_count) and the
+            # DuckDB oracle are ASCII — a Unicode \w here would shift
+            # every downstream doc's global offset on non-ASCII corpora
+            pl.col("text").str.extract_all(r"[0-9A-Za-z_]+").alias("toks")
         )
         toks_col = lf["toks"]
         nt = toks_col.list.len().to_numpy().astype(np.int64)

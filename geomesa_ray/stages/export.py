@@ -133,6 +133,11 @@ def _normalize_ipc_batch(t: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     t = t.combine_chunks()
+    # The gather is UNCONDITIONAL by design: a zero-offset array can still
+    # carry producer-specific buffer padding (measured — skipping the copy
+    # for offset==0 arrays broke byte-equality between the k-way-merge and
+    # sort-stage export paths). One extra pass on a disk-bound sink is the
+    # price of a deterministic output contract.
     idx = pa.array(np.arange(len(t), dtype=np.int64))
     return pa.table(
         {

@@ -271,11 +271,24 @@ class StreamingWindow:
         )
         return [f for f in names if f not in self.consumed]
 
+    @staticmethod
+    def _ts_to_us(v) -> int:
+        """Footer stat → exact epoch µs (datetime arithmetic, never a
+        float timestamp: truncating to ms here would put the watermark up
+        to 999 µs below the oracle's MAX(epoch_us) and flip boundary
+        rows — the engine and the SQL mirror must agree exactly)."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            td = v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+        return int(v)
+
     def _segment_ts_bounds_us(self, paths: list[str]) -> tuple[int, int]:
         """(min, max) event time across segment parquet footers (µs)."""
         import pyarrow.parquet as _pq
-
-        from geomesa_ray.state.manifest import _ts_to_ms
 
         lo, hi = (1 << 62), -(1 << 62)
         for p in paths:
@@ -291,8 +304,8 @@ class StreamingWindow:
                         raise ValueError(
                             f"segment {p} lacks {self.ts_col} footer stats"
                         )
-                    lo = min(lo, _ts_to_ms(st.min) * 1000)
-                    hi = max(hi, _ts_to_ms(st.max) * 1000)
+                    lo = min(lo, self._ts_to_us(st.min))
+                    hi = max(hi, self._ts_to_us(st.max))
         return lo, hi
 
     def poll(self) -> dict:

@@ -393,3 +393,66 @@ def test_read_jsonl_inferred_and_typed(ray_session, tmp_path):
     from geomesa_ray.registry import converter
 
     assert converter("jsonl") is read_jsonl
+
+
+def test_osm_ways_only_file_yields_null_geometries(ray_session, tmp_path):
+    """A file with ways but NO nodes must produce null-geometry ways,
+    not an IndexError (round-4 review finding)."""
+    from geomesa_ray.sources.readers import read_osm
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6" generator="test">
+  <way id="5" user="x" timestamp="2020-01-01T00:00:00Z">
+    <nd ref="1"/><nd ref="2"/>
+  </way>
+</osm>
+"""
+    p = tmp_path / "waysonly.osm"
+    p.write_text(xml)
+    tbl = pa.concat_tables(
+        read_osm(str(p), entity="ways").iter_batches(batch_format="pyarrow")
+    )
+    assert tbl["osm_id"].to_pylist() == [5]
+    assert tbl["geometry_wkt"][0].as_py() is None
+    # multi-file broadcast arm with zero nodes anywhere
+    (tmp_path / "waysonly2.osm").write_text(xml.replace('id="5"', 'id="6"'))
+    tbl2 = pa.concat_tables(
+        read_osm(str(tmp_path), entity="ways").iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by("osm_id")
+    assert tbl2["geometry_wkt"].null_count == 2
+
+
+def test_osm_join_arm_dedups_boundary_nodes(ray_session, tmp_path):
+    """Adjacent extracts repeat boundary nodes: the Dataset.join arm must
+    resolve each ref to ONE coord (round-4 review finding: duplicated
+    node rows doubled LineString vertices)."""
+    from geomesa_ray.sources.readers import read_osm
+
+    a = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+  <node id="1" lat="48.0" lon="2.0"/>
+  <node id="2" lat="48.1" lon="2.1"/>
+  <way id="10" user="u" timestamp="2020-01-01T00:00:00Z">
+    <nd ref="1"/><nd ref="2"/>
+  </way>
+</osm>
+"""
+    b = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+  <node id="2" lat="48.1" lon="2.1"/>
+  <node id="3" lat="48.2" lon="2.2"/>
+</osm>
+"""
+    (tmp_path / "a.osm").write_text(a)
+    (tmp_path / "b.osm").write_text(b)
+    for kwargs in ({}, {"broadcast_limit_bytes": 0, "num_partitions": 4}):
+        tbl = pa.concat_tables(
+            read_osm(str(tmp_path), entity="ways", **kwargs).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        wkt = tbl["geometry_wkt"][0].as_py()
+        # exactly two vertices — node 2's duplicate must not double up
+        assert wkt.count(",") == 1, (kwargs, wkt)

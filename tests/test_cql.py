@@ -175,3 +175,23 @@ def test_dwithin_polygon_segments():
     })
     # inside → within; 1° out (~111 km) → no; 0.5° out (~56 km) → yes
     assert ev(f, batch).tolist() == [True, False, True]
+
+
+def test_dwithin_dateline_extraction_wraps():
+    """A disc crossing ±180° extracts TWO OR'd boxes so planner pruning
+    keeps the far-side matches (round-4 review finding)."""
+    f = parse_ecql("DWITHIN(geom, POINT (179.9 0), 300, kilometers)")
+    boxes = extract_bboxes(f)
+    assert len(boxes) == 2
+    east = [b for b in boxes if b[0] > 0]
+    west = [b for b in boxes if b[0] < 0]
+    assert east and west
+    assert west[0][0] == -180.0 and east[0][2] == 180.0
+    # the true match at lon -179.9 lies inside the wrapped box
+    assert west[0][0] <= -179.9 <= west[0][2]
+
+
+def test_wkt_with_trailing_whitespace_parses():
+    f = parse_ecql("INTERSECTS(geom, POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0) ))")
+    assert isinstance(f, GeomPredicate)
+    assert f.geometry.bounds == (0.0, 0.0, 4.0, 4.0)

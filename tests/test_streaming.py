@@ -286,3 +286,29 @@ def test_streaming_window_crash_resume_idempotent(ray_session, dirs):
     after = _windows_df(sw3)
     assert before.equals(after)
     assert ck["generation"] == sw3._ckpt["generation"]
+
+
+def test_streaming_window_watermark_is_microsecond_exact(ray_session, dirs):
+    """The watermark must carry full µs precision (footer stats read via
+    datetime arithmetic, never a float or ms truncation): an event only
+    999 µs above the true watermark is KEPT, one 1 µs below is dropped —
+    the old ms-truncated bound flipped the first case (ADVICE-class
+    round-4 review finding)."""
+    from geomesa_ray.state.streaming import StreamingWindow
+
+    src, state = dirs
+    # segment 0 max ts has non-zero sub-ms microseconds
+    _win_segment(os.path.join(src, "seg-000.parquet"),
+                 ["a"], [100_000_123_457])  # 100.000123457 s... µs int
+    sw = StreamingWindow(src, state, window_s=60, allowed_lateness_s=0)
+    sw.poll()
+    assert sw.watermark_us == 100_000_123_457  # exact µs, no truncation
+    # poll 2: one event exactly AT the watermark (kept: >= wm), one 1 µs
+    # below (dropped), one 999 µs below the next ms boundary above wm
+    # (kept — the ms-truncated watermark would also have kept the 1 µs-
+    # below event, silently diverging from the SQL mirror)
+    _win_segment(os.path.join(src, "seg-001.parquet"),
+                 ["a", "a", "a"],
+                 [100_000_123_457, 100_000_123_456, 100_000_123_999])
+    r = sw.poll()
+    assert r["late_dropped"] == 1
