@@ -42,6 +42,7 @@ HEADLINE = [
     "bin_roundtrip",
     "exact_dedup",
     "minhash_pairs",
+    "jaccard_pairs",
     "simhash_pairs",
     "dedup_keep",
     "ann_topk",

@@ -1415,6 +1415,19 @@ def q_minhash_pairs(sf_dir: str) -> pa.Table:
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
+def q_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact word-3-gram Jaccard near-dup pairs at τ=0.5 — the verifying
+    arm of the near-dup family (minhash_pairs is the banded ESTIMATE of the
+    same measure). All-integer output (inter / union counts), threshold
+    compared in exact rational arithmetic, so the DuckDB self-join oracle
+    hash-matches bit-for-bit. Tokenization is RE2 ``\\w+`` over
+    ``lower(text)`` in both engines (the langid/bpe parity contract)."""
+    from geomesa_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=3, threshold=0.5)
+
+
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
     from geomesa_ray.stages.dedup import simhash_pairs
 
@@ -2168,6 +2181,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "quality_scores": q_quality,
     "langid": q_langid,
@@ -2661,6 +2675,30 @@ def _corpus_oracles() -> None:
     from geomesa_ray.pipelines import oracles
 
     ORACLE_SQL["minhash_pairs"] = oracles.minhash_pairs_sql(threshold=0.5)
+    # exact n-gram Jaccard: shingle self-join, all-integer threshold compare
+    # (2*inter >= union ⟺ τ=0.5) — mirrors ngram_jaccard_pairs verbatim
+    ORACLE_SQL["jaccard_pairs"] = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), cnt AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id
+), pair AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.left_id, p.right_id, p.inter,
+       ca.n + cb.n - p.inter AS union_cnt
+FROM pair p
+JOIN cnt ca ON ca.doc_id = p.left_id
+JOIN cnt cb ON cb.doc_id = p.right_id
+WHERE 2 * p.inter >= (ca.n + cb.n - p.inter)
+ORDER BY 1, 2
+"""
     ORACLE_SQL["simhash_pairs"] = oracles.simhash_pairs_sql(max_hamming=3)
     ORACLE_SQL["dedup_keep"] = oracles.dedup_keep_sql(threshold=0.5)
     ORACLE_SQL["fingerprints"] = oracles.fingerprints_sql()

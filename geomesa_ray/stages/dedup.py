@@ -1217,3 +1217,246 @@ def exact_dedup_incremental(new_docs: ray.data.Dataset, state_dir: str,
         .groupby("__bucket__")
         .map_groups(bucket_fresh, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+#
+# Reference parity: GeoMesa's dedup surface stops at key equality
+# (ViewParams / returnSft dedup, geomesa-index-api); the n-gram Jaccard
+# operator is part of this repo's LLM-corpus extension wave. Unlike
+# minhash_lsh_pairs (an ESTIMATE of Jaccard via banded signatures), this is
+# the exact verifying arm: every pair of documents sharing at least one
+# word n-gram is scored with its true |A∩B| / |A∪B| over distinct shingles.
+# Candidate generation is the classic inverted-index self-join — shingle →
+# owning docs — sharded by shingle hash so one Ray group call handles ~1/S
+# of the index, segments vectorized (lexsort + boundary mask) exactly like
+# _shard_bucket_pairs. Output counts are integers, so the DuckDB oracle
+# (a self-join on the shingle string) hash-matches bit-for-bit.
+
+
+def _jaccard_shingle_stage(batch: pa.Table, text_col: str, id_col: str,
+                           n: int, shards: int) -> pa.Table:
+    """(doc, text) → distinct (doc_id, shingle, doc_n, shard) rows.
+
+    Fully vectorized: Arrow RE2 split → flatten with parent indices →
+    empty-token drop → windowed take + binary_join_element_wise →
+    Arrow group-distinct. ``doc_n`` (the doc's distinct-shingle count) rides
+    every row so the pair stage never needs a second lookup table. Docs with
+    fewer than ``n`` words emit nothing (they cannot pair)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    ndocs = len(ids)
+    if ndocs == 0:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "s": pa.array([], pa.string()),
+            "doc_n": pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+        })
+    words = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\W+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    offs = words.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(offs)
+    parent = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    parent = parent[nonempty]
+    m = np.bincount(parent, minlength=ndocs)  # words per doc
+    k = np.maximum(m - (n - 1), 0)            # shingles per doc
+    total = int(k.sum())
+    if total == 0:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "s": pa.array([], pa.string()),
+            "doc_n": pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+        })
+    new_offs = np.concatenate([[0], np.cumsum(m)])[:-1]
+    csum_k = np.cumsum(k)
+    starts = (np.repeat(new_offs, k)
+              + np.arange(total, dtype=np.int64)
+              - np.repeat(csum_k - k, k))
+    cols = [pc.take(flat, pa.array(starts + j)) for j in range(n)]
+    sh = pc.binary_join_element_wise(*cols, " ")
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), k)
+    t = pa.table({
+        id_col: pa.array(ids[doc_of], pa.int64()),
+        "s": sh,
+    })
+    # Arrow C++ group-distinct, then per-doc distinct counts
+    t = pa.TableGroupBy(t, [id_col, "s"]).aggregate([]).combine_chunks()
+    cnt = pa.TableGroupBy(t.select([id_col]), [id_col]).aggregate([([], "count_all")])
+    cd = cnt[id_col].to_numpy(zero_copy_only=False)
+    cn = cnt["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(cd)
+    cd, cn = cd[order], cn[order]
+    did = t[id_col].to_numpy(zero_copy_only=False)
+    doc_n = cn[np.searchsorted(cd, did)]
+    shard = (fnv1a_utf8(t["s"]) % np.uint64(shards)).astype(np.int64)
+    return pa.table({
+        id_col: t[id_col],
+        "s": t["s"],
+        "doc_n": pa.array(doc_n, pa.int64()),
+        "shard": pa.array(shard, pa.int64()),
+    })
+
+
+def _jaccard_shard_pairs(group: pa.Table, id_col: str,
+                         max_df: int | None) -> pa.Table:
+    """One shard of the inverted index → candidate pair rows with a unit
+    ``inter`` count. Sorted by shingle (Arrow C++ sort), segments found with
+    one vectorized boundary mask; only multi-doc segments run the tiny
+    per-segment pair loop. Segments wider than ``max_df`` (stop-shingles)
+    emit a loud ``left_id = -1`` marker row instead of O(df²) pairs."""
+    if len(group) < 2:
+        return _jaccard_pair_table([], [], [], [], [])
+    group = group.sort_by([("s", "ascending")]).combine_chunks()
+    s = group["s"].combine_chunks() if isinstance(group["s"], pa.ChunkedArray) else group["s"]
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    dn = group["doc_n"].to_numpy(zero_copy_only=False)
+    neq = pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)).to_numpy(
+        zero_copy_only=False)
+    starts = np.nonzero(np.concatenate([[True], neq]))[0]
+    ends = np.concatenate([starts[1:], [len(s)]])
+    multi = ends - starts >= 2
+    li: list = []; ri: list = []; ln: list = []; rn: list = []; iv: list = []
+    for st, en in zip(starts[multi], ends[multi]):
+        if max_df is not None and en - st > max_df:
+            li.append(-1); ri.append(int(en - st))
+            ln.append(0); rn.append(0); iv.append(0)
+            continue
+        seg_ids = ids[st:en]
+        seg_n = dn[st:en]
+        order = np.argsort(seg_ids, kind="stable")
+        seg_ids, seg_n = seg_ids[order], seg_n[order]
+        c = len(seg_ids)
+        ii, jj = np.triu_indices(c, k=1)
+        li.extend(seg_ids[ii].tolist()); ri.extend(seg_ids[jj].tolist())
+        ln.extend(seg_n[ii].tolist()); rn.extend(seg_n[jj].tolist())
+        iv.extend([1] * len(ii))
+    return _jaccard_pair_table(li, ri, ln, rn, iv)
+
+
+def _jaccard_pair_table(li, ri, ln, rn, iv) -> pa.Table:
+    return pa.table({
+        "left_id": pa.array(li, pa.int64()),
+        "right_id": pa.array(ri, pa.int64()),
+        "left_n": pa.array(ln, pa.int64()),
+        "right_n": pa.array(rn, pa.int64()),
+        "inter": pa.array(iv, pa.int64()),
+    })
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    shards: int = 64,
+    max_df: int | None = None,
+    stats: dict | None = None,
+) -> ray.data.Dataset:
+    """Exact word n-gram Jaccard near-duplicate pairs.
+
+    ``(left_id, right_id, inter, union_cnt)`` for every unordered doc pair
+    whose distinct-shingle Jaccard ≥ ``threshold`` — all-integer output, so
+    the SQL oracle (self-join on the shingle string) matches bit-for-bit.
+    The threshold compare is exact rational arithmetic
+    (``inter * q >= p * union``), never a float ratio.
+
+    Scale shape: one bounded shuffle keyed by ``hash(shingle) % shards``
+    (O(shards) group calls), candidate pairs tree-merged (no Ray sort
+    aggregate). ``max_df`` caps stop-shingle segments with loud marker rows
+    surfaced via ``stats`` — the same contract as minhash mega-buckets."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold)
+    p, q = frac.numerator, frac.denominator
+
+    exploded = ds.map_batches(
+        _jaccard_shingle_stage, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col,
+                   "n": n, "shards": shards},
+    )
+    pairs = exploded.groupby("shard").map_groups(
+        _jaccard_shard_pairs, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "max_df": max_df},
+    )
+    if stats is not None:
+        pairs = pairs.materialize()
+        markers = pairs.map_batches(
+            lambda b: b.filter(pc.less(b["left_id"], 0)), batch_format="pyarrow"
+        ).materialize()
+        stats["stop_shingles"] = markers.count()
+        stats["stop_shingle_rows"] = int(
+            markers.sum("right_id") or 0) if stats["stop_shingles"] else 0
+        pairs = pairs.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["left_id"], 0)),
+            batch_format="pyarrow",
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        l = batch["left_id"].to_numpy(zero_copy_only=False)
+        if len(l) == 0:
+            return batch
+        r = batch["right_id"].to_numpy(zero_copy_only=False)
+        ln = batch["left_n"].to_numpy(zero_copy_only=False)
+        rn = batch["right_n"].to_numpy(zero_copy_only=False)
+        iv = batch["inter"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r, l))
+        l, r, ln, rn, iv = l[order], r[order], ln[order], rn[order], iv[order]
+        starts = np.nonzero(
+            np.concatenate([[True], (l[1:] != l[:-1]) | (r[1:] != r[:-1])])
+        )[0]
+        return pa.table({
+            "left_id": pa.array(l[starts], pa.int64()),
+            "right_id": pa.array(r[starts], pa.int64()),
+            "left_n": pa.array(ln[starts], pa.int64()),
+            "right_n": pa.array(rn[starts], pa.int64()),
+            "inter": pa.array(np.add.reduceat(iv, starts), pa.int64()),
+        })
+
+    merged = pairs.map_batches(
+        merge, batch_format="pyarrow", batch_size=4_000_000
+    ).materialize()
+    rounds = 0
+    while merged.num_blocks() > 1 and rounds < 10:
+        merged = merged.repartition(max(1, merged.num_blocks() // 8)).map_batches(
+            merge, batch_format="pyarrow", batch_size=4_000_000
+        ).materialize()
+        rounds += 1
+    if merged.num_blocks() > 1:
+        # gigantic candidate set: exact fallback through the shuffle aggregate
+        merged = (
+            merged.groupby(["left_id", "right_id"])
+            .aggregate(
+                ray.data.aggregate.Sum("inter", alias_name="inter_sum"),
+                ray.data.aggregate.Max("left_n", alias_name="left_n_m"),
+                ray.data.aggregate.Max("right_n", alias_name="right_n_m"),
+            )
+            .map_batches(
+                lambda b: b.rename_columns(
+                    ["left_id", "right_id", "inter", "left_n", "right_n"]
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        iv = batch["inter"].to_numpy(zero_copy_only=False)
+        un = (batch["left_n"].to_numpy(zero_copy_only=False)
+              + batch["right_n"].to_numpy(zero_copy_only=False) - iv)
+        keep = iv * q >= p * un
+        out = pa.table({
+            "left_id": batch["left_id"],
+            "right_id": batch["right_id"],
+            "inter": batch["inter"],
+            "union_cnt": pa.array(un, pa.int64()),
+        }).filter(pa.array(keep))
+        return out.sort_by([("left_id", "ascending"), ("right_id", "ascending")])
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -1086,3 +1086,93 @@ def test_chunk_corpus_exact_stream(ray_session):
         .to_pandas().sort_values("chunk_id").reset_index(drop=True)
     )
     assert out.equals(out2)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce(ray_session, documents):
+    """Exact Jaccard vs a per-pair Python set oracle on a planted corpus."""
+    import re
+
+    import ray.data
+    from geomesa_ray.stages.dedup import ngram_jaccard_pairs
+
+    corpus = _near_dup_corpus(documents)
+    ds = ray.data.from_arrow(corpus).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=17
+    )
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+
+    def shingles(t):
+        w = re.findall(r"\w+", t.lower())
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    ids = corpus["doc_id"].to_numpy()
+    sets = [shingles(t) for t in corpus["text"].to_pylist()]
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if not sets[i] or not sets[j]:
+                continue
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if 2 * inter >= union and inter > 0:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                expect[(a, b)] = (inter, union)
+    got = {
+        (int(r.left_id), int(r.right_id)): (int(r.inter), int(r.union_cnt))
+        for r in out.itertuples()
+    }
+    assert got == expect
+    assert len(expect) >= 10  # every planted near-dup found
+
+
+def test_ngram_jaccard_edge_cases(ray_session):
+    """Short docs (<n words), empty corpus after filter, stop-shingle cap."""
+    import pyarrow.compute as pc
+    import ray.data
+    from geomesa_ray.stages.dedup import ngram_jaccard_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "one two",  # too short: no shingles
+                    "alpha beta gamma delta",
+                    "alpha beta gamma delta",  # exact dup of 2
+                    "", 
+                    "zeta eta theta iota kappa",
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    assert [(r.left_id, r.right_id, r.inter, r.union_cnt) for r in out.itertuples()] == [
+        (2, 3, 2, 2)
+    ]
+
+    # empty after filter: every batch fn must tolerate 0 rows
+    empty = ds.map_batches(
+        lambda b: b.filter(pc.greater(b["doc_id"], 100)), batch_format="pyarrow"
+    )
+    assert ngram_jaccard_pairs(empty).count() == 0
+
+    # stop-shingle cap surfaces loud marker counts, never silent drops
+    rep = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": pa.array(["common stop shingle here"] * 10),
+        }
+    )
+    stats = {}
+    out2 = ngram_jaccard_pairs(
+        ray.data.from_arrow(rep), threshold=0.5, max_df=5, stats=stats
+    ).to_pandas()
+    assert len(out2) == 0  # all segments capped
+    assert stats["stop_shingles"] >= 1
+    assert stats["stop_shingle_rows"] >= 10

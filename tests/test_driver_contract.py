@@ -61,6 +61,7 @@ SUBSET = [
     "mix_epochs",
     "chunk_corpus",
     "ann_filtered_topk",
+    "jaccard_pairs",
 ]
 
 
