@@ -43,6 +43,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_pairs",
     "jaccard_pairs",
+    "cosine_neardup",
     "simhash_pairs",
     "dedup_keep",
     "ann_topk",

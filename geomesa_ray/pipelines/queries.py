@@ -1408,6 +1408,24 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cosine_neardup(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs, EXACT all-pairs arm (ids only).
+    τ=0.45 sits ≥1e-4 from every pairwise cosine in all testdata tiers —
+    and the operator's guard raises on any cosine within 1e-6 of τ, so a
+    numpy-vs-DuckDB ulp divergence fails loudly instead of flipping the
+    hash (the reproject_conic contract). The probabilistic scale path is
+    lsh_cosine_pairs (bucketed, no broadcast; recall-tested in
+    tests/test_corpus_ops.py)."""
+    from geomesa_ray.stages.similarity import cosine_neardup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        override_num_blocks=4,
+    )
+    return cosine_neardup_pairs(ds, threshold=0.45)
+
+
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     from geomesa_ray.stages.dedup import minhash_lsh_pairs
 
@@ -2182,6 +2200,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    "cosine_neardup": q_cosine_neardup,
     "simhash_pairs": q_simhash_pairs,
     "quality_scores": q_quality,
     "langid": q_langid,
@@ -2697,6 +2716,14 @@ FROM pair p
 JOIN cnt ca ON ca.doc_id = p.left_id
 JOIN cnt cb ON cb.doc_id = p.right_id
 WHERE 2 * p.inter >= (ca.n + cb.n - p.inter)
+ORDER BY 1, 2
+"""
+    # exact cosine near-dup: ids-only output; τ sits ≥1e-4 from every
+    # pairwise cosine (operator guard raises inside 1e-6)
+    ORACLE_SQL["cosine_neardup"] = """
+SELECT a.vec_id AS left_id, b.vec_id AS right_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.45
 ORDER BY 1, 2
 """
     ORACLE_SQL["simhash_pairs"] = oracles.simhash_pairs_sql(max_hamming=3)

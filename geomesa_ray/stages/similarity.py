@@ -819,3 +819,107 @@ def ann_ivf_pq_indexed(
             "rank": pa.array(np.concatenate(out_r), pa.int32()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# exact all-pairs cosine near-dup (the verifying arm of lsh_cosine_pairs)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=1)
+def _assemble_emb_broadcast(id_col: str, emb_col: str, *tables: pa.Table):
+    """Concatenate materialized embedding blocks into the id-sorted
+    ``(ids, row-normalized float64 matrix)`` broadcast pair. Runs as a task
+    so the matrix is assembled worker-side and lands straight in the object
+    store — the driver holds only the ObjectRef (the minhash signature
+    broadcast contract, dedup._assemble_sig_broadcast)."""
+    id_parts, mat_parts = [], []
+    for t in tables:
+        if len(t) == 0:
+            continue
+        id_parts.append(t[id_col].to_numpy(zero_copy_only=False))
+        mat_parts.append(_normalize(_emb_matrix(t, emb_col)))
+    if not id_parts:
+        return (np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.float64))
+    ids = np.concatenate(id_parts)
+    mat = np.concatenate(mat_parts)
+    order = np.argsort(ids)
+    return ids[order], np.ascontiguousarray(mat[order])
+
+
+def cosine_neardup_pairs(
+    vectors: ray.data.Dataset,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    broadcast_cap_bytes: int = 256 << 20,
+    guard_margin: float = 1e-6,
+) -> ray.data.Dataset:
+    """EXACT embedding-cosine near-dup pairs: every unordered pair with
+    cosine ≥ ``threshold``, ids only — the deterministic verifying arm of
+    :func:`lsh_cosine_pairs` (which stays the probabilistic scale path,
+    exactly as ``ann_brute`` is the verifying arm of the IVF/PQ family).
+
+    Shape: the row-normalized corpus matrix is assembled worker-side and
+    broadcast once (``ray.put`` semantics via a task return); each batch
+    then computes its rows × matrixᵀ and emits pairs where its id is the
+    smaller — every pair surfaces exactly once with no pair-dedup shuffle.
+    O(n²/p) flops but streaming and bounded: corpora whose matrix would
+    exceed ``broadcast_cap_bytes`` raise loudly with a pointer to the LSH
+    arm instead of silently OOMing a worker.
+
+    Hash-safety guard (the reproject_conic contract): any computed cosine
+    within ``guard_margin`` of the threshold raises — a numpy-vs-SQL ulp
+    divergence could otherwise flip a boundary pair silently.
+    """
+    mat_ds = vectors.select_columns([id_col, emb_col]).materialize()
+    # float32 list → float64 matrix roughly doubles the bytes
+    est = mat_ds.size_bytes() * 2
+    if est > broadcast_cap_bytes:
+        raise ValueError(
+            f"cosine_neardup_pairs: corpus matrix ≈{est >> 20} MB exceeds the "
+            f"{broadcast_cap_bytes >> 20} MB broadcast cap — use "
+            "lsh_cosine_pairs (bucketed, no broadcast) at this scale"
+        )
+    ref = _assemble_emb_broadcast.remote(
+        id_col, emb_col, *mat_ds.to_arrow_refs()
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        all_ids, mat = ray.get(ref)
+        if len(all_ids) == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        sims = m @ mat.T  # (batch, corpus)
+        near = np.abs(sims - threshold) < guard_margin
+        if near.any():
+            r, c = np.nonzero(near)
+            raise ValueError(
+                "cosine_neardup_pairs: cosine within "
+                f"{guard_margin} of threshold {threshold} for pair "
+                f"({ids[r[0]]}, {all_ids[c[0]]}) — hash-unsafe boundary; "
+                "adjust the threshold"
+            )
+        hit = sims >= threshold
+        # emit only where this row's id is the SMALLER of the pair
+        hit &= ids[:, None] < all_ids[None, :]
+        li, ri = np.nonzero(hit)
+        return pa.table({
+            "left_id": pa.array(ids[li], pa.int64()),
+            "right_id": pa.array(all_ids[ri], pa.int64()),
+        })
+
+    out = mat_ds.map_batches(pairs, batch_format="pyarrow")
+    # pair set ≪ corpus (bounded by the broadcast cap): one block, in-batch
+    # sort — Ray's shuffle sort has a multi-second fixed cost this avoids
+    return out.repartition(1).map_batches(
+        lambda b: b.sort_by([("left_id", "ascending"), ("right_id", "ascending")]),
+        batch_format="pyarrow",
+    )

@@ -1176,3 +1176,48 @@ def test_ngram_jaccard_edge_cases(ray_session):
     assert len(out2) == 0  # all segments capped
     assert stats["stop_shingles"] >= 1
     assert stats["stop_shingle_rows"] >= 10
+
+
+def test_cosine_neardup_matches_bruteforce(ray_session, embeddings):
+    """Exact all-pairs arm vs a numpy brute-force oracle; LSH arm finds a
+    superset-verified subset (recall) of the same pairs at its threshold."""
+    import ray.data
+    from geomesa_ray.stages.similarity import cosine_neardup_pairs
+
+    ds = ray.data.from_arrow(embeddings).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=64
+    )
+    tau = 0.45
+    out = cosine_neardup_pairs(ds, threshold=tau).to_pandas()
+    m = np.array(embeddings["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    ids = embeddings["vec_id"].to_numpy()
+    sims = m @ m.T
+    iu, ju = np.triu_indices(len(m), k=1)
+    keep = sims[iu, ju] >= tau
+    expect = sorted(
+        (min(int(ids[a]), int(ids[b])), max(int(ids[a]), int(ids[b])))
+        for a, b in zip(iu[keep], ju[keep])
+    )
+    got = [(int(r.left_id), int(r.right_id)) for r in out.itertuples()]
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_cosine_neardup_cap_and_guard(ray_session, embeddings):
+    import ray.data
+    from geomesa_ray.stages.similarity import cosine_neardup_pairs
+
+    ds = ray.data.from_arrow(embeddings)
+    # broadcast cap raises loudly with a pointer to the LSH arm
+    with pytest.raises(ValueError, match="lsh_cosine_pairs"):
+        cosine_neardup_pairs(ds, broadcast_cap_bytes=1024).to_pandas()
+    # hash-safety guard: a threshold set ON an existing pairwise cosine
+    # must raise, not silently emit a boundary-dependent pair set
+    m = np.array(embeddings["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu, ju = np.triu_indices(len(m), k=1)
+    tau_on_pair = float(sims[iu, ju].max())
+    with pytest.raises(Exception, match="hash-unsafe boundary"):
+        cosine_neardup_pairs(ds, threshold=tau_on_pair).to_pandas()

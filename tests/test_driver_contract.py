@@ -62,6 +62,7 @@ SUBSET = [
     "chunk_corpus",
     "ann_filtered_topk",
     "jaccard_pairs",
+    "cosine_neardup",
 ]
 
 
