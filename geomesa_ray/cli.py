@@ -137,6 +137,16 @@ def cmd_convert(args) -> dict:
     kwargs = _json.loads(args.options) if args.options else {}
     out = fn(args.input, **kwargs)
     ds = out[0] if isinstance(out, tuple) else out  # (ds, spec) readers
+    if getattr(args, "derive", None):
+        from geomesa_ray.functions.exprlang import derive_columns
+
+        exprs = {}
+        for item in args.derive:
+            name, _, expr = item.partition("=")
+            if not name or not expr:
+                raise ValueError(f"--derive expects NAME=EXPR, got {item!r}")
+            exprs[name.strip()] = expr
+        ds = derive_columns(ds, exprs)  # expressions compile (and fail) here
     ds.write_parquet(args.out)
     # count from the written footers — ds.count() would re-execute the
     # whole lazy converter pipeline a second time
@@ -285,6 +295,11 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--options", default=None,
                    help='JSON kwargs for the converter, e.g. \'{"table": "t"}\'')
+    p.add_argument("--derive", action="append", default=[],
+                   metavar="NAME=EXPR",
+                   help="derived column via the transform-expression DSL, "
+                        "e.g. tag=lowercase(concat($source,'-',$lang)); "
+                        "repeatable")
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("corpus")

@@ -1408,6 +1408,36 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_convert_expr(sf_dir: str) -> ray.data.Dataset:
+    """Converter transform-expression DSL driven end-to-end: three derived
+    columns compiled from expression STRINGS (the reference converter-config
+    surface — TransformerParser) and evaluated vectorized per batch; every
+    function used (lowercase/concat/length/substr) has an exact SQL twin."""
+    from geomesa_ray.functions.exprlang import derive_columns
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "lang", "text"])
+    out = derive_columns(
+        ds,
+        {
+            "tag": "lowercase(concat($source, '-', $lang))",
+            "tlen": "length($text)",
+            "head": "substr($text, 0, 16)",
+        },
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "tag": batch["tag"],
+                "tlen": pc.cast(batch["tlen"], pa.int64()),
+                "head": batch["head"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cosine_neardup(sf_dir: str) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs, EXACT all-pairs arm (ids only).
     τ=0.45 sits ≥1e-4 from every pairwise cosine in all testdata tiers —
@@ -2201,6 +2231,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_neardup": q_cosine_neardup,
+    "convert_expr": q_convert_expr,
     "simhash_pairs": q_simhash_pairs,
     "quality_scores": q_quality,
     "langid": q_langid,
@@ -2717,6 +2748,16 @@ JOIN cnt ca ON ca.doc_id = p.left_id
 JOIN cnt cb ON cb.doc_id = p.right_id
 WHERE 2 * p.inter >= (ca.n + cb.n - p.inter)
 ORDER BY 1, 2
+"""
+    # converter expression DSL: every function maps to an exact SQL twin
+    # (lower/|| concat/length/substr are codepoint-identical in Arrow+DuckDB)
+    ORACLE_SQL["convert_expr"] = """
+SELECT doc_id,
+       lower(source || '-' || lang) AS tag,
+       length(text)::BIGINT AS tlen,
+       substr(text, 1, 16) AS head
+FROM documents
+ORDER BY doc_id
 """
     # exact cosine near-dup: ids-only output; τ sits ≥1e-4 from every
     # pairwise cosine (operator guard raises inside 1e-6)

@@ -63,6 +63,7 @@ SUBSET = [
     "ann_filtered_topk",
     "jaccard_pairs",
     "cosine_neardup",
+    "convert_expr",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Converter transform-expression DSL: parser, compiler, vectorized
+evaluation, user-function escape hatch (reference TransformerParser +
+ScriptingFunctionFactory surface)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from geomesa_ray.functions.exprlang import (
+    ExprParseError,
+    compile_expr,
+    derive_columns,
+    parse_expr,
+    register_expr_function,
+)
+
+
+@pytest.fixture()
+def batch():
+    return pa.table(
+        {
+            "name": pa.array(["Alice", "  Bob ", "carol"]),
+            "n": pa.array([1, 2, 3], pa.int64()),
+            "city": pa.array(["NYC", "SF", "LA"]),
+        }
+    )
+
+
+def test_parse_shapes():
+    assert parse_expr("$name") == ("ref", "name")
+    assert parse_expr("$1") == ("ref", "1")
+    assert parse_expr("'a\\'b'") == ("lit", "a'b")
+    assert parse_expr("42") == ("lit", 42)
+    assert parse_expr("-1.5") == ("lit", -1.5)
+    assert parse_expr("true") == ("lit", True)
+    assert parse_expr("null") == ("lit", None)
+    assert parse_expr("concat($a, '-', $b)") == (
+        "call", "concat", [("ref", "a"), ("lit", "-"), ("ref", "b")]
+    )
+    # nesting
+    ast = parse_expr("lowercase(trim(substr($name, 0, 3)))")
+    assert ast[0] == "call" and ast[1] == "lowercase"
+
+
+def test_parse_errors():
+    with pytest.raises(ExprParseError, match="trailing"):
+        parse_expr("$a $b")
+    with pytest.raises(ExprParseError, match="expected '\\('"):
+        parse_expr("lowercase")
+    with pytest.raises(ExprParseError, match="',' or '\\)'"):
+        parse_expr("concat($a $b)")
+    with pytest.raises(ExprParseError, match="unknown function"):
+        compile_expr("nosuchfn($a)")
+    with pytest.raises(ExprParseError, match="cannot tokenize"):
+        parse_expr("concat($a, @b)")
+
+
+def test_eval_matches_direct_kernels(batch):
+    assert compile_expr("lowercase($name)")(batch).to_pylist() == [
+        "alice", "  bob ", "carol"
+    ]
+    assert compile_expr("length(trim($name))")(batch).to_pylist() == [5, 3, 5]
+    got = compile_expr("concat(uppercase($city), '-', $name)")(batch)
+    assert got.to_pylist() == ["NYC-Alice", "SF-  Bob ", "LA-carol"]
+    # positional refs are 1-based column indexes
+    assert compile_expr("uppercase($1)")(batch).to_pylist() == [
+        "ALICE", "  BOB ", "CAROL"
+    ]
+    # arithmetic with literal broadcast
+    assert compile_expr("add(multiply($n, 10), 5)")(batch).to_pylist() == [
+        15, 25, 35
+    ]
+
+
+def test_bad_refs(batch):
+    with pytest.raises(ExprParseError, match="unknown field"):
+        compile_expr("lowercase($nope)")(batch)
+    with pytest.raises(ExprParseError, match="out of range"):
+        compile_expr("lowercase($9)")(batch)
+
+
+def test_user_function_escape_hatch(batch):
+    @register_expr_function("shout")
+    def shout(col):
+        return pc.binary_join_element_wise(pc.utf8_upper(col), "!", "")
+
+    assert compile_expr("shout($city)")(batch).to_pylist() == [
+        "NYC!", "SF!", "LA!"
+    ]
+
+    # user registration shadows a builtin
+    @register_expr_function("length")
+    def neg_length(col):
+        return pc.multiply(pc.utf8_length(col), -1)
+
+    try:
+        assert compile_expr("length($city)")(batch).to_pylist() == [-3, -2, -2]
+    finally:
+        from geomesa_ray.functions import exprlang
+
+        exprlang._USER.pop("length")
+        exprlang._USER.pop("shout")
+
+
+def test_derive_columns_dataset(ray_session, batch):
+    import ray.data
+
+    ds = ray.data.from_arrow(batch).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=2
+    )
+    out = derive_columns(
+        ds, {"tag": "lowercase(concat($city, '-', $name))", "ln": "length($name)"}
+    ).to_pandas().sort_values("n")
+    assert list(out["tag"]) == ["nyc-alice", "sf-  bob ", "la-carol"]
+    assert list(out["ln"]) == [5, 6, 5]
+    # overwrite an existing column in place
+    out2 = derive_columns(ds, {"city": "lowercase($city)"}).to_pandas()
+    assert sorted(out2["city"]) == ["la", "nyc", "sf"]

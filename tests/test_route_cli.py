@@ -110,6 +110,17 @@ def test_cli_end_to_end(tmp_path):
     t = pq.read_table(str(tmp_path / "converted"))
     assert t.num_rows == 2 and {"lon", "lat", "name", "v"} <= set(t.schema.names)
 
+    # --derive: transform-expression DSL columns appended at convert time
+    r7 = run("convert", "--format", "geojson", "--input", str(src),
+             "--out", str(tmp_path / "converted2"),
+             "--derive", "tag=uppercase(concat($name, '-', $name))",
+             "--derive", "v10=multiply($v, 10)")
+    assert r7["rows"] == 2
+    t2 = pq.read_table(str(tmp_path / "converted2"))
+    got = t2.sort_by("v")
+    assert got["tag"].to_pylist() == ["A-A", "B-B"]
+    assert got["v10"].to_pylist() == [10, 20]
+
 
 def test_cli_corpus_ops(tmp_path):
     """The corpus subcommand round-trips dedup/split/normalize outputs.
