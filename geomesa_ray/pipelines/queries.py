@@ -467,6 +467,20 @@ def q_tile_agg(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_raster_regions(sf_dir: str) -> ray.data.Dataset:
+    """Raster → vector over a 128×128 world density grid: cells with ≥2
+    points dissolve into 4-adjacency regions labeled by min cell id —
+    the inverse direction of the tile_agg query class. All-integer output;
+    the oracle reproduces the labeling with a recursive min-label CTE."""
+    from geomesa_ray.stages.density import density, raster_regions
+
+    tiles = density(
+        events_points(sf_dir), envelope=(-180.0, -90.0, 180.0, 90.0),
+        width=128, height=128,
+    )
+    return raster_regions(tiles, threshold=2.0, width=128, height=128)
+
+
 def _indexed_events_layout(sf_dir: str) -> str:
     """Cached z-ordered layout of the derived events points (built once per
     sf_dir via the resumable ingest; reruns skip complete groups)."""
@@ -2217,6 +2231,7 @@ QUERIES = {
     "pip_join_shuffle": q_pip_join_shuffle,
     "pip_join_sharded": q_pip_join_sharded,
     "tile_agg": q_tile_agg,
+    "raster_regions": q_raster_regions,
     "knn": q_knn,
     "knn_indexed": q_knn_indexed,
     "events_by_type": q_events_by_type,
@@ -2348,6 +2363,37 @@ SELECT CAST(LEAST(FLOOR((lon - (-180.0)) / 1.40625), 255) AS BIGINT) AS tile_x,
        CAST(COUNT(*) AS DOUBLE) AS weight
 FROM derived
 GROUP BY 1, 2
+""",
+    # raster→vector: min-label propagation over the recursive pair set =
+    # connected-component min id (the kernel's deterministic label); all
+    # grid arithmetic (2.8125 = 360/128, 1.40625 = 180/128) exact binary
+    "raster_regions": f"""
+WITH RECURSIVE {_DERIVE_SQL.strip()}, grid AS MATERIALIZED (
+  SELECT CAST(LEAST(FLOOR((lon + 180.0) / 2.8125), 127) AS BIGINT) AS x,
+         CAST(LEAST(FLOOR((lat + 90.0) / 1.40625), 127) AS BIGINT) AS y,
+         COUNT(*)::BIGINT AS w
+  FROM derived GROUP BY 1, 2
+), cells AS MATERIALIZED (
+  SELECT x, y, w, y * 128 + x AS id FROM grid WHERE w >= 2
+), edges AS MATERIALIZED (
+  SELECT a.id AS u, b.id AS v
+  FROM cells a JOIN cells b
+    ON (b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x AND b.y = a.y + 1)
+), sym AS MATERIALIZED (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+), lab AS (
+  SELECT id, id AS label FROM cells
+  UNION
+  SELECT s.v AS id, l.label
+  FROM lab l JOIN sym s ON s.u = l.id
+  WHERE l.label < s.v
+), final AS (
+  SELECT id, MIN(label) AS region FROM lab GROUP BY id
+)
+SELECT f.region, COUNT(*)::BIGINT AS n_cells, SUM(c.w)::BIGINT AS total_w,
+       MIN(c.x) AS min_x, MIN(c.y) AS min_y, MAX(c.x) AS max_x, MAX(c.y) AS max_y
+FROM final f JOIN cells c ON c.id = f.id
+GROUP BY 1 ORDER BY 1
 """,
     "knn": f"""
 WITH {_DERIVE_SQL.strip()}, dists AS (

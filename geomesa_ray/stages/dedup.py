@@ -1258,7 +1258,10 @@ def _jaccard_shingle_stage(batch: pa.Table, text_col: str, id_col: str,
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     flat = words.flatten()
+    # flatten() compacts to the slice; rebase offsets so the two agree even
+    # if a future caller hands a sliced ListArray (offset-carrying buffers)
     offs = words.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
     counts = np.diff(offs)
     parent = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
     nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)

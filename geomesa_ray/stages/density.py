@@ -591,3 +591,105 @@ def decode(tiles: pa.Table, envelope=WORLD, width: int = DEFAULT_WIDTH,
             "weight": tiles["weight"].combine_chunks(),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# raster → vector: connected-component region extraction
+# ---------------------------------------------------------------------------
+
+
+def _region_kernel(t: pa.Table, width: int, height: int,
+                   threshold: float) -> pa.Table:
+    """One-block kernel: 4-adjacency connected components over grid cells
+    with weight ≥ threshold, labeled by the component's MINIMUM cell id
+    (``y*width + x`` — deterministic, so a SQL min-label-propagation CTE
+    reproduces it exactly). Vectorized label propagation with pointer
+    jumping: O(rounds × cells) numpy passes, rounds ≈ log(diameter)."""
+    empty = pa.table({
+        "region": pa.array([], pa.int64()),
+        "n_cells": pa.array([], pa.int64()),
+        "total_w": pa.array([], pa.int64()),
+        "min_x": pa.array([], pa.int64()),
+        "min_y": pa.array([], pa.int64()),
+        "max_x": pa.array([], pa.int64()),
+        "max_y": pa.array([], pa.int64()),
+    })
+    if len(t) == 0:
+        return empty
+    x = t["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    y = t["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t["weight"].to_numpy(zero_copy_only=False)
+    keep = w >= threshold
+    if not keep.any():
+        return empty
+    x, y, w = x[keep], y[keep], w[keep]
+    ids = y * width + x
+    order = np.argsort(ids)
+    x, y, w, ids = x[order], y[order], w[order], ids[order]
+    k = len(ids)
+    # neighbor edges as POSITION pairs (ids sorted → searchsorted lookups)
+    pu_parts, pv_parts = [], []
+    for nbr, valid in (
+        (ids + 1, x + 1 < width),       # right neighbor (never row-wraps)
+        (ids + width, y + 1 < height),  # up neighbor
+    ):
+        pos = np.searchsorted(ids, nbr)
+        hit = valid & (pos < k)
+        hit[hit] = ids[pos[hit]] == nbr[hit]
+        pu_parts.append(np.nonzero(hit)[0])
+        pv_parts.append(pos[hit])
+    pu = np.concatenate(pu_parts)
+    pv = np.concatenate(pv_parts)
+    lab = np.arange(k, dtype=np.int64)  # position of the min-id cell seen
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, pu, lab[pv])
+        np.minimum.at(new, pv, lab[pu])
+        new = new[new]  # pointer jump
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # per-region reduce: lexsort by label, segment boundaries, reduceat
+    order2 = np.argsort(lab, kind="stable")
+    lab_s = lab[order2]
+    starts = np.nonzero(np.concatenate([[True], lab_s[1:] != lab_s[:-1]]))[0]
+    def seg(arr, fn):
+        return fn(arr[order2], starts)
+    return pa.table({
+        "region": pa.array(ids[lab_s[starts]], pa.int64()),
+        "n_cells": pa.array(np.diff(np.concatenate([starts, [k]])), pa.int64()),
+        "total_w": pa.array(
+            seg(w.astype(np.int64), np.add.reduceat), pa.int64()
+        ),
+        "min_x": pa.array(seg(x, np.minimum.reduceat), pa.int64()),
+        "min_y": pa.array(seg(y, np.minimum.reduceat), pa.int64()),
+        "max_x": pa.array(seg(x, np.maximum.reduceat), pa.int64()),
+        "max_y": pa.array(seg(y, np.maximum.reduceat), pa.int64()),
+    })
+
+
+def raster_regions(
+    tiles: ray.data.Dataset,
+    threshold: float = 1.0,
+    width: int = DEFAULT_WIDTH,
+    height: int = DEFAULT_HEIGHT,
+) -> ray.data.Dataset:
+    """Raster → vector: dissolve grid cells with weight ≥ ``threshold``
+    into 4-adjacency regions (the inverse of :func:`density`'s
+    vector → raster direction). Emits one row per region: min-cell-id
+    label, cell count, summed weight, and the region's cell-index bbox —
+    all integers, bit-deterministic against a SQL min-label CTE.
+
+    Scale shape: the input is a density grid, already bounded by
+    ``width × height`` (the same bound density's tree-reduce relies on) —
+    so the component pass runs as ONE vectorized task on the merged grid,
+    never a driver loop. Raster inputs beyond the grid bound are a
+    different operator (tile-then-dissolve per macro-tile)."""
+    merged = tiles.repartition(1)
+    return merged.map_batches(
+        _region_kernel, batch_format="pyarrow",
+        fn_kwargs={"width": width, "height": height, "threshold": threshold},
+        batch_size=width * height + 1,
+    ).map_batches(
+        lambda b: b.sort_by([("region", "ascending")]), batch_format="pyarrow"
+    )

@@ -343,3 +343,95 @@ def test_enumeration_topk_with_nulls(ray_session):
     res2 = compute_stats(ds, [StatSpec("g", "enumeration", "v", group_by="k")])
     assert res2["g"]["a"] == {"x": 1}
     assert res2["g"][None] == {"y": 1, "z": 1}
+
+
+def test_raster_regions_matches_union_find(ray_session):
+    """Connected components of a synthetic grid (snake + blob + singleton +
+    sub-threshold noise) vs a brute-force union-find oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geomesa_ray.stages.density import raster_regions
+
+    W = H = 32
+    cells = (
+        # snake: L-shaped 7-cell region
+        [(1, 1), (2, 1), (3, 1), (3, 2), (3, 3), (3, 4), (4, 4)]
+        # blob: 2x2
+        + [(10, 10), (11, 10), (10, 11), (11, 11)]
+        # singleton
+        + [(20, 20)]
+        # diagonal-only neighbors: NOT connected under 4-adjacency
+        + [(25, 25), (26, 26)]
+        # wrap trap: x=W-1 next to x=0 of the following row (ids adjacent
+        # but cells are not)
+        + [(31, 5), (0, 6)]
+    )
+    weights = {c: 3.0 for c in cells}
+    weights[(2, 1)] = 9.0
+    # sub-threshold noise touching the snake must not join it
+    noise = [(1, 2), (4, 1)]
+    xs = [c[0] for c in cells] + [c[0] for c in noise]
+    ys = [c[1] for c in cells] + [c[1] for c in noise]
+    ws = [weights[c] for c in cells] + [1.0] * len(noise)
+    t = pa.table({
+        "tile_x": pa.array(xs, pa.int64()),
+        "tile_y": pa.array(ys, pa.int64()),
+        "weight": pa.array(ws, pa.float64()),
+    })
+    out = raster_regions(
+        ray.data.from_arrow(t), threshold=2.0, width=W, height=H
+    ).to_pandas()
+
+    # brute-force union-find over the kept cells
+    kept = set(cells)
+    parent = {c: c for c in kept}
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+    for (x, y) in kept:
+        for nb in ((x + 1, y), (x, y + 1)):
+            if nb in kept:
+                ra, rb = find((x, y)), find(nb)
+                if ra != rb:
+                    parent[ra] = rb
+    groups = {}
+    for c in kept:
+        groups.setdefault(find(c), []).append(c)
+    expect = []
+    for g in groups.values():
+        ids = [y * W + x for x, y in g]
+        expect.append({
+            "region": min(ids),
+            "n_cells": len(g),
+            "total_w": int(sum(weights[c] for c in g)),
+            "min_x": min(x for x, _ in g), "min_y": min(y for _, y in g),
+            "max_x": max(x for x, _ in g), "max_y": max(y for _, y in g),
+        })
+    expect.sort(key=lambda r: r["region"])
+    got = out.to_dict("records")
+    assert got == expect
+    # structure sanity: snake is one 7-cell region, blob 2x2, etc.
+    sizes = sorted(out["n_cells"])
+    assert sizes == [1, 1, 1, 1, 1, 4, 7]
+
+
+def test_raster_regions_empty_and_none_kept(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geomesa_ray.stages.density import raster_regions
+
+    t = pa.table({
+        "tile_x": pa.array([1, 2], pa.int64()),
+        "tile_y": pa.array([1, 2], pa.int64()),
+        "weight": pa.array([1.0, 1.0], pa.float64()),
+    })
+    assert raster_regions(
+        ray.data.from_arrow(t), threshold=5.0, width=8, height=8
+    ).count() == 0
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    assert raster_regions(empty, threshold=1.0, width=8, height=8).count() == 0

@@ -64,6 +64,7 @@ SUBSET = [
     "jaccard_pairs",
     "cosine_neardup",
     "convert_expr",
+    "raster_regions",
 ]
 
 
