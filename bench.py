@@ -30,6 +30,7 @@ HEADLINE = [
     "pip_join_shuffle",
     "pip_join_sharded",
     "tile_agg",
+    "raster_regions",
     "tile_agg_lines",
     "bbox_scan",
     "bbox_time_scan",
