@@ -161,6 +161,36 @@ def cmd_convert(args) -> dict:
     return {"rows": rows, "format": args.format}
 
 
+def cmd_stats(args) -> dict:
+    """Run a registered driver query and surface Ray Data's per-stage
+    execution stats — the ``ds.stats()`` feedback loop the scale tuning
+    relies on, exposed as a first-class tool (reference analog: the
+    stats/explain tooling in geomesa-tools). Prints the stage summary to
+    stderr (human), returns machine fields in the JSON result."""
+    from geomesa_ray.pipelines.queries import QUERIES
+
+    if args.query not in QUERIES:
+        raise SystemExit(
+            f"unknown query {args.query!r}; available: {sorted(QUERIES)}"
+        )
+    res = QUERIES[args.query](args.sf_dir)
+    out = {"query": args.query, "sf_dir": args.sf_dir}
+    if hasattr(res, "stats"):  # ray.data.Dataset
+        res = res.materialize()
+        out["rows"] = res.count()
+        stats = res.stats()
+        print(stats, file=sys.stderr)
+        # machine-usable: total wall per stage line ("Operator N ...: ...")
+        out["stages"] = [
+            ln.strip() for ln in stats.splitlines()
+            if ln.strip().startswith("Operator ")
+        ]
+    else:  # pa.Table / DataFrame results have no execution stats
+        out["rows"] = len(res)
+        out["stages"] = []
+    return out
+
+
 def cmd_corpus(args) -> dict:
     """Training-data corpus operators over a documents parquet table:
     exact / MinHash near-dup dedup, quality scoring, PII redaction, text
@@ -317,6 +347,12 @@ def main(argv=None) -> int:
     p.add_argument("--bench", default=None,
                    help="benchmark parquet (decontaminate)")
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser("stats")
+    p.add_argument("--query", required=True,
+                   help="registered driver query name (see pipelines.queries)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.set_defaults(fn=cmd_stats)
 
     args = ap.parse_args(argv)
     _init(args)

@@ -110,6 +110,13 @@ def test_cli_end_to_end(tmp_path):
     t = pq.read_table(str(tmp_path / "converted"))
     assert t.num_rows == 2 and {"lon", "lat", "name", "v"} <= set(t.schema.names)
 
+    # stats: per-stage execution report for any registered driver query
+    r8 = run("stats", "--query", "raster_regions",
+             "--sf-dir", "/root/testdata/sf0.001")
+    assert r8["rows"] > 0 and any(
+        "_region_kernel" in s for s in r8["stages"]
+    )
+
     # --derive: transform-expression DSL columns appended at convert time
     r7 = run("convert", "--format", "geojson", "--input", str(src),
              "--out", str(tmp_path / "converted2"),
