@@ -70,6 +70,9 @@ HEADLINE = [
     "stratified_sample",
     "mix_epochs",
     "ann_filtered_topk",
+    "hex_encode",
+    "hex_density",
+    "hex_kring_counts",
 ]
 
 

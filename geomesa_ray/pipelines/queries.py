@@ -1145,6 +1145,45 @@ FROM enc GROUP BY z3_bin, z3 >> 51
 """
 
 
+HEX_ANCHORS = [
+    ("anc_a", -73.98, 40.75),
+    ("anc_b", 2.35, 48.86),
+    ("anc_c", 139.69, 35.68),
+    ("anc_d", -0.13, 51.51),
+]
+
+
+def q_hex_encode(sf_dir: str) -> ray.data.Dataset:
+    """H3-analog hex cell encoder (curves/hexgrid.py) verified bit-for-bit
+    against an independent SQL implementation: micro-degree floor, the
+    nearest-of-two-sublattice integer pick, and the Morton pack are all
+    mirrored op-for-op. Reference analog: the cell-keying the index layer
+    derives from Z2SFC.scala / the S2 scheme."""
+    from geomesa_ray.stages.hexindex import hex_assign
+
+    ds = hex_assign(events_points(sf_dir), res=9, out_col="hex9")
+    return ds.map_batches(
+        lambda b: b.select(["event_id", "hex9"]), batch_format="pyarrow"
+    )
+
+
+def q_hex_density(sf_dir: str) -> ray.data.Dataset:
+    """Per-hex-cell event counts at res 6 — the hex-tile analog of
+    tile_agg (combiner + tree merge, no sort-shuffle)."""
+    from geomesa_ray.stages.hexindex import hex_density
+
+    return hex_density(events_points(sf_dir), res=6, out_col="hex6")
+
+
+def q_hex_kring_counts(sf_dir: str) -> ray.data.Dataset:
+    """Cell-ring expansion counts: events within hex distance ≤2 of four
+    anchor cells at res 7 (broadcast anchors, integer axial distances) —
+    the kNN expanding-window primitive as a distributed aggregate."""
+    from geomesa_ray.stages.hexindex import hex_kring_counts
+
+    return hex_kring_counts(events_points(sf_dir), HEX_ANCHORS, res=7, k=2)
+
+
 def q_bin_roundtrip(sf_dir: str) -> pa.Table:
     """BIN format end-to-end (BinaryOutputEncoder 16-byte layout): derived
     events encoded to packed BIN blobs (FNV track hash) and decoded back;
@@ -2268,6 +2307,9 @@ QUERIES = {
     "z2_encode": q_z2_encode,
     "z3_encode": q_z3_encode,
     "z3_histogram": q_z3_histogram,
+    "hex_encode": q_hex_encode,
+    "hex_density": q_hex_density,
+    "hex_kring_counts": q_hex_kring_counts,
     "reproject": q_reproject,
     "reproject_conic": q_reproject_conic,
     "reproject_osgb": q_reproject_osgb,
@@ -3257,3 +3299,115 @@ WHERE z % 1000 < 200 + (CAST(substr(source, 4) AS BIGINT) * 53) % 600
 
 
 ORACLE_SQL["stratified_sample"] = _stratified_sample_oracle_sql()
+
+
+def _hex_sql_interleave(col: str) -> str:
+    """The zorder.py magic-mask split chain as one SQL expression (same
+    construction as the z2_encode oracle)."""
+    steps = [
+        (32, 0x00000000FFFFFFFF),
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    expr = f"({col} & 2147483647)"
+    for sh, mask in steps:
+        expr = f"(xor({expr}, ({expr} << {sh})) & {mask})"
+    return expr
+
+
+def _hex_cell_ctes(res: int, src: str, cols: str) -> str:
+    """CTE chain assigning the hex cell (ha, hb) of ``src`` rows — the
+    exact integer mirror of curves/hexgrid.hex_cell_ab: micro-degree
+    floor, nearest-of-two-rectangular-sublattices pick with the <= tie
+    to the even sublattice. ``cols`` are passthrough columns."""
+    from geomesa_ray.curves.hexgrid import res_pitches
+
+    hw, vv = res_pitches(res)
+    return f"""
+hx_{res} AS (
+  SELECT {cols},
+         CAST(FLOOR((lon + 180.0) * 100000.0) AS BIGINT) AS x,
+         CAST(FLOOR((lat + 90.0) * 100000.0) AS BIGINT) AS y
+  FROM {src}
+), cand_{res} AS (
+  SELECT {cols}, x, y,
+         2 * ((x + {hw}) // {2 * hw}) AS aa,
+         2 * ((y + {vv}) // {2 * vv}) AS ba,
+         2 * (x // {2 * hw}) + 1 AS ab,
+         2 * (y // {2 * vv}) + 1 AS bb
+  FROM hx_{res}
+), pick_{res} AS (
+  SELECT {cols},
+         CASE WHEN (x - aa*{hw})*(x - aa*{hw}) + (y - ba*{vv})*(y - ba*{vv})
+                <= (x - ab*{hw})*(x - ab*{hw}) + (y - bb*{vv})*(y - bb*{vv})
+              THEN aa ELSE ab END AS ha,
+         CASE WHEN (x - aa*{hw})*(x - aa*{hw}) + (y - ba*{vv})*(y - ba*{vv})
+                <= (x - ab*{hw})*(x - ab*{hw}) + (y - bb*{vv})*(y - bb*{vv})
+              THEN ba ELSE bb END AS hb
+  FROM cand_{res}
+)"""
+
+
+def _hex_encode_oracle_sql() -> str:
+    from geomesa_ray.curves.hexgrid import RES_SHIFT
+
+    return f"""
+WITH {_DERIVE_SQL.strip()}, {_hex_cell_ctes(9, "derived", "event_id").strip()}
+SELECT event_id,
+       ({_hex_sql_interleave('ha')} | ({_hex_sql_interleave('hb')} << 1))
+         | {9 << RES_SHIFT} AS hex9
+FROM pick_9
+"""
+
+
+def _hex_density_oracle_sql() -> str:
+    from geomesa_ray.curves.hexgrid import RES_SHIFT
+
+    return f"""
+WITH {_DERIVE_SQL.strip()}, {_hex_cell_ctes(6, "derived", "event_id").strip()}
+SELECT ({_hex_sql_interleave('ha')} | ({_hex_sql_interleave('hb')} << 1))
+         | {6 << RES_SHIFT} AS hex6,
+       COUNT(*) AS n_events
+FROM pick_6
+GROUP BY 1
+"""
+
+
+def _hex_kring_oracle_sql() -> str:
+    anchors = " UNION ALL ".join(
+        f"SELECT '{n}' AS anchor_id, CAST({x} AS DOUBLE) AS lon, "
+        f"CAST({y} AS DOUBLE) AS lat"
+        for n, x, y in HEX_ANCHORS
+    )
+    ev = _hex_cell_ctes(7, "derived", "event_id").strip()
+    # second, independently-named chain for the anchor side
+    an = (
+        _hex_cell_ctes(7, "anchors", "anchor_id")
+        .strip()
+        .replace("hx_7", "ahx_7")
+        .replace("cand_7", "acand_7")
+        .replace("pick_7", "apick_7")
+    )
+    return f"""
+WITH {_DERIVE_SQL.strip()}, anchors AS ({anchors}), {ev}, {an},
+ev_ax AS (
+  SELECT event_id, (ha - hb) // 2 AS q, hb AS r FROM pick_7
+),
+an_ax AS (
+  SELECT anchor_id, (ha - hb) // 2 AS q, hb AS r FROM apick_7
+)
+SELECT a.anchor_id,
+       CAST(SUM(CASE WHEN (ABS(e.q - a.q) + ABS(e.r - a.r)
+                           + ABS((e.q - a.q) + (e.r - a.r))) // 2 <= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+FROM an_ax a CROSS JOIN ev_ax e
+GROUP BY 1
+"""
+
+
+ORACLE_SQL["hex_encode"] = _hex_encode_oracle_sql()
+ORACLE_SQL["hex_density"] = _hex_density_oracle_sql()
+ORACLE_SQL["hex_kring_counts"] = _hex_kring_oracle_sql()

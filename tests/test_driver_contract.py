@@ -65,6 +65,10 @@ SUBSET = [
     "cosine_neardup",
     "convert_expr",
     "raster_regions",
+    # round-4 hex-cell (H3-analog) index wave
+    "hex_encode",
+    "hex_density",
+    "hex_kring_counts",
 ]
 
 

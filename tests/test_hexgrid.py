@@ -1,0 +1,97 @@
+"""Property tests for the H3-analog hex grid (curves/hexgrid.py)."""
+
+import numpy as np
+import pytest
+
+from geomesa_ray.curves import hexgrid as hg
+
+
+def _rand(n=2000, seed=42):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-180, 180, n), rng.uniform(-90, 90, n)
+
+
+def test_assignment_is_nearest_center():
+    """Brute-force Voronoi check: no lattice center within ±3 units is
+    strictly closer than the assigned one (exact int64 arithmetic)."""
+    lon, lat = _rand(5000)
+    for res in (4, 8, 12):
+        hw, vv = hg.res_pitches(res)
+        x, y = hg.hex_xy(lon, lat)
+        a, b = hg.hex_cell_ab(x, y, res)
+        assert ((a + b) % 2 == 0).all()
+        assigned = (x - a * hw) ** 2 + (y - b * vv) ** 2
+        for da in range(-3, 4):
+            for db in range(-3, 4):
+                if (da + db) % 2:
+                    continue
+                d2 = (x - (a + da) * hw) ** 2 + (y - (b + db) * vv) ** 2
+                assert not (d2 < assigned).any(), (res, da, db)
+
+
+def test_pack_decode_roundtrip():
+    lon, lat = _rand()
+    for res in (0, 7, 12):
+        c = hg.hex_encode(lon, lat, res)
+        r, a, b = hg.hex_decode(c)
+        assert (r == res).all()
+        assert (hg.pack_cell(a, b, res) == c).all()
+        q, rr = hg.ab_to_axial(a, b)
+        a2, b2 = hg.axial_to_ab(q, rr)
+        assert (a2 == a).all() and (b2 == b).all()
+
+
+def test_ring_sizes_and_distances():
+    for k in range(5):
+        dq, dr = hg.ring_offsets(k)
+        assert len(dq) == 1 + 3 * k * (k + 1)
+    c0 = int(hg.hex_encode(10.0, 20.0, 8))
+    ring = hg.k_ring(c0, 2)
+    assert len(ring) == 19 and len(set(ring.tolist())) == 19
+    d = hg.hex_distance(np.full(len(ring), c0), ring)
+    assert sorted(d.tolist()) == [0] + [1] * 6 + [2] * 12
+    # vectorized form matches scalar
+    many = hg.hex_encode(np.array([10.0, -50.0]), np.array([20.0, 3.0]), 8)
+    rings = hg.k_ring(many, 1)
+    assert rings.shape == (2, 7)
+    assert set(rings[0].tolist()) == set(hg.k_ring(int(many[0]), 1).tolist())
+
+
+def test_parent_is_containing_coarse_cell():
+    lon, lat = _rand()
+    c = hg.hex_encode(lon, lat, 10)
+    p = hg.hex_parent(c, 8)
+    pr, _, _ = hg.hex_decode(p)
+    assert (pr == 8).all()
+    # parent must be the coarse cell of the child's center point
+    cx, cy = hg.hex_center_units(c)
+    pa_, pb_ = hg.hex_cell_ab(cx, cy, 8)
+    assert (hg.pack_cell(pa_, pb_, 8) == p).all()
+    with pytest.raises(ValueError):
+        hg.hex_parent(c, 11)
+
+
+def test_cover_bbox_superset_of_point_cells():
+    cells = set(hg.cover_bbox(-10, -5, 10, 5, 6).tolist())
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-10, 10, 500)
+    lat = rng.uniform(-5, 5, 500)
+    assert set(hg.hex_encode(lon, lat, 6).tolist()) <= cells
+
+
+def test_morton_prefix_locality():
+    """Cells of nearby points share high Morton bits more often than
+    far-apart points — the shuffle-key locality the id packing buys."""
+    c1 = int(hg.hex_encode(10.0, 20.0, 12))
+    c2 = int(hg.hex_encode(10.01, 20.01, 12))
+    c3 = int(hg.hex_encode(-170.0, -80.0, 12))
+    near = (c1 ^ c2).bit_length()
+    far = (c1 ^ c3).bit_length()
+    assert near < far
+
+
+def test_hex_distance_res_mismatch_raises():
+    a = hg.hex_encode(0.0, 0.0, 8)
+    b = hg.hex_encode(0.0, 0.0, 9)
+    with pytest.raises(ValueError):
+        hg.hex_distance(a, b)
