@@ -73,6 +73,7 @@ HEADLINE = [
     "hex_encode",
     "hex_density",
     "hex_kring_counts",
+    "hex_pip_count",
 ]
 
 

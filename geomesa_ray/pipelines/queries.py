@@ -1175,6 +1175,15 @@ def q_hex_density(sf_dir: str) -> ray.data.Dataset:
     return hex_density(events_points(sf_dir), res=6, out_col="hex6")
 
 
+def q_hex_pip_count(sf_dir: str) -> ray.data.Dataset:
+    """Hex-cell-keyed PIP join with the per-polygon count aggregate pushed
+    down (stages/hexindex.hex_pip_count): the north-rule join shape with
+    the shuffle fused away. Oracle: the plain PIP pair SQL grouped."""
+    from geomesa_ray.stages.hexindex import hex_pip_count
+
+    return hex_pip_count(events_points(sf_dir), polygons_table(), res=6)
+
+
 def q_hex_kring_counts(sf_dir: str) -> ray.data.Dataset:
     """Cell-ring expansion counts: events within hex distance ≤2 of four
     anchor cells at res 7 (broadcast anchors, integer axial distances) —
@@ -2310,6 +2319,7 @@ QUERIES = {
     "hex_encode": q_hex_encode,
     "hex_density": q_hex_density,
     "hex_kring_counts": q_hex_kring_counts,
+    "hex_pip_count": q_hex_pip_count,
     "reproject": q_reproject,
     "reproject_conic": q_reproject_conic,
     "reproject_osgb": q_reproject_osgb,
@@ -3411,3 +3421,9 @@ GROUP BY 1
 ORACLE_SQL["hex_encode"] = _hex_encode_oracle_sql()
 ORACLE_SQL["hex_density"] = _hex_density_oracle_sql()
 ORACLE_SQL["hex_kring_counts"] = _hex_kring_oracle_sql()
+
+ORACLE_SQL["hex_pip_count"] = f"""
+WITH pip AS ({_PIP_SQL.strip()})
+SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM pip GROUP BY 1
+"""

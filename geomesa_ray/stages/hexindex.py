@@ -121,3 +121,106 @@ def hex_kring_counts(ds: ray.data.Dataset, anchors: list[tuple[str, float, float
     partials = ds.map_batches(partial, batch_format="pyarrow")
     merged, _ = _tree_merge(partials, merge, fanin_rows=fanin_rows)
     return merged
+
+
+def _hex_csr_cover(poly_table: pa.Table, res: int, wkb_col: str):
+    """Driver-side (small polygon side, broadcast-arm contract): per-polygon
+    hex covering cells → CSR arrays (sorted cell ids, offsets, poly idx).
+    Few large numpy buffers, the broadcast shape CLAUDE.md requires."""
+    from geomesa_ray.geometry.wkb import wkb_envelopes
+
+    envs = wkb_envelopes(poly_table[wkb_col]).reshape(-1, 4)
+    cells_list, poly_list = [], []
+    for i in range(len(poly_table)):
+        cells = hg.cover_bbox(envs[i, 0], envs[i, 1], envs[i, 2], envs[i, 3],
+                              res)
+        cells_list.append(cells)
+        poly_list.append(np.full(len(cells), i, np.int64))
+    cells = np.concatenate(cells_list) if cells_list else np.empty(0, np.int64)
+    polys = np.concatenate(poly_list) if poly_list else np.empty(0, np.int64)
+    order = np.lexsort((polys, cells))
+    cells, polys = cells[order], polys[order]
+    uniq, starts = np.unique(cells, return_index=True)
+    offsets = np.append(starts, len(cells)).astype(np.int64)
+    return uniq, offsets, polys
+
+
+def hex_pip_count(points: ray.data.Dataset, polygons: pa.Table, res: int = 6,
+                  predicate: str = "intersects", id_col: str = "poly_id",
+                  wkb_col: str = "geom_wkb", lon_col: str = "lon",
+                  lat_col: str = "lat",
+                  fanin_rows: int = 2_000_000) -> ray.data.Dataset:
+    """Hex-cell-keyed PIP join with the aggregate PUSHED DOWN: per-polygon
+    point counts, never the materialized pair set.
+
+    The north-star join shape ("probe side shuffled by H3 cell prefix …
+    before a cell-keyed groupby-aggregate join") fused one step further:
+    because the output is an aggregate, the cell co-grouping collapses
+    into a broadcast CSR lookup — each batch maps its points to hex cells
+    (exact integer), gathers candidate polygons from the cell→polygon CSR
+    (vectorized expansion), runs the exact PIP residual, and emits
+    per-polygon partial counts. No all-to-all shuffle survives, so
+    hot-cell salting is unnecessary on this path (skew only shifts work
+    *within* embarrassingly-parallel batches); the shuffle+salt arm for
+    materialized pairs remains pip_join_shuffle/_sharded (stages/join.py).
+    Reference analog: GeoMesaJoinRelation.scala:41-91 grid join +
+    aggregate, without the reference's duplicated-pair TODO."""
+    from geomesa_ray.geometry.predicates import points_in_polygon
+    from geomesa_ray.stages.join import (PREDICATES, PolygonSet,
+                                         _resolve_broadcast)
+
+    if predicate not in PREDICATES:
+        raise ValueError(f"predicate must be one of {PREDICATES}")
+    pset = PolygonSet(polygons, id_col=id_col, wkb_col=wkb_col)
+    uniq, offsets, csr_polys = _hex_csr_cover(polygons, res, wkb_col)
+    ids = polygons[id_col].to_pylist()
+    ref = ray.put((uniq, offsets, csr_polys, pset))
+    include_boundary = predicate in ("intersects", "covers")
+
+    schema = pa.schema([pa.field(id_col, pa.string()),
+                        pa.field("n_points", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return schema.empty_table()
+        cells_u, offs, cpolys, ps = _resolve_broadcast(ref)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        cell = hg.hex_encode(lon, lat, res)
+        pos = np.searchsorted(cells_u, cell)
+        pos_c = np.clip(pos, 0, max(len(cells_u) - 1, 0))
+        hit = (cells_u[pos_c] == cell) if len(cells_u) else np.zeros(len(cell), bool)
+        counts = np.where(hit, offs[pos_c + 1] - offs[pos_c], 0)
+        total = int(counts.sum())
+        if total == 0:
+            return schema.empty_table()
+        # vectorized CSR gather of candidate (point, polygon) pairs
+        first = np.cumsum(counts) - counts
+        pt_idx = np.repeat(np.arange(len(cell), dtype=np.int64), counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
+        cand_poly = cpolys[np.repeat(offs[pos_c], counts) + within]
+        # exact residual, grouped per candidate polygon (match_points kernel)
+        order = np.argsort(cand_poly, kind="stable")
+        pt_idx, cand_poly = pt_idx[order], cand_poly[order]
+        upoly, starts = np.unique(cand_poly, return_index=True)
+        ends = np.append(starts[1:], len(cand_poly))
+        n_hits = np.zeros(len(ps), np.int64)
+        for poly_i, s, e in zip(upoly.tolist(), starts.tolist(), ends.tolist()):
+            pts = pt_idx[s:e]
+            mask = points_in_polygon(lon[pts], lat[pts], ps.geoms[poly_i],
+                                     include_boundary=include_boundary)
+            n_hits[poly_i] = int(mask.sum())
+        nz = np.nonzero(n_hits)[0]
+        return pa.table({
+            id_col: pa.array([ids[i] for i in nz.tolist()], pa.string()),
+            "n_points": pa.array(n_hits[nz], pa.int64()),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return schema.empty_table()
+        return _group_sum(batch.cast(schema), [id_col], ["n_points"])
+
+    partials = points.map_batches(partial, batch_format="pyarrow")
+    merged, _ = _tree_merge(partials, merge, fanin_rows=fanin_rows)
+    return merged

@@ -69,6 +69,7 @@ SUBSET = [
     "hex_encode",
     "hex_density",
     "hex_kring_counts",
+    "hex_pip_count",
 ]
 
 

@@ -95,3 +95,25 @@ def test_hex_distance_res_mismatch_raises():
     b = hg.hex_encode(0.0, 0.0, 9)
     with pytest.raises(ValueError):
         hg.hex_distance(a, b)
+
+
+def test_hex_pip_count_matches_broadcast_join(ray_session):
+    """Cross-implementation check: the fused hex-keyed aggregate join must
+    equal per-polygon counts from the broadcast GridIndex join."""
+    import pyarrow as pa
+    import ray
+
+    from geomesa_ray.pipelines.queries import events_points, polygons_table
+    from geomesa_ray.stages.hexindex import hex_pip_count
+    from geomesa_ray.stages.join import pip_join_broadcast
+
+    sf = "/root/testdata/sf0.001"
+    got = hex_pip_count(events_points(sf), polygons_table(), res=7)
+    got_t = {r["poly_id"]: r["n_points"] for r in got.take_all()}
+    ref = pip_join_broadcast(events_points(sf), polygons_table(),
+                             predicate="intersects")
+    import collections
+    cnt = collections.Counter(
+        r["poly_id"] for r in ref.select_columns(["poly_id"]).take_all()
+    )
+    assert got_t == dict(cnt)
