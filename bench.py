@@ -74,6 +74,7 @@ HEADLINE = [
     "hex_density",
     "hex_kring_counts",
     "hex_pip_count",
+    "hex_indexed_scan",
 ]
 
 

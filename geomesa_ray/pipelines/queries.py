@@ -1175,6 +1175,33 @@ def q_hex_density(sf_dir: str) -> ray.data.Dataset:
     return hex_density(events_points(sf_dir), res=6, out_col="hex6")
 
 
+BBOX_HEX = (20.0, 10.0, 60.0, 40.0)
+
+
+def _hex_events_layout(sf_dir: str) -> str:
+    """Cached hex-prefix-partitioned layout of the derived event points
+    (hive dirs keyed by the res-2 hex cell; streaming build)."""
+
+    def build(out: str) -> None:
+        from geomesa_ray.stages.hexindex import ingest_hex
+
+        ingest_hex(events_points(sf_dir), out, res=2)
+
+    return _cached_layout("hexidx", sf_dir, build)
+
+
+def q_hex_indexed_scan(sf_dir: str) -> ray.data.Dataset:
+    """bbox scan over the hex-partitioned layout: the covering prunes
+    partition dirs at plan time, then the exact residual filters — the
+    'file layout keyed by H3 prefix' scan path. Oracle: plain bbox SQL."""
+    from geomesa_ray.stages.hexindex import hex_indexed_scan
+
+    layout = _hex_events_layout(sf_dir)
+    return hex_indexed_scan(
+        layout, BBOX_HEX, columns=["event_id", "lon", "lat"]
+    )
+
+
 def q_hex_pip_count(sf_dir: str) -> ray.data.Dataset:
     """Hex-cell-keyed PIP join with the per-polygon count aggregate pushed
     down (stages/hexindex.hex_pip_count): the north-rule join shape with
@@ -2320,6 +2347,7 @@ QUERIES = {
     "hex_density": q_hex_density,
     "hex_kring_counts": q_hex_kring_counts,
     "hex_pip_count": q_hex_pip_count,
+    "hex_indexed_scan": q_hex_indexed_scan,
     "reproject": q_reproject,
     "reproject_conic": q_reproject_conic,
     "reproject_osgb": q_reproject_osgb,
@@ -3426,4 +3454,11 @@ ORACLE_SQL["hex_pip_count"] = f"""
 WITH pip AS ({_PIP_SQL.strip()})
 SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_points
 FROM pip GROUP BY 1
+"""
+
+ORACLE_SQL["hex_indexed_scan"] = f"""
+WITH {_DERIVE_SQL.strip()}
+SELECT event_id, lon, lat FROM derived
+WHERE lon >= {BBOX_HEX[0]} AND lon <= {BBOX_HEX[2]}
+  AND lat >= {BBOX_HEX[1]} AND lat <= {BBOX_HEX[3]}
 """

@@ -224,3 +224,80 @@ def hex_pip_count(points: ray.data.Dataset, polygons: pa.Table, res: int = 6,
     partials = points.map_batches(partial, batch_format="pyarrow")
     merged, _ = _tree_merge(partials, merge, fanin_rows=fanin_rows)
     return merged
+
+
+def ingest_hex(ds: ray.data.Dataset, out_dir: str, res: int = 2,
+               lon_col: str = "lon", lat_col: str = "lat") -> None:
+    """Write a hex-prefix-partitioned layout: hive-style
+    ``hex_cell=<id>/`` directories keyed by the coarse hex cell — the
+    "file layout keyed by H3 prefix so pruning works" plan item
+    (SURVEY §scan-parallelism). Streaming write, no driver
+    materialization; a failed run reruns only unwritten partitions'
+    blocks (same resumability contract as ingest_ivf)."""
+    import json
+    import os
+
+    keyed = hex_assign(ds, res=res, lon_col=lon_col, lat_col=lat_col,
+                       out_col="hex_cell")
+    keyed.write_parquet(out_dir, partition_cols=["hex_cell"])
+    meta = os.path.join(out_dir, "_meta")
+    os.makedirs(meta, exist_ok=True)
+    with open(os.path.join(meta, "hex.json"), "w") as f:
+        json.dump({"res": res, "lon_col": lon_col, "lat_col": lat_col}, f)
+
+
+def plan_hex_files(out_dir: str, cells) -> tuple[list[str], int]:
+    """(files under the given hex cells, total file count in the layout)."""
+    import glob as _glob
+    import os
+
+    total = len(_glob.glob(os.path.join(out_dir, "hex_cell=*", "*.parquet")))
+    files: list[str] = []
+    for c in sorted(int(c) for c in set(np.asarray(cells).ravel().tolist())):
+        files.extend(sorted(
+            _glob.glob(os.path.join(out_dir, f"hex_cell={c}", "*.parquet"))
+        ))
+    return files, total
+
+
+def hex_indexed_scan(out_dir: str, bbox: tuple[float, float, float, float],
+                     columns: list[str] | None = None,
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     stats: dict | None = None) -> ray.data.Dataset:
+    """bbox scan over a hex-partitioned layout: loose hex covering of the
+    box prunes partition directories at plan time (only those FILES are
+    read), then the exact bbox residual runs per batch. Covering is a
+    proven superset of every in-box point's cell (test_hexgrid), so
+    pruning never loses rows."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+
+    with open(os.path.join(out_dir, "_meta", "hex.json")) as f:
+        meta = json.load(f)
+    res = meta["res"]
+    xmin, ymin, xmax, ymax = bbox
+    cells = hg.cover_bbox(xmin, ymin, xmax, ymax, res)
+    files, total = plan_hex_files(out_dir, cells)
+    if stats is not None:
+        stats["files_read"] = len(files)
+        stats["files_total"] = total
+    read_cols = columns
+    if columns is not None:
+        read_cols = sorted(set(columns) | {lon_col, lat_col})
+    if not files:
+        return ray.data.from_items([]).limit(0)
+    ds = ray.data.read_parquet(files, columns=read_cols)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(batch[lon_col], xmin),
+                    pc.less_equal(batch[lon_col], xmax)),
+            pc.and_(pc.greater_equal(batch[lat_col], ymin),
+                    pc.less_equal(batch[lat_col], ymax)),
+        )
+        out = batch.filter(m)
+        return out.select(columns) if columns is not None else out
+
+    return ds.map_batches(residual, batch_format="pyarrow")

@@ -70,6 +70,7 @@ SUBSET = [
     "hex_density",
     "hex_kring_counts",
     "hex_pip_count",
+    "hex_indexed_scan",
 ]
 
 

@@ -117,3 +117,26 @@ def test_hex_pip_count_matches_broadcast_join(ray_session):
         r["poly_id"] for r in ref.select_columns(["poly_id"]).take_all()
     )
     assert got_t == dict(cnt)
+
+
+def test_hex_indexed_scan_prunes_files(ray_session, tmp_path):
+    """Layout round-trip: partitioned write, plan-time dir pruning
+    (files_read < files_total), exact residual equals the direct filter."""
+    from geomesa_ray.pipelines.queries import events_points
+    from geomesa_ray.stages.hexindex import hex_indexed_scan, ingest_hex
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "hexlayout")
+    ingest_hex(events_points(sf), out, res=2)
+    stats = {}
+    bbox = (20.0, 10.0, 60.0, 40.0)
+    got = hex_indexed_scan(out, bbox, columns=["event_id"], stats=stats)
+    ids = sorted(r["event_id"] for r in got.take_all())
+    assert stats["files_total"] > 0
+    assert 0 < stats["files_read"] < stats["files_total"]
+    exp = sorted(
+        r["event_id"]
+        for r in events_points(sf).take_all()
+        if bbox[0] <= r["lon"] <= bbox[2] and bbox[1] <= r["lat"] <= bbox[3]
+    )
+    assert ids == exp
