@@ -75,6 +75,7 @@ HEADLINE = [
     "hex_kring_counts",
     "hex_pip_count",
     "hex_indexed_scan",
+    "knn_hex",
 ]
 
 

@@ -176,6 +176,64 @@ def knn_search(
     queries' windows can only be farther and never change the result).
     Pass a dict as ``stats`` to receive ``files_per_round``.
     """
+
+    def plan(boxes):
+        return _plan_round_files(out_dir, boxes, period)
+
+    return _expanding_knn(plan, query_lon, query_lat, k, start_radius_m,
+                          max_radius_m, id_col, stats)
+
+
+def knn_hex_search(
+    out_dir: str,
+    query_lon,
+    query_lat,
+    k: int,
+    start_radius_m: float = 10_000.0,
+    max_radius_m: float = 2.1e7,
+    id_col: str = "url",
+    stats: dict | None = None,
+) -> pa.Table:
+    """kNN via hex cell-ring expansion over a hex-partitioned layout
+    (stages/hexindex.ingest_hex): per round each unresolved query's radius
+    windows are covered with the layout's coarse hex cells and only those
+    partition directories' files are read — the reference kNN's expanding
+    search (KNearestNeighborSearchProcess.scala:160-195) keyed by cells,
+    with the same window-edge correctness guarantee as :func:`knn_search`
+    (the hex covering is a proven superset of every in-window point's
+    cell, so no candidate inside the radius is missed)."""
+    import json
+    import os
+
+    from geomesa_ray.curves.hexgrid import cover_bbox
+    from geomesa_ray.stages.hexindex import plan_hex_files
+
+    with open(os.path.join(out_dir, "_meta", "hex.json")) as f:
+        res = json.load(f)["res"]
+
+    def plan(boxes):
+        cells: set[int] = set()
+        for xmin, ymin, xmax, ymax in boxes:
+            cells.update(cover_bbox(xmin, ymin, xmax, ymax, res).tolist())
+        files, _total = plan_hex_files(out_dir, sorted(cells))
+        return files
+
+    return _expanding_knn(plan, query_lon, query_lat, k, start_radius_m,
+                          max_radius_m, id_col, stats)
+
+
+def _expanding_knn(
+    plan_fn,
+    query_lon,
+    query_lat,
+    k: int,
+    start_radius_m: float,
+    max_radius_m: float,
+    id_col: str,
+    stats: dict | None,
+) -> pa.Table:
+    """Shared radius-doubling loop: ``plan_fn(boxes) -> files`` supplies
+    the layout-specific pruning (z-range planner or hex covering)."""
     import pyarrow.dataset as pads
 
     qx = np.asarray(query_lon, dtype=np.float64)
@@ -188,7 +246,7 @@ def knn_search(
     while not resolved.all():
         active = np.nonzero(~resolved)[0]
         boxes = [b for i in active for b in _window(qx[i], qy[i], radius[i])]
-        files = _plan_round_files(out_dir, boxes, period)
+        files = plan_fn(boxes)
         if stats is not None:
             stats.setdefault("files_per_round", []).append(len(files))
         if files:

