@@ -76,6 +76,7 @@ HEADLINE = [
     "hex_pip_count",
     "hex_indexed_scan",
     "knn_hex",
+    "hex_pyramid",
 ]
 
 

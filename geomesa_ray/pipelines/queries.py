@@ -1225,6 +1225,16 @@ def q_knn_hex(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hex_pyramid(sf_dir: str) -> ray.data.Dataset:
+    """Multi-resolution hex aggregation pyramid (res 6 → 4): each coarser
+    level rolled up from the previous by the aperture-4 parent rule —
+    verified by an oracle that mirrors the iterated integer
+    center-reassignment stage by stage."""
+    from geomesa_ray.stages.hexindex import hex_pyramid
+
+    return hex_pyramid(events_points(sf_dir), res_fine=6, res_coarse=4)
+
+
 def q_hex_pip_count(sf_dir: str) -> ray.data.Dataset:
     """Hex-cell-keyed PIP join with the per-polygon count aggregate pushed
     down (stages/hexindex.hex_pip_count): the north-rule join shape with
@@ -2372,6 +2382,7 @@ QUERIES = {
     "hex_pip_count": q_hex_pip_count,
     "hex_indexed_scan": q_hex_indexed_scan,
     "knn_hex": q_knn_hex,
+    "hex_pyramid": q_hex_pyramid,
     "reproject": q_reproject,
     "reproject_conic": q_reproject_conic,
     "reproject_osgb": q_reproject_osgb,
@@ -3488,3 +3499,66 @@ WHERE lon >= {BBOX_HEX[0]} AND lon <= {BBOX_HEX[2]}
 """
 
 ORACLE_SQL["knn_hex"] = ORACLE_SQL["knn"]
+
+
+def _hex_pick_from_xy_ctes(res: int, src: str, cols: str, suffix: str) -> str:
+    """cand/pick CTE pair assigning hex (ha, hb) at ``res`` for a source
+    that already exposes integer micro-unit columns x, y (used by the
+    pyramid oracle's iterated center-reassignment)."""
+    from geomesa_ray.curves.hexgrid import res_pitches
+
+    hw, vv = res_pitches(res)
+    return f"""
+cand_{suffix} AS (
+  SELECT {cols}, x, y,
+         2 * ((x + {hw}) // {2 * hw}) AS aa,
+         2 * ((y + {vv}) // {2 * vv}) AS ba,
+         2 * (x // {2 * hw}) + 1 AS ab,
+         2 * (y // {2 * vv}) + 1 AS bb
+  FROM {src}
+), pick_{suffix} AS (
+  SELECT {cols},
+         CASE WHEN (x - aa*{hw})*(x - aa*{hw}) + (y - ba*{vv})*(y - ba*{vv})
+                <= (x - ab*{hw})*(x - ab*{hw}) + (y - bb*{vv})*(y - bb*{vv})
+              THEN aa ELSE ab END AS ha,
+         CASE WHEN (x - aa*{hw})*(x - aa*{hw}) + (y - ba*{vv})*(y - ba*{vv})
+                <= (x - ab*{hw})*(x - ab*{hw}) + (y - bb*{vv})*(y - bb*{vv})
+              THEN ba ELSE bb END AS hb
+  FROM cand_{suffix}
+)"""
+
+
+def _hex_pyramid_oracle_sql() -> str:
+    from geomesa_ray.curves.hexgrid import RES_SHIFT, res_pitches
+
+    def packed(res: int) -> str:
+        return (f"({_hex_sql_interleave('ha')} | "
+                f"({_hex_sql_interleave('hb')} << 1)) | {res << RES_SHIFT}")
+
+    parts = [
+        _DERIVE_SQL.strip(),
+        _hex_cell_ctes(6, "derived", "event_id").strip(),
+        "lvl6 AS (SELECT ha, hb, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM pick_6 GROUP BY 1, 2)",
+    ]
+    for r in (5, 4):
+        hw_f, vv_f = res_pitches(r + 1)
+        parts.append(
+            f"x{r} AS (SELECT n, ha * {hw_f} AS x, hb * {vv_f} AS y "
+            f"FROM lvl{r + 1})"
+        )
+        parts.append(
+            _hex_pick_from_xy_ctes(r, f"x{r}", "n", f"p{r}").strip()
+        )
+        parts.append(
+            f"lvl{r} AS (SELECT ha, hb, CAST(SUM(n) AS BIGINT) AS n "
+            f"FROM pick_p{r} GROUP BY 1, 2)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS res, {packed(r)} AS hex, n AS n_events FROM lvl{r}"
+        for r in (6, 5, 4)
+    )
+    return f"WITH {', '.join(parts)}\n{selects}"
+
+
+ORACLE_SQL["hex_pyramid"] = _hex_pyramid_oracle_sql()

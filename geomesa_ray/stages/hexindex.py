@@ -301,3 +301,70 @@ def hex_indexed_scan(out_dir: str, bbox: tuple[float, float, float, float],
         return out.select(columns) if columns is not None else out
 
     return ds.map_batches(residual, batch_format="pyarrow")
+
+
+def hex_rollup(density_ds: ray.data.Dataset, from_res: int, to_res: int,
+               cell_col: str = "hex", n_col: str = "n_events",
+               fanin_rows: int = 2_000_000) -> ray.data.Dataset:
+    """Roll a per-cell count table up one-or-more resolutions: each fine
+    cell's count moves to the coarse cell containing its center
+    (aperture-4 parent rule — exact integers). Sum-decomposable, so it is
+    per-batch partials + tree merge; no shuffle, no single-block
+    assumption on the input."""
+    if to_res >= from_res:
+        raise ValueError("to_res must be coarser (<) than from_res")
+    schema = pa.schema([pa.field(cell_col, pa.int64()),
+                        pa.field(n_col, pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return schema.empty_table()
+        cells = batch[cell_col].to_numpy(zero_copy_only=False)
+        parents = hg.hex_parent(cells, to_res)
+        n = batch[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(parents, return_inverse=True)
+        sums = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table({cell_col: pa.array(uniq, pa.int64()),
+                         n_col: pa.array(sums, pa.int64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return schema.empty_table()
+        return _group_sum(batch.cast(schema), [cell_col], [n_col])
+
+    partials = density_ds.map_batches(partial, batch_format="pyarrow")
+    merged, _ = _tree_merge(partials, merge, fanin_rows=fanin_rows)
+    return merged
+
+
+def hex_pyramid(ds: ray.data.Dataset, res_fine: int, res_coarse: int,
+                lon_col: str = "lon", lat_col: str = "lat") -> ray.data.Dataset:
+    """Aggregation pyramid: per-cell counts at every resolution from
+    ``res_fine`` down to ``res_coarse``, each coarser level rolled up
+    from the previous (the map-tile pyramid shape: one pass over the
+    rows, then O(levels) passes over bounded cell tables). Output rows:
+    ``(res, hex, n_events)``."""
+    if res_coarse > res_fine:
+        raise ValueError("res_coarse must be <= res_fine")
+    levels = []
+    dens = hex_density(ds, res_fine, lon_col=lon_col, lat_col=lat_col,
+                       out_col="hex")
+
+    def tag(res):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "res": pa.array(np.full(len(batch), res, np.int64)),
+                "hex": batch["hex"],
+                "n_events": batch["n_events"],
+            })
+        return f
+
+    levels.append(dens.map_batches(tag(res_fine), batch_format="pyarrow"))
+    cur = dens
+    for r in range(res_fine - 1, res_coarse - 1, -1):
+        cur = hex_rollup(cur, r + 1, r, cell_col="hex", n_col="n_events")
+        levels.append(cur.map_batches(tag(r), batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

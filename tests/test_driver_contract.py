@@ -72,6 +72,7 @@ SUBSET = [
     "hex_pip_count",
     "hex_indexed_scan",
     "knn_hex",
+    "hex_pyramid",
 ]
 
 

@@ -161,3 +161,21 @@ def test_knn_hex_matches_brute(ray_session, tmp_path):
     exp = exp.sort_values(["dist_m", "event_id"]).reset_index(drop=True)
     assert got["event_id"].tolist() == exp["event_id"].tolist()
     assert stats["files_per_round"][0] > 0
+
+
+def test_hex_pyramid_levels_sum_to_total(ray_session):
+    """Every pyramid level preserves total count; level cells are valid
+    at their resolution."""
+    from geomesa_ray.pipelines.queries import events_points
+    from geomesa_ray.stages.hexindex import hex_pyramid
+
+    sf = "/root/testdata/sf0.001"
+    rows = hex_pyramid(events_points(sf), 6, 4).take_all()
+    import collections
+    per_res = collections.defaultdict(int)
+    for r in rows:
+        per_res[r["res"]] += r["n_events"]
+        dec_res, _, _ = hg.hex_decode(r["hex"])
+        assert int(dec_res) == r["res"]
+    assert set(per_res) == {4, 5, 6}
+    assert len(set(per_res.values())) == 1  # same total at every level
