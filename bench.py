@@ -115,6 +115,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # one-time cached index layouts so the timed queries measure steady
     # state, not process spawn + cold page cache + one-off ingest
     from geomesa_ray.pipelines.queries import (
+        _hex_events_layout,
         _indexed_events_layout,
         _xz_extents_layout,
     )
@@ -123,6 +124,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
     _xz_extents_layout(sf_dir)
     _indexed_events_layout(sf_dir)
+    _hex_events_layout(sf_dir)
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -244,3 +244,18 @@ def with_default(col, default):
 
 def int_to_boolean(col):
     return pc.not_equal(col, 0)
+
+
+def hex_cell(lon, lat, res=9):
+    """H3-analog hex cell id for lon/lat columns (curves/hexgrid.py) —
+    the cellId-style converter function for pre-keying records at ingest."""
+    from geomesa_ray.curves.hexgrid import hex_encode
+
+    def _np(col):
+        return (col.to_numpy(zero_copy_only=False)
+                if hasattr(col, "to_numpy") else np.asarray(col, np.float64))
+
+    r = res.as_py() if hasattr(res, "as_py") else res
+    if hasattr(r, "to_pylist"):  # column of a single literal broadcast
+        r = r.to_pylist()[0]
+    return pa.array(hex_encode(_np(lon), _np(lat), int(r)), pa.int64())

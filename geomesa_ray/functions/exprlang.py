@@ -75,6 +75,7 @@ _BUILTINS: dict[str, Callable] = {
     "md5": _c.md5,
     "murmur3_64": _c.murmur3_64,
     "murmurHash3": _c.murmur3_64,
+    "hexCell": _c.hex_cell,
     "uuidZ3": _c.uuid5,
     "uuid5": _c.uuid5,
     "withDefault": _c.with_default,

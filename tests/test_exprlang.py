@@ -116,3 +116,17 @@ def test_derive_columns_dataset(ray_session, batch):
     # overwrite an existing column in place
     out2 = derive_columns(ds, {"city": "lowercase($city)"}).to_pandas()
     assert sorted(out2["city"]) == ["la", "nyc", "sf"]
+
+
+def test_hex_cell_function():
+    import numpy as np
+    import pyarrow as pa
+
+    from geomesa_ray.curves.hexgrid import hex_encode
+    from geomesa_ray.functions.exprlang import compile_expr
+
+    t = pa.table({"lon": pa.array([2.35, -73.98]),
+                  "lat": pa.array([48.85, 40.75])})
+    out = compile_expr("hexCell($lon, $lat, 7)")(t)
+    exp = hex_encode(np.array([2.35, -73.98]), np.array([48.85, 40.75]), 7)
+    assert out.to_pylist() == exp.tolist()
