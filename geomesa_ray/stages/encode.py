@@ -115,6 +115,8 @@ class EncodeKeys:
         n_shards: int = DEFAULT_SHARDS,
         id_col: str = "url",
         ts_col: str = "warc_ts",
+        s2_level: int | None = None,
+        hex_res: int | None = None,
     ):
         self.z2sfc = Z2SFC()
         self.z3sfc = Z3SFC(period)
@@ -122,6 +124,10 @@ class EncodeKeys:
         self.n_shards = n_shards
         self.id_col = id_col
         self.ts_col = ts_col
+        # opt-in discrete-global-grid key columns (the input hint's
+        # "Z2/Z3 keys plus H3/S2 cells"): None keeps the legacy schema
+        self.s2_level = s2_level
+        self.hex_res = hex_res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
@@ -147,10 +153,22 @@ class EncodeKeys:
         cell = cell_of_z2(z2, self.cell_res)
         shard = (hash_strings(batch[self.id_col]) % np.uint64(self.n_shards)).astype(np.int8)
 
-        return (
+        out = (
             batch.append_column("z2", pa.array(z2, pa.int64()))
             .append_column("z3_bin", pa.array(bins.astype(np.int16), pa.int16()))
             .append_column("z3", pa.array(z3, pa.int64()))
             .append_column("cell", pa.array(cell, pa.int64()))
             .append_column("shard", pa.array(shard, pa.int8()))
         )
+        if self.s2_level is not None:
+            from geomesa_ray.curves.s2 import lonlat_to_cell_id
+
+            s2 = lonlat_to_cell_id(lon, lat, self.s2_level).astype(np.int64)
+            out = out.append_column("s2", pa.array(s2, pa.int64()))
+        if self.hex_res is not None:
+            from geomesa_ray.curves.hexgrid import hex_encode
+
+            out = out.append_column(
+                "hex", pa.array(hex_encode(lon, lat, self.hex_res), pa.int64())
+            )
+        return out

@@ -181,9 +181,9 @@ def hex_pip_count(points: ray.data.Dataset, polygons: pa.Table, res: int = 6,
                         pa.field("n_points", pa.int64())])
 
     def partial(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return schema.empty_table()
         cells_u, offs, cpolys, ps = _resolve_broadcast(ref)
+        if len(batch) == 0 or len(cells_u) == 0:
+            return schema.empty_table()
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
         cell = hg.hex_encode(lon, lat, res)

@@ -179,3 +179,27 @@ def test_hex_pyramid_levels_sum_to_total(ray_session):
         assert int(dec_res) == r["res"]
     assert set(per_res) == {4, 5, 6}
     assert len(set(per_res.values())) == 1  # same total at every level
+
+
+def test_encode_keys_optin_s2_hex_columns(ray_session):
+    """EncodeKeys with s2_level/hex_res appends the discrete-global-grid
+    key columns; default schema unchanged."""
+    import pyarrow as pa
+
+    from geomesa_ray.stages.encode import EncodeKeys
+
+    t = pa.table({
+        "url": pa.array(["a", "b"]),
+        "warc_ts": pa.array([0, 1], pa.int64()).cast(pa.timestamp("ms")),
+        "lon": pa.array([2.35, -73.98]),
+        "lat": pa.array([48.85, 40.75]),
+    })
+    base = EncodeKeys()(t)
+    assert "s2" not in base.schema.names and "hex" not in base.schema.names
+    keyed = EncodeKeys(s2_level=12, hex_res=7)(t)
+    from geomesa_ray.curves.hexgrid import hex_encode
+    from geomesa_ray.curves.s2 import lonlat_to_cell_id
+    import numpy as np
+    lon = np.array([2.35, -73.98]); lat = np.array([48.85, 40.75])
+    assert keyed["hex"].to_pylist() == hex_encode(lon, lat, 7).tolist()
+    assert keyed["s2"].to_pylist() == lonlat_to_cell_id(lon, lat, 12).astype("int64").tolist()
