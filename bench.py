@@ -77,6 +77,7 @@ HEADLINE = [
     "hex_indexed_scan",
     "knn_hex",
     "hex_pyramid",
+    "hll_users",
 ]
 
 

@@ -1225,6 +1225,27 @@ def q_knn_hex(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hll_users(sf_dir: str) -> pa.Table:
+    """Distributed HyperLogLog over user_id (clearspring analog carried by
+    the reference's MinMax stat): the driver verifies the FULL integer
+    register state — splitmix64 limb arithmetic + the bin() leading-zero
+    identity in SQL — not just a tolerance on the float estimate."""
+    from geomesa_ray.stages.stats import StatSpec, compute_stats
+
+    ds = _read_events(sf_dir, ["user_id"])
+    out = compute_stats(
+        ds, [StatSpec("h", "hyperloglog", "user_id", log2m=8)]
+    )
+    regs = out["h"]["registers"]
+    nz = [(j, r) for j, r in enumerate(regs) if r > 0]
+    return pa.table(
+        {
+            "register": pa.array([j for j, _ in nz], pa.int64()),
+            "rho": pa.array([r for _, r in nz], pa.int64()),
+        }
+    )
+
+
 def q_hex_pyramid(sf_dir: str) -> ray.data.Dataset:
     """Multi-resolution hex aggregation pyramid (res 6 → 4): each coarser
     level rolled up from the previous by the aperture-4 parent rule —
@@ -2383,6 +2404,7 @@ QUERIES = {
     "hex_indexed_scan": q_hex_indexed_scan,
     "knn_hex": q_knn_hex,
     "hex_pyramid": q_hex_pyramid,
+    "hll_users": q_hll_users,
     "reproject": q_reproject,
     "reproject_conic": q_reproject_conic,
     "reproject_osgb": q_reproject_osgb,
@@ -3562,3 +3584,19 @@ def _hex_pyramid_oracle_sql() -> str:
 
 
 ORACLE_SQL["hex_pyramid"] = _hex_pyramid_oracle_sql()
+
+
+def _hll_users_oracle_sql() -> str:
+    from geomesa_ray.pipelines.oracles import splitmix_ctes
+
+    mask56 = 1 << 56  # modulo == bitmask for the non-negative hash
+    return f"""
+WITH {splitmix_ctes("events", id_col="user_id")}
+SELECT CAST(z >> 56 AS BIGINT) AS register,
+       MAX(CASE WHEN z % {mask56} = 0 THEN 57
+                ELSE 57 - length(bin(CAST(z % {mask56} AS BIGINT))) END) AS rho
+FROM b5 GROUP BY 1
+"""
+
+
+ORACLE_SQL["hll_users"] = _hll_users_oracle_sql()

@@ -59,10 +59,15 @@ class Count(Stat):
 
 
 class MinMax(Stat):
+    """Min/max + HLL distinct estimate — the reference MinMax carries a
+    clearspring HyperLogLog and reports its estimate as ``cardinality``
+    (MinMax.scala:33-49); ``count`` is the observed (non-null) row count."""
+
     def __init__(self):
         self.min: Any = None
         self.max: Any = None
         self.n = 0
+        self.hll = HyperLogLog()
 
     def observe(self, values):
         values = values[~pa.compute.is_null(pa.array(values)).to_numpy(zero_copy_only=False)] if values.dtype == object else values
@@ -72,15 +77,18 @@ class MinMax(Stat):
         self.min = lo if self.min is None else min(self.min, lo)
         self.max = hi if self.max is None else max(self.max, hi)
         self.n += len(values)
+        self.hll.observe(values)
 
     def merge(self, other):
         if other.min is not None:
             self.min = other.min if self.min is None else min(self.min, other.min)
             self.max = other.max if self.max is None else max(self.max, other.max)
         self.n += other.n
+        self.hll.merge(other.hll)
 
     def result(self):
-        return {"min": self.min, "max": self.max, "cardinality": self.n}
+        return {"min": self.min, "max": self.max, "count": self.n,
+                "cardinality": self.hll.cardinality()}
 
 
 class Enumeration(Stat):
@@ -250,6 +258,90 @@ class DescriptiveStats(Stat):
         }
 
 
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (no float log — ints
+    above 2^53 would round)."""
+    w = w.astype(np.uint64).copy()
+    n = np.zeros(w.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(s))
+        n[big] += s
+        w[big] >>= np.uint64(s)
+    return n + (w > 0)
+
+
+class HyperLogLog(Stat):
+    """HLL distinct-count sketch — clearspring analog (reference
+    utils/clearspring/HyperLogLog.scala:85-130, carried by MinMax.scala:33-48
+    as its ``cardinality``): register ``j`` = top ``log2m`` hash bits,
+    ``rho`` = leading-zero count of the remaining bits + 1 (the guard-bit
+    convention of HyperLogLog.scala:92-97), registers merge by max.
+
+    The hash is splitmix64 (ints / float bit patterns) or the engine's
+    string hash — NOT murmur, so register values differ from clearspring
+    bit-for-bit while the estimator behavior is identical. Register state
+    is all-integer and (for int columns) mirrors into SQL exactly:
+    ``register = z >> (64-log2m)``,
+    ``rho = 57 - length(bin(z & mask))`` (DuckDB) — see the hll_users
+    oracle."""
+
+    def __init__(self, log2m: int = 8):
+        if not 4 <= log2m <= 16:
+            raise ValueError("log2m must be in [4, 16]")
+        self.log2m = log2m
+        self.registers = np.zeros(1 << log2m, np.int64)
+
+    def _hash(self, values: np.ndarray) -> np.ndarray:
+        from geomesa_ray.stages.corpus import _splitmix64
+        from geomesa_ray.stages.encode import hash_strings
+
+        if values.dtype == object or values.dtype.kind in "US":
+            return hash_strings(pa.array([v for v in values if v is not None]))
+        if values.dtype.kind == "f":
+            return _splitmix64(values.astype(np.float64).view(np.uint64))
+        return _splitmix64(values.astype(np.int64).astype(np.uint64))
+
+    def observe(self, values):
+        values = _drop_none(np.asarray(values))
+        if len(values) == 0:
+            return
+        h = self._hash(values).astype(np.uint64)
+        shift = np.uint64(64 - self.log2m)
+        j = (h >> shift).astype(np.int64)
+        w = h & ((np.uint64(1) << shift) - np.uint64(1))
+        rho = np.where(w == 0, 64 - self.log2m + 1,
+                       64 - self.log2m + 1 - _bit_length_u64(w))
+        np.maximum.at(self.registers, j, rho)
+
+    def merge(self, other):
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def cardinality(self) -> float:
+        """clearspring estimator: raw harmonic mean + linear counting
+        under 2.5m (HyperLogLog.scala cardinality())."""
+        m = float(len(self.registers))
+        alpha_mm = 0.7213 / (1.0 + 1.079 / m) * m * m
+        if m == 16:
+            alpha_mm = 0.673 * m * m
+        elif m == 32:
+            alpha_mm = 0.697 * m * m
+        elif m == 64:
+            alpha_mm = 0.709 * m * m
+        est = alpha_mm / np.power(2.0, -self.registers.astype(np.float64)).sum()
+        if est <= 2.5 * m:
+            v = int((self.registers == 0).sum())
+            if v > 0:
+                est = m * math.log(m / v)
+        return float(est)
+
+    def result(self):
+        return {
+            "log2m": self.log2m,
+            "registers": self.registers.tolist(),
+            "cardinality": self.cardinality(),
+        }
+
+
 class Z3Histogram(Stat):
     """Counts per (time bin, z3 prefix) — Z3Histogram.scala analog. Expects
     the engine's ``z3_bin``/``z3`` columns (observe takes a 2-col stack)."""
@@ -288,6 +380,7 @@ _FACTORIES = {
     "frequency": Frequency,
     "descriptive": DescriptiveStats,
     "z3_histogram": Z3Histogram,
+    "hyperloglog": HyperLogLog,
 }
 
 

@@ -435,3 +435,42 @@ def test_raster_regions_empty_and_none_kept(ray_session):
     ).count() == 0
     empty = ray.data.from_arrow(t.slice(0, 0))
     assert raster_regions(empty, threshold=1.0, width=8, height=8).count() == 0
+
+
+def test_hyperloglog_estimate_and_merge():
+    """HLL: ±10% at 100k distinct (log2m=8 → σ≈6.5%), duplicates free,
+    merge == single pass, linear counting near-exact at small n."""
+    from geomesa_ray.stages.stats import HyperLogLog
+
+    vals = np.arange(100_000, dtype=np.int64)
+    h = HyperLogLog(8)
+    h.observe(vals)
+    assert abs(h.cardinality() - 100_000) / 100_000 < 0.15
+    h1, h2 = HyperLogLog(8), HyperLogLog(8)
+    h1.observe(vals[:50_000])
+    h2.observe(vals[50_000:])
+    h1.merge(h2)
+    assert (h1.registers == h.registers).all()
+    hd = HyperLogLog(8)
+    hd.observe(np.repeat(np.arange(1000, dtype=np.int64), 50))
+    assert abs(hd.cardinality() - 1000) / 1000 < 0.15
+    hs = HyperLogLog(8)
+    hs.observe(np.array([f"u{i}" for i in range(5000)], dtype=object))
+    assert abs(hs.cardinality() - 5000) / 5000 < 0.15
+
+
+def test_minmax_carries_hll_cardinality(ray_session):
+    """Reference parity: MinMax reports the HLL distinct estimate as
+    cardinality (MinMax.scala:33-49), count separately."""
+    import ray.data
+
+    from geomesa_ray.stages.stats import StatSpec, compute_stats
+
+    t = pa.table({"v": pa.array(np.repeat(np.arange(500, dtype=np.int64), 4))})
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=97
+    )
+    out = compute_stats(ds, [StatSpec("mm", "min_max", "v")], batch_size=97)
+    r = out["mm"]
+    assert r["min"] == 0 and r["max"] == 499 and r["count"] == 2000
+    assert abs(r["cardinality"] - 500) / 500 < 0.2

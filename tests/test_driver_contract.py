@@ -73,6 +73,7 @@ SUBSET = [
     "hex_indexed_scan",
     "knn_hex",
     "hex_pyramid",
+    "hll_users",
 ]
 
 
