@@ -208,6 +208,39 @@ class Frequency(Stat):
         self.__dict__.update(st)
 
 
+class Z3Frequency(Stat):
+    """Z3Frequency.scala analog: a count-min sketch keyed by
+    (time bin, z3 prefix) — point-frequency estimates for spatio-temporal
+    keys. Observe takes the engine's 2-col (z3_bin, z3) stack, like
+    Z3Histogram."""
+
+    def __init__(self, prefix_bits: int = 12, depth: int = 4,
+                 width: int = 2048, seed: int = 42):
+        self.prefix_bits = prefix_bits
+        self.shift = np.uint64(63 - prefix_bits)
+        self.freq = Frequency(depth=depth, width=width, seed=seed)
+
+    def _keys(self, bins, z) -> np.ndarray:
+        z = np.asarray(z, dtype=np.uint64) >> self.shift
+        return (np.asarray(bins, dtype=np.int64) << np.int64(24)) | z.astype(
+            np.int64
+        )
+
+    def observe(self, values):
+        self.freq.observe(self._keys(values[:, 0], values[:, 1]))
+
+    def merge(self, other):
+        self.freq.merge(other.freq)
+
+    def estimate(self, z3_bin: int, z3: int) -> int:
+        return self.freq.estimate(
+            int(self._keys(np.array([z3_bin]), np.array([z3]))[0])
+        )
+
+    def result(self):
+        return self
+
+
 class DescriptiveStats(Stat):
     """Running count/mean/M2 (+min/max) merged via Chan's parallel update —
     DescriptiveStats.scala analog (univariate)."""
@@ -381,6 +414,7 @@ _FACTORIES = {
     "descriptive": DescriptiveStats,
     "z3_histogram": Z3Histogram,
     "hyperloglog": HyperLogLog,
+    "z3_frequency": Z3Frequency,
 }
 
 

@@ -474,3 +474,35 @@ def test_minmax_carries_hll_cardinality(ray_session):
     r = out["mm"]
     assert r["min"] == 0 and r["max"] == 499 and r["count"] == 2000
     assert abs(r["cardinality"] - 500) / 500 < 0.2
+
+
+def test_z3_frequency_never_underestimates(ray_session):
+    """Z3Frequency (CMS over (bin, z3-prefix) keys): estimates >= truth,
+    merge additive, distributed == single-pass."""
+    import collections
+
+    import ray.data
+
+    from geomesa_ray.stages.stats import StatSpec, Z3Frequency, compute_stats
+
+    rng = np.random.default_rng(3)
+    bins = rng.integers(0, 5, 4000).astype(np.int64)
+    z3 = rng.integers(0, 1 << 40, 4000).astype(np.int64)
+    t = pa.table({"z3_bin": pa.array(bins), "z3": pa.array(z3)})
+    truth = collections.Counter(
+        zip(bins.tolist(), (z3 >> (63 - 12)).tolist())
+    )
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=333
+    )
+    out = compute_stats(
+        ds, [StatSpec("f", "z3_frequency", ["z3_bin", "z3"], prefix_bits=12)],
+        batch_size=333,
+    )
+    f: Z3Frequency = out["f"]
+    for (b, zp), c in truth.items():
+        assert f.estimate(int(b), int(zp << (63 - 12))) >= c
+    # single-pass equals distributed state
+    solo = Z3Frequency(prefix_bits=12)
+    solo.observe(np.stack([bins, z3], axis=1))
+    assert (solo.freq.table == f.freq.table).all()
