@@ -161,6 +161,43 @@ def cmd_convert(args) -> dict:
     return {"rows": rows, "format": args.format}
 
 
+def cmd_sketch(args) -> dict:
+    """Distributed stats sketches over a parquet table from a
+    reference-style spec string (geomesa-tools stats-analyze analog,
+    Stat.scala:134 syntax): e.g.
+    ``sketch --table events --spec "MinMax(value);Count()"``."""
+    import numpy as np
+    import ray
+
+    from geomesa_ray.stages.stats import compute_stats, parse_stat_specs
+
+    specs = parse_stat_specs(args.spec)
+    cols: set[str] = set()
+    for s in specs:
+        if s.column is not None:
+            cols.update(s.column if isinstance(s.column, list) else [s.column])
+        if s.group_by:
+            cols.add(s.group_by)
+    ds = ray.data.read_parquet(
+        f"{args.sf_dir}/{args.table}.parquet",
+        columns=sorted(cols) or None,
+    )
+    out = compute_stats(ds, specs)
+
+    def jsonable(v):
+        if isinstance(v, dict):
+            return {str(k): jsonable(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [jsonable(x) for x in v]
+        if isinstance(v, (np.integer, np.floating)):
+            return v.item()
+        if isinstance(v, (str, int, float, bool)) or v is None:
+            return v
+        return repr(v)
+
+    return {"table": args.table, "stats": {k: jsonable(v) for k, v in out.items()}}
+
+
 def cmd_stats(args) -> dict:
     """Run a registered driver query and surface Ray Data's per-stage
     execution stats — the ``ds.stats()`` feedback loop the scale tuning
@@ -347,6 +384,13 @@ def main(argv=None) -> int:
     p.add_argument("--bench", default=None,
                    help="benchmark parquet (decontaminate)")
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser("sketch")
+    p.add_argument("--table", required=True, help="table name under --sf-dir")
+    p.add_argument("--spec", required=True,
+                   help='stat-spec string, e.g. "MinMax(value);Count()"')
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.set_defaults(fn=cmd_sketch)
 
     p = sub.add_parser("stats")
     p.add_argument("--query", required=True,

@@ -35,6 +35,16 @@ class Stat:
     def observe(self, values: np.ndarray) -> None:
         raise NotImplementedError
 
+    def unobserve(self, values: np.ndarray) -> None:
+        """Remove previously-observed values (Stat.scala:56 delete path).
+        Exact for additive sketches (Count/Enumeration/Histogram/
+        Frequency/Z3*); bounds/register sketches (MinMax, HLL, TopK)
+        cannot shrink — they raise, mirroring the reference's imprecise
+        deletion caveat."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support exact deletion"
+        )
+
     def merge(self, other: "Stat") -> None:
         raise NotImplementedError
 
@@ -50,6 +60,9 @@ class Count(Stat):
 
     def observe(self, values):
         self.n += len(values)
+
+    def unobserve(self, values):
+        self.n = max(0, self.n - len(values))
 
     def merge(self, other):
         self.n += other.n
@@ -110,6 +123,17 @@ class Enumeration(Stat):
             else:
                 self.overflowed = True
 
+    def unobserve(self, values):
+        values = _drop_none(values)
+        uniq, cnt = np.unique(values, return_counts=True)
+        for v, c in zip(uniq.tolist(), cnt.tolist()):
+            if v in self.counts:
+                left = self.counts[v] - c
+                if left > 0:
+                    self.counts[v] = left
+                else:
+                    del self.counts[v]
+
     def merge(self, other):
         for v, c in other.counts.items():
             if v in self.counts or len(self.counts) < self.max_size:
@@ -158,6 +182,15 @@ class Histogram(Stat):
         idx = np.clip(idx, 0, self.bins - 1)
         self.counts += np.bincount(idx, minlength=self.bins)
 
+    def unobserve(self, values):
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.floor((v - self.lo) * self.bins / (self.hi - self.lo)).astype(np.int64)
+        idx = np.clip(idx, 0, self.bins - 1)
+        self.counts = np.maximum(
+            self.counts - np.bincount(idx, minlength=self.bins), 0
+        )
+
     def merge(self, other):
         self.counts += other.counts
 
@@ -190,6 +223,14 @@ class Frequency(Stat):
         hs = self._hashes(vals.tolist())
         for d in range(self.depth):
             self.table[d] += np.bincount(hs[d], minlength=self.width)
+
+    def unobserve(self, values):
+        vals = np.asarray(values)
+        hs = self._hashes(vals.tolist())
+        for d in range(self.depth):
+            self.table[d] = np.maximum(
+                self.table[d] - np.bincount(hs[d], minlength=self.width), 0
+            )
 
     def merge(self, other):
         self.table += other.table
@@ -228,6 +269,9 @@ class Z3Frequency(Stat):
 
     def observe(self, values):
         self.freq.observe(self._keys(values[:, 0], values[:, 1]))
+
+    def unobserve(self, values):
+        self.freq.unobserve(self._keys(values[:, 0], values[:, 1]))
 
     def merge(self, other):
         self.freq.merge(other.freq)
@@ -392,6 +436,19 @@ class Z3Histogram(Stat):
             kk = (k >> 24, k & ((1 << 24) - 1))
             self.counts[kk] = self.counts.get(kk, 0) + c
 
+    def unobserve(self, values):
+        bins = values[:, 0].astype(np.int64)
+        z = values[:, 1].astype(np.uint64) >> self.shift
+        key = bins * (1 << 24) + z.astype(np.int64)
+        uniq, cnt = np.unique(key, return_counts=True)
+        for k, c in zip(uniq.tolist(), cnt.tolist()):
+            kk = (k >> 24, k & ((1 << 24) - 1))
+            left = self.counts.get(kk, 0) - c
+            if left > 0:
+                self.counts[kk] = left
+            elif kk in self.counts:
+                del self.counts[kk]
+
     def merge(self, other):
         for k, c in other.counts.items():
             self.counts[k] = self.counts.get(k, 0) + c
@@ -449,6 +506,8 @@ def _drop_none(values) -> np.ndarray:
 
 
 def _column_values(batch: pa.Table, column) -> np.ndarray:
+    if column is None:  # Count() — row count only, no column read
+        return np.empty(batch.num_rows, np.bool_)
     if isinstance(column, (list, tuple)):
         return np.stack(
             [batch[c].to_numpy(zero_copy_only=False) for c in column], axis=1
@@ -552,3 +611,85 @@ def compute_stats(ds: ray.data.Dataset, specs: list[StatSpec],
         else:
             out[name] = st.result()
     return out
+
+
+# ---------------------------------------------------------------------------
+# stat-spec string parser (Stat.scala:28-188 / StatParser analog)
+# ---------------------------------------------------------------------------
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside parentheses (GroupBy nests a sub-spec)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur or not parts:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_one_spec(text: str, name: str) -> StatSpec:
+    import re
+
+    m = re.fullmatch(r"\s*([A-Za-z0-9_]+)\s*\((.*)\)\s*", text, re.DOTALL)
+    if not m:
+        raise ValueError(f"bad stat spec {text!r}: expected Name(args)")
+    kind_name, argstr = m.group(1), m.group(2)
+    args = _split_top_level(argstr, ",") if argstr.strip() else []
+    k = kind_name.lower()
+    if k == "count" or k == "iteratorstackcount":
+        return StatSpec(name, "count", args[0] if args else None)
+    if k == "minmax":
+        return StatSpec(name, "min_max", args[0])
+    if k == "enumeration":
+        return StatSpec(name, "enumeration", args[0])
+    if k == "topk":
+        kw = {"k": int(args[1])} if len(args) > 1 else {}
+        return StatSpec(name, "top_k", args[0], **kw)
+    if k in ("histogram", "rangehistogram"):
+        return StatSpec(name, "histogram", args[0], bins=int(args[1]),
+                        lo=float(args[2]), hi=float(args[3]))
+    if k == "frequency":
+        kw = {"width": 1 << int(args[1])} if len(args) > 1 else {}
+        return StatSpec(name, "frequency", args[0], **kw)
+    if k == "descriptivestats":
+        col = args[0] if len(args) == 1 else list(args)
+        return StatSpec(name, "descriptive", col)
+    if k in ("hyperloglog", "cardinality"):
+        kw = {"log2m": int(args[1])} if len(args) > 1 else {}
+        return StatSpec(name, "hyperloglog", args[0], **kw)
+    if k == "z3histogram":
+        # reference signature (geom, dtg, period, length): the engine's
+        # precomputed z3_bin/z3 columns stand in for geom+dtg+period;
+        # length → prefix bits
+        length = int(args[3]) if len(args) > 3 else 4096
+        return StatSpec(name, "z3_histogram", ["z3_bin", "z3"],
+                        prefix_bits=max(1, (length - 1).bit_length()))
+    if k == "z3frequency":
+        precision = int(args[3]) if len(args) > 3 else 12
+        return StatSpec(name, "z3_frequency", ["z3_bin", "z3"],
+                        prefix_bits=precision)
+    if k == "groupby":
+        sub = _parse_one_spec(",".join(args[1:]), name)
+        sub.group_by = args[0]
+        return sub
+    raise ValueError(f"unknown stat {kind_name!r} in spec {text!r}")
+
+
+def parse_stat_specs(spec: str) -> list[StatSpec]:
+    """Parse a reference-style stat-spec string, e.g.
+    ``"MinMax(value);Count();Histogram(lat,10,-90,90)"`` or
+    ``"GroupBy(lang,Count(url))"`` — each entry becomes a
+    :class:`StatSpec` named by its own spec text (Stat.scala:134
+    semicolon-list semantics)."""
+    return [
+        _parse_one_spec(part, part)
+        for part in _split_top_level(spec, ";")
+    ]

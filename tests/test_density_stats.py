@@ -506,3 +506,55 @@ def test_z3_frequency_never_underestimates(ray_session):
     solo = Z3Frequency(prefix_bits=12)
     solo.observe(np.stack([bins, z3], axis=1))
     assert (solo.freq.table == f.freq.table).all()
+
+
+def test_parse_stat_specs_and_unobserve():
+    from geomesa_ray.stages.stats import (Count, Enumeration, Frequency,
+                                          Histogram, HyperLogLog,
+                                          parse_stat_specs)
+
+    specs = parse_stat_specs(
+        "MinMax(value);Count();Histogram(lat,10,-90,90);"
+        "GroupBy(lang,Count(url));Frequency(lang,11);TopK(lang,3)"
+    )
+    kinds = [(s.kind, s.group_by) for s in specs]
+    assert kinds == [("min_max", None), ("count", None), ("histogram", None),
+                     ("count", "lang"), ("frequency", None), ("top_k", None)]
+    assert specs[2].kwargs == {"bins": 10, "lo": -90.0, "hi": 90.0}
+    with pytest.raises(ValueError):
+        parse_stat_specs("NoSuchStat(x)")
+
+    # exact deletion round-trips for additive sketches
+    c = Count(); c.observe(np.arange(5)); c.unobserve(np.arange(2))
+    assert c.result()["count"] == 3
+    e = Enumeration()
+    e.observe(np.array(["a", "a", "b"], object))
+    e.unobserve(np.array(["a", "b"], object))
+    assert e.result() == {"a": 1}
+    h = Histogram(4, 0.0, 4.0)
+    h.observe(np.array([0.5, 1.5, 1.6])); h.unobserve(np.array([1.5]))
+    assert h.result()["counts"] == [1, 1, 0, 0]
+    f = Frequency()
+    f.observe(np.array(["x", "x", "y"])); f.unobserve(np.array(["x"]))
+    assert f.estimate("x") == 1 and f.estimate("y") == 1
+    # register sketches refuse deletion
+    with pytest.raises(NotImplementedError):
+        HyperLogLog().unobserve(np.arange(3))
+
+
+def test_cli_sketch_spec(ray_session):
+    from geomesa_ray.cli import main
+
+    import contextlib, io, json as _json
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["sketch", "--table", "events",
+                   "--spec", "MinMax(value);Count();GroupBy(event_type,Count(event_id))",
+                   "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().splitlines()[-1])
+    st = out["stats"]
+    assert st["Count()"]["count"] == 1000
+    assert st["MinMax(value)"]["min"] is not None
+    group = st["GroupBy(event_type,Count(event_id))"]
+    assert sum(v["count"] for v in group.values()) == 1000
