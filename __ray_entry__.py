@@ -24,7 +24,9 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: derived geo-points →
-    Z2/Z3/cell encoding → broadcast point-in-polygon join."""
+    Z2/Z3 + S2 + hex (H3-analog) cell encoding → broadcast
+    point-in-polygon join (the input hint's "Z2/Z3-style keys plus H3/S2
+    cells via vectorized map_batches over zero-copy Arrow")."""
     import pyarrow as pa
 
     from geomesa_ray.pipelines.queries import events_points, polygons_table
@@ -36,7 +38,8 @@ def entry() -> Any:
         batch_format="pyarrow",
     )
     encoded = pts.map_batches(
-        EncodeKeys(id_col="url", ts_col="ts").__call__, batch_format="pyarrow"
+        EncodeKeys(id_col="url", ts_col="ts", s2_level=12, hex_res=9).__call__,
+        batch_format="pyarrow",
     )
     return pip_join_broadcast(encoded, polygons_table(), concurrency=2)
 
