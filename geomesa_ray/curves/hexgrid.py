@@ -250,3 +250,47 @@ __all__ = [
     "ab_to_axial", "axial_to_ab", "hex_distance", "hex_distance_axial",
     "ring_offsets", "k_ring", "cover_bbox",
 ]
+
+
+def hex_boundary_wkbs(cell):
+    """Vectorized WKB Polygon boundaries of hex cells (the raster→vector
+    surface for hex densities: same record-array batch construction as
+    geometry/wkb.rect_wkbs). Vertices are the exact Voronoi-cell corners
+    of the lattice: (±hw, ±(vv²−hw²)/2vv), (0, ±(hw²+vv²)/2vv) around the
+    center, CCW, closed 7-point shell."""
+    import pyarrow as pa
+
+    cell_arr = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    res, a, b = hex_decode(cell_arr)
+    r0 = int(res.flat[0]) if res.size else 0
+    if res.size and np.any(res != r0):
+        raise ValueError("hex_boundary_wkbs requires a single resolution")
+    hw, vv = res_pitches(r0)
+    cx, cy = hex_center_units(cell_arr)
+    cx = cx.astype(np.float64) * 1e-5 - 180.0
+    cy = cy.astype(np.float64) * 1e-5 - 90.0
+    hw_d, vv_d = hw * 1e-5, vv * 1e-5
+    vy_side = (vv_d * vv_d - hw_d * hw_d) / (2.0 * vv_d)
+    vy_top = (hw_d * hw_d + vv_d * vv_d) / (2.0 * vv_d)
+    n = len(cell_arr)
+    fields = [("bo", "u1"), ("typ", "<u4"), ("nring", "<u4"), ("npt", "<u4")]
+    for i in range(7):
+        fields += [(f"x{i}", "<f8"), (f"y{i}", "<f8")]
+    rec = np.zeros(n, dtype=fields)
+    rec["bo"] = 1
+    rec["typ"] = 3  # WKB Polygon
+    rec["nring"] = 1
+    rec["npt"] = 7
+    verts = [(hw_d, -vy_side), (hw_d, vy_side), (0.0, vy_top),
+             (-hw_d, vy_side), (-hw_d, -vy_side), (0.0, -vy_top),
+             (hw_d, -vy_side)]
+    for i, (dx, dy) in enumerate(verts):
+        rec[f"x{i}"] = cx + dx
+        rec[f"y{i}"] = cy + dy
+    data = rec.tobytes()
+    width = rec.dtype.itemsize
+    offsets = np.arange(0, (n + 1) * width, width, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+    )

@@ -203,3 +203,31 @@ def test_encode_keys_optin_s2_hex_columns(ray_session):
     lon = np.array([2.35, -73.98]); lat = np.array([48.85, 40.75])
     assert keyed["hex"].to_pylist() == hex_encode(lon, lat, 7).tolist()
     assert keyed["s2"].to_pylist() == lonlat_to_cell_id(lon, lat, 12).astype("int64").tolist()
+
+
+def test_hex_boundary_wkbs():
+    """Boundary polygons parse as valid WKB, contain their own center and
+    every point assigned to the cell; area matches the analytic hex area."""
+    from geomesa_ray.geometry.predicates import points_in_polygon
+    from geomesa_ray.geometry.wkb import from_wkb
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-170, 170, 300)
+    lat = rng.uniform(-80, 80, 300)
+    res = 7
+    cells = hg.hex_encode(lon, lat, res)
+    wkbs = hg.hex_boundary_wkbs(cells)
+    hw, vv = hg.res_pitches(res)
+    hw_d, vv_d = hw * 1e-5, vv * 1e-5
+    # analytic Voronoi-cell area: 2*hw*vv in degree units
+    expect_area = 2.0 * hw_d * vv_d
+    for i in range(0, 300, 37):
+        poly = from_wkb(wkbs[i].as_py())
+        assert points_in_polygon(
+            np.array([lon[i]]), np.array([lat[i]]), poly,
+            include_boundary=True,
+        )[0]
+        ring = poly.shell if hasattr(poly, "shell") else poly.rings[0]
+        xs = np.array([p[0] for p in ring]); ys = np.array([p[1] for p in ring])
+        area = 0.5 * abs(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+        assert abs(area - expect_area) / expect_area < 1e-9
