@@ -184,7 +184,14 @@ def cmd_sketch(args) -> dict:
     )
     out = compute_stats(ds, specs)
 
+    from geomesa_ray.stages.stats import Frequency, Z3Frequency
+
     def jsonable(v):
+        if isinstance(v, Z3Frequency):
+            return {"prefix_bits": v.prefix_bits, "freq": jsonable(v.freq)}
+        if isinstance(v, Frequency):
+            return {"depth": v.depth, "width": v.width, "seed": v.seed,
+                    "table": v.table.tolist()}
         if isinstance(v, dict):
             return {str(k): jsonable(x) for k, x in v.items()}
         if isinstance(v, (list, tuple)):

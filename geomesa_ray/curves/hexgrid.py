@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .zorder import z2_combine, z2_encode, z2_split
+from .zorder import z2_combine, z2_encode
 
 # Base (finest-resolution) half horizontal pitch / vertical row pitch in
 # micro-degree units. 1500/866 ≈ √3 → near-regular pointy-top hexagons.
@@ -196,9 +196,11 @@ def k_ring(cell, k: int) -> np.ndarray:
     """All cell ids within hex distance ``k`` of each input cell.
 
     Vectorized: output shape ``(n_cells, 1 + 3k(k+1))``; scalar input
-    returns a flat array. Cells past the lattice edge are clipped to it
-    (world-bounds behavior documented; callers joining on ids should
-    treat duplicates from clipping as the same edge cell).
+    returns a flat array. Ring offsets that fall past the lattice edge
+    (a or b negative — possible only for cells hugging lon=-180 /
+    lat=-90) are replaced by the CENTER cell id, never an out-of-lattice
+    coordinate: every returned id is a valid assignable cell, and callers
+    joining on ids see the duplicate center entries as harmless repeats.
     """
     cell_arr = np.atleast_1d(np.asarray(cell, dtype=np.int64))
     res, a, b = hex_decode(cell_arr)
@@ -210,8 +212,10 @@ def k_ring(cell, k: int) -> np.ndarray:
     qq = q[:, None] + dq[None, :]
     rr = r[:, None] + dr[None, :]
     na, nb = axial_to_ab(qq, rr)
-    np.clip(na, 0, None, out=na)
-    np.clip(nb, 0, None, out=nb)
+    invalid = (na < 0) | (nb < 0)
+    if invalid.any():
+        na = np.where(invalid, a[:, None], na)
+        nb = np.where(invalid, b[:, None], nb)
     out = pack_cell(na, nb, r0)
     return out if np.ndim(cell) else out[0]
 
@@ -248,7 +252,7 @@ __all__ = [
     "res_pitches", "hex_xy", "hex_cell_ab", "hex_encode", "pack_cell",
     "hex_decode", "hex_center", "hex_center_units", "hex_parent",
     "ab_to_axial", "axial_to_ab", "hex_distance", "hex_distance_axial",
-    "ring_offsets", "k_ring", "cover_bbox",
+    "ring_offsets", "k_ring", "cover_bbox", "hex_boundary_wkbs",
 ]
 
 
@@ -287,8 +291,15 @@ def hex_boundary_wkbs(cell):
     for i, (dx, dy) in enumerate(verts):
         rec[f"x{i}"] = cx + dx
         rec[f"y{i}"] = cy + dy
-    data = rec.tobytes()
     width = rec.dtype.itemsize
+    if (n + 1) * width > 2**31 - 1:
+        # pa.binary() offsets are int32; np.arange would silently wrap.
+        raise ValueError(
+            f"{n} boundaries exceed the 2 GiB Arrow binary offset range; "
+            "chunk the cell batch (map_batches already bounds this in "
+            "pipelines — only a driver-side call over ~17M+ cells hits it)"
+        )
+    data = rec.tobytes()
     offsets = np.arange(0, (n + 1) * width, width, dtype=np.int32)
     return pa.Array.from_buffers(
         pa.binary(), n,

@@ -3413,28 +3413,22 @@ def _hex_sql_interleave(col: str) -> str:
     return expr
 
 
-def _hex_cell_ctes(res: int, src: str, cols: str) -> str:
-    """CTE chain assigning the hex cell (ha, hb) of ``src`` rows — the
-    exact integer mirror of curves/hexgrid.hex_cell_ab: micro-degree
-    floor, nearest-of-two-rectangular-sublattices pick with the <= tie
-    to the even sublattice. ``cols`` are passthrough columns."""
+def _hex_pick_from_xy_ctes(res: int, src: str, cols: str, suffix: str) -> str:
+    """cand/pick CTE pair assigning hex (ha, hb) at ``res`` for a source
+    that already exposes integer micro-unit columns x, y (used by the
+    pyramid oracle's iterated center-reassignment)."""
     from geomesa_ray.curves.hexgrid import res_pitches
 
     hw, vv = res_pitches(res)
     return f"""
-hx_{res} AS (
-  SELECT {cols},
-         CAST(FLOOR((lon + 180.0) * 100000.0) AS BIGINT) AS x,
-         CAST(FLOOR((lat + 90.0) * 100000.0) AS BIGINT) AS y
-  FROM {src}
-), cand_{res} AS (
+cand_{suffix} AS (
   SELECT {cols}, x, y,
          2 * ((x + {hw}) // {2 * hw}) AS aa,
          2 * ((y + {vv}) // {2 * vv}) AS ba,
          2 * (x // {2 * hw}) + 1 AS ab,
          2 * (y // {2 * vv}) + 1 AS bb
-  FROM hx_{res}
-), pick_{res} AS (
+  FROM {src}
+), pick_{suffix} AS (
   SELECT {cols},
          CASE WHEN (x - aa*{hw})*(x - aa*{hw}) + (y - ba*{vv})*(y - ba*{vv})
                 <= (x - ab*{hw})*(x - ab*{hw}) + (y - bb*{vv})*(y - bb*{vv})
@@ -3442,8 +3436,23 @@ hx_{res} AS (
          CASE WHEN (x - aa*{hw})*(x - aa*{hw}) + (y - ba*{vv})*(y - ba*{vv})
                 <= (x - ab*{hw})*(x - ab*{hw}) + (y - bb*{vv})*(y - bb*{vv})
               THEN ba ELSE bb END AS hb
-  FROM cand_{res}
+  FROM cand_{suffix}
 )"""
+
+
+def _hex_cell_ctes(res: int, src: str, cols: str) -> str:
+    """CTE chain assigning the hex cell (ha, hb) of ``src`` rows — the
+    exact integer mirror of curves/hexgrid.hex_cell_ab: micro-degree
+    floor, then the shared nearest-of-two-rectangular-sublattices pick
+    (the tie-break SQL exists exactly once, in _hex_pick_from_xy_ctes).
+    ``cols`` are passthrough columns."""
+    return f"""
+hx_{res} AS (
+  SELECT {cols},
+         CAST(FLOOR((lon + 180.0) * 100000.0) AS BIGINT) AS x,
+         CAST(FLOOR((lat + 90.0) * 100000.0) AS BIGINT) AS y
+  FROM {src}
+), {_hex_pick_from_xy_ctes(res, f"hx_{res}", cols, str(res)).strip()}"""
 
 
 def _hex_encode_oracle_sql() -> str:
@@ -3523,32 +3532,6 @@ WHERE lon >= {BBOX_HEX[0]} AND lon <= {BBOX_HEX[2]}
 ORACLE_SQL["knn_hex"] = ORACLE_SQL["knn"]
 
 
-def _hex_pick_from_xy_ctes(res: int, src: str, cols: str, suffix: str) -> str:
-    """cand/pick CTE pair assigning hex (ha, hb) at ``res`` for a source
-    that already exposes integer micro-unit columns x, y (used by the
-    pyramid oracle's iterated center-reassignment)."""
-    from geomesa_ray.curves.hexgrid import res_pitches
-
-    hw, vv = res_pitches(res)
-    return f"""
-cand_{suffix} AS (
-  SELECT {cols}, x, y,
-         2 * ((x + {hw}) // {2 * hw}) AS aa,
-         2 * ((y + {vv}) // {2 * vv}) AS ba,
-         2 * (x // {2 * hw}) + 1 AS ab,
-         2 * (y // {2 * vv}) + 1 AS bb
-  FROM {src}
-), pick_{suffix} AS (
-  SELECT {cols},
-         CASE WHEN (x - aa*{hw})*(x - aa*{hw}) + (y - ba*{vv})*(y - ba*{vv})
-                <= (x - ab*{hw})*(x - ab*{hw}) + (y - bb*{vv})*(y - bb*{vv})
-              THEN aa ELSE ab END AS ha,
-         CASE WHEN (x - aa*{hw})*(x - aa*{hw}) + (y - ba*{vv})*(y - ba*{vv})
-                <= (x - ab*{hw})*(x - ab*{hw}) + (y - bb*{vv})*(y - bb*{vv})
-              THEN ba ELSE bb END AS hb
-  FROM cand_{suffix}
-)"""
-
 
 def _hex_pyramid_oracle_sql() -> str:
     from geomesa_ray.curves.hexgrid import RES_SHIFT, res_pitches
@@ -3560,7 +3543,10 @@ def _hex_pyramid_oracle_sql() -> str:
     parts = [
         _DERIVE_SQL.strip(),
         _hex_cell_ctes(6, "derived", "event_id").strip(),
-        "lvl6 AS (SELECT ha, hb, CAST(COUNT(*) AS BIGINT) AS n "
+        # lvl6/lvl5 are each referenced twice (next level + final UNION):
+        # AS MATERIALIZED, or DuckDB re-inlines the whole per-row chain
+        # per reference (CLAUDE.md heavy-oracle rule)
+        "lvl6 AS MATERIALIZED (SELECT ha, hb, CAST(COUNT(*) AS BIGINT) AS n "
         "FROM pick_6 GROUP BY 1, 2)",
     ]
     for r in (5, 4):
@@ -3573,8 +3559,8 @@ def _hex_pyramid_oracle_sql() -> str:
             _hex_pick_from_xy_ctes(r, f"x{r}", "n", f"p{r}").strip()
         )
         parts.append(
-            f"lvl{r} AS (SELECT ha, hb, CAST(SUM(n) AS BIGINT) AS n "
-            f"FROM pick_p{r} GROUP BY 1, 2)"
+            f"lvl{r} AS MATERIALIZED (SELECT ha, hb, CAST(SUM(n) AS BIGINT) "
+            f"AS n FROM pick_p{r} GROUP BY 1, 2)"
         )
     selects = " UNION ALL ".join(
         f"SELECT {r} AS res, {packed(r)} AS hex, n AS n_events FROM lvl{r}"

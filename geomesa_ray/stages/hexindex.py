@@ -287,7 +287,24 @@ def hex_indexed_scan(out_dir: str, bbox: tuple[float, float, float, float],
     if columns is not None:
         read_cols = sorted(set(columns) | {lon_col, lat_col})
     if not files:
-        return ray.data.from_items([]).limit(0)
+        # schema-preserving empty (CLAUDE.md: schema-less empties break
+        # downstream joins/compares): borrow the schema from any layout
+        # file, projected like a real read
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        any_files = _glob.glob(os.path.join(out_dir, "hex_cell=*", "*.parquet"))
+        if not any_files:
+            return ray.data.from_items([]).limit(0)
+        schema = _pq.read_schema(any_files[0])
+        names = columns if columns is not None else [
+            n for n in schema.names
+        ]
+        empty = pa.table(
+            {n: pa.array([], schema.field(n).type) for n in names}
+        )
+        return ray.data.from_arrow(empty)
     ds = ray.data.read_parquet(files, columns=read_cols)
 
     def residual(batch: pa.Table) -> pa.Table:

@@ -366,7 +366,9 @@ class HyperLogLog(Stat):
         if not 4 <= log2m <= 16:
             raise ValueError("log2m must be in [4, 16]")
         self.log2m = log2m
-        self.registers = np.zeros(1 << log2m, np.int64)
+        # rho <= 61 fits uint8; every MinMax carries one of these, so the
+        # register footprint matters under GroupBy(high-card key, MinMax)
+        self.registers = np.zeros(1 << log2m, np.uint8)
 
     def _hash(self, values: np.ndarray) -> np.ndarray:
         from geomesa_ray.stages.corpus import _splitmix64
@@ -387,7 +389,7 @@ class HyperLogLog(Stat):
         j = (h >> shift).astype(np.int64)
         w = h & ((np.uint64(1) << shift) - np.uint64(1))
         rho = np.where(w == 0, 64 - self.log2m + 1,
-                       64 - self.log2m + 1 - _bit_length_u64(w))
+                       64 - self.log2m + 1 - _bit_length_u64(w)).astype(np.uint8)
         np.maximum.at(self.registers, j, rho)
 
     def merge(self, other):
@@ -644,6 +646,14 @@ def _parse_one_spec(text: str, name: str) -> StatSpec:
     kind_name, argstr = m.group(1), m.group(2)
     args = _split_top_level(argstr, ",") if argstr.strip() else []
     k = kind_name.lower()
+    _ARITY = {"minmax": 1, "enumeration": 1, "topk": 1, "histogram": 4,
+              "rangehistogram": 4, "frequency": 1, "descriptivestats": 1,
+              "hyperloglog": 1, "cardinality": 1, "groupby": 2}
+    if len(args) < _ARITY.get(k, 0):
+        raise ValueError(
+            f"bad stat spec {text!r}: {kind_name} needs at least "
+            f"{_ARITY[k]} argument(s), got {len(args)}"
+        )
     if k == "count" or k == "iteratorstackcount":
         return StatSpec(name, "count", args[0] if args else None)
     if k == "minmax":

@@ -231,3 +231,15 @@ def test_hex_boundary_wkbs():
         xs = np.array([p[0] for p in ring]); ys = np.array([p[1] for p in ring])
         area = 0.5 * abs(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
         assert abs(area - expect_area) / expect_area < 1e-9
+
+
+def test_k_ring_edge_cells_stay_on_lattice():
+    """Ring ids at the world corner are all valid lattice cells (review
+    finding: independent clipping used to fabricate odd-parity ids)."""
+    c = int(hg.hex_encode(-180.0, -90.0, 8))
+    ring = hg.k_ring(c, 2)
+    _, a, b = hg.hex_decode(ring)
+    assert (((a + b) % 2) == 0).all()
+    assert (a >= 0).all() and (b >= 0).all()
+    # out-of-lattice offsets collapse to the center cell (duplicates ok)
+    assert c in set(ring.tolist())
