@@ -205,8 +205,12 @@ class TestScanPostProcessing:
         sampled = scan(
             indexed_dir, Query(bbox=base.bbox, sample_nth=4)
         ).to_pandas()
-        # per-block every-nth: between 1/4 and a bit more of the rows
-        assert 0 < len(sampled) <= len(full) // 4 + 8
+        # per-batch every-nth (SamplingIterator per-range contract): each
+        # batch keeps ceil(n_i/4), so the total is >= full/4 plus at most
+        # +1 per batch — and batch structure varies with executor load
+        # (observed 8..22+ batches for the same scan). Assert the
+        # fraction band, not an absolute batch-count allowance.
+        assert len(full) // 4 <= len(sampled) <= len(full) // 2
 
 
 class TestTextInvariantEndToEnd:
