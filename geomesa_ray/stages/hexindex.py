@@ -39,7 +39,7 @@ def hex_assign(ds: ray.data.Dataset, res: int, lon_col: str = "lon",
         cell = hg.hex_encode(lon, lat, res)
         return batch.append_column(out_col, pa.array(cell, pa.int64()))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def hex_density(ds: ray.data.Dataset, res: int, lon_col: str = "lon",
@@ -67,7 +67,8 @@ def hex_density(ds: ray.data.Dataset, res: int, lon_col: str = "lon",
             return schema.empty_table()
         return _group_sum(batch.cast(schema), [out_col], ["n_events"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
     merged, converged = _tree_merge(partials, merge, fanin_rows=fanin_rows)
     if converged:
         return merged
@@ -118,7 +119,8 @@ def hex_kring_counts(ds: ray.data.Dataset, anchors: list[tuple[str, float, float
             return schema.empty_table()
         return _group_sum(batch.cast(schema), ["anchor_id"], ["n_events"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
     merged, _ = _tree_merge(partials, merge, fanin_rows=fanin_rows)
     return merged
 
@@ -221,7 +223,8 @@ def hex_pip_count(points: ray.data.Dataset, polygons: pa.Table, res: int = 6,
             return schema.empty_table()
         return _group_sum(batch.cast(schema), [id_col], ["n_points"])
 
-    partials = points.map_batches(partial, batch_format="pyarrow")
+    partials = points.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
     merged, _ = _tree_merge(partials, merge, fanin_rows=fanin_rows)
     return merged
 
@@ -317,7 +320,8 @@ def hex_indexed_scan(out_dir: str, bbox: tuple[float, float, float, float],
         out = batch.filter(m)
         return out.select(columns) if columns is not None else out
 
-    return ds.map_batches(residual, batch_format="pyarrow")
+    return ds.map_batches(residual, batch_format="pyarrow",
+                          batch_size=None)
 
 
 def hex_rollup(density_ds: ray.data.Dataset, from_res: int, to_res: int,
@@ -349,7 +353,8 @@ def hex_rollup(density_ds: ray.data.Dataset, from_res: int, to_res: int,
             return schema.empty_table()
         return _group_sum(batch.cast(schema), [cell_col], [n_col])
 
-    partials = density_ds.map_batches(partial, batch_format="pyarrow")
+    partials = density_ds.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=None)
     merged, _ = _tree_merge(partials, merge, fanin_rows=fanin_rows)
     return merged
 
