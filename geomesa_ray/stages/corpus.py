@@ -343,7 +343,7 @@ def domain_stats(ds: ray.data.Dataset, key_col: str = "source",
         return _group_sum(batch.cast(schema), [key_col, lang_col], sums)
 
     merged, converged = _tree_merge(
-        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None), merge,
         fanin_rows=fanin_rows,
     )
     if not converged:  # huge-case fallback: exact shuffle aggregate
@@ -475,7 +475,7 @@ def bigram_coverage(ds: ray.data.Dataset, text_col: str = "text",
         return _group_sum(batch.cast(count_schema), ["bg"], ["c"])
 
     merged, converged = _tree_merge(
-        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None), merge,
         fanin_rows=fanin_rows,
     )
     if not converged:  # huge-vocabulary fallback: exact shuffle aggregate
@@ -563,7 +563,7 @@ def cdf_buckets(ds: ray.data.Dataset, value_col: str = "n_chars",
         return pa.table({"v": pa.array(uniq, pa.int64()), "c": pa.array(sums, pa.int64())})
 
     merged, converged = _tree_merge(
-        ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None).map_batches(
             lambda b: b.cast(hist_schema), batch_format="pyarrow"
         ),
         merge, fanin_rows=fanin_rows,
@@ -836,7 +836,7 @@ def pack_sequences(
         return _group_sum(batch.cast(tok_schema), ["bucket"], ["toks"])
 
     merged, converged = _tree_merge(
-        ds.map_batches(partial, batch_format="pyarrow"), merge
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None), merge
     )
     if not converged:
         raise ValueError(
@@ -995,7 +995,7 @@ def chunk_corpus(
         return _group_sum(batch.cast(tok_schema), ["bucket"], ["toks"])
 
     merged, converged = _tree_merge(
-        ds.map_batches(partial, batch_format="pyarrow"), merge
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None), merge
     )
     if not converged:
         raise ValueError("chunk_corpus: raise bucket_size (bucket table "

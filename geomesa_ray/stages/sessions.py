@@ -159,7 +159,7 @@ def tumbling_counts(ds: ray.data.Dataset, ts_col: str = "ts",
         return _group_sum(batch.cast(schema), key_cols, ["n_events"])
 
     merged, converged = _tree_merge(
-        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None), merge,
         fanin_rows=fanin_rows,
     )
     if not converged:  # huge window×key product: exact shuffle aggregate
