@@ -127,7 +127,9 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str = "text",
         return _first_per_key(group, key_col, id_col).drop_columns(["__bucket__"])
 
     return (
-        ds.map_batches(local, batch_format="pyarrow")
+        # whole-block batches: the combiner's dedup ratio collapses on
+        # Ray's 1024-row default (CLAUDE.md combiner rule)
+        ds.map_batches(local, batch_format="pyarrow", batch_size=None)
         .groupby("__bucket__")
         .map_groups(
             bucket_dedup,
