@@ -1187,7 +1187,7 @@ def _hex_events_layout(sf_dir: str) -> str:
 
         ingest_hex(events_points(sf_dir), out, res=2)
 
-    return _cached_layout("hexidx", sf_dir, build)
+    return _cached_layout("hexidx2", sf_dir, build)
 
 
 def q_hex_indexed_scan(sf_dir: str) -> ray.data.Dataset:

@@ -242,7 +242,12 @@ def ingest_hex(ds: ray.data.Dataset, out_dir: str, res: int = 2,
 
     keyed = hex_assign(ds, res=res, lon_col=lon_col, lat_col=lat_col,
                        out_col="hex_cell")
-    keyed.write_parquet(out_dir, partition_cols=["hex_cell"])
+    # cluster by cell before the partitioned write: without it every
+    # input block writes a sliver into EVERY cell dir (observed 16
+    # files/dir — 4,368 tiny files at sf0.1), and scan/kNN walls become
+    # per-file open cost. Sorted Morton ids also make the layout a
+    # prefix-ordered walk. One-time ingest shuffle, the right trade.
+    keyed.sort("hex_cell").write_parquet(out_dir, partition_cols=["hex_cell"])
     meta = os.path.join(out_dir, "_meta")
     os.makedirs(meta, exist_ok=True)
     with open(os.path.join(meta, "hex.json"), "w") as f:
