@@ -378,7 +378,7 @@ def _ivf_layout(sf_dir: str, n_cells: int = 16) -> str:
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         ingest_ivf(ds, out, n_cells=n_cells, sample_rows=5000)
 
-    return _cached_layout("ivf", f"{sf_dir}|{n_cells}", build)
+    return _cached_layout("ivf2", f"{sf_dir}|{n_cells}", build)
 
 
 def q_ann_ivf_indexed(sf_dir: str) -> pa.Table:
@@ -416,7 +416,7 @@ def _ivf_pq_layout(sf_dir: str, n_cells: int = 16) -> str:
         ingest_ivf_pq(ds, out, n_cells=n_cells, n_sub=8, n_codes=64,
                       sample_rows=5000)
 
-    return _cached_layout("ivfpq", f"{sf_dir}|{n_cells}|pq", build)
+    return _cached_layout("ivfpq2", f"{sf_dir}|{n_cells}|pq", build)
 
 
 def q_ann_ivf_pq_topk(sf_dir: str) -> pa.Table:

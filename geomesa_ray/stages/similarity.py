@@ -344,7 +344,10 @@ def ingest_ivf(
             seed=seed, emb_col=emb_col,
         )
     ds = assign_cells(vectors, centroids, emb_col=emb_col)
-    ds.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    # cluster by cell before the partitioned write — otherwise every
+    # block writes a sliver into every cell dir (observed ~25 files/dir)
+    # and the probe's pruned read pays per-file open cost
+    ds.sort("ivf_cell").write_parquet(out_dir, partition_cols=["ivf_cell"])
     meta = os.path.join(out_dir, "_meta")
     os.makedirs(meta, exist_ok=True)
     np.save(os.path.join(meta, "centroids.npy"), centroids)
@@ -676,7 +679,10 @@ def ingest_ivf_pq(
     )
     ds = encode_pq(assign_cells(vectors, centroids, emb_col=emb_col),
                    books, emb_col=emb_col)
-    ds.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    # cluster by cell before the partitioned write — otherwise every
+    # block writes a sliver into every cell dir (observed ~25 files/dir)
+    # and the probe's pruned read pays per-file open cost
+    ds.sort("ivf_cell").write_parquet(out_dir, partition_cols=["ivf_cell"])
     meta = os.path.join(out_dir, "_meta")
     os.makedirs(meta, exist_ok=True)
     np.save(os.path.join(meta, "centroids.npy"), centroids)
