@@ -1156,7 +1156,7 @@ def build_dedup_state(docs: ray.data.Dataset, state_dir: str,
         return out.cast(group.schema)
 
     ds = (
-        docs.map_batches(local, batch_format="pyarrow")
+        docs.map_batches(local, batch_format="pyarrow", batch_size=None)
         .groupby("__bucket__")
         .map_groups(bucket_distinct, batch_format="pyarrow")
     )
