@@ -235,8 +235,9 @@ def ingest_hex(ds: ray.data.Dataset, out_dir: str, res: int = 2,
     ``hex_cell=<id>/`` directories keyed by the coarse hex cell — the
     "file layout keyed by H3 prefix so pruning works" plan item
     (SURVEY §scan-parallelism). Streaming write, no driver
-    materialization; a failed run reruns only unwritten partitions'
-    blocks (same resumability contract as ingest_ivf)."""
+    materialization. Rebuild is idempotent (overwrite); callers gate
+    completion with a marker (_cached_layout's _READY pattern) — the
+    sort shuffle itself is not partially resumable."""
     import json
     import os
 
