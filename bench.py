@@ -78,6 +78,7 @@ HEADLINE = [
     "knn_hex",
     "hex_pyramid",
     "hll_users",
+    "top_domains_per_lang",
 ]
 
 

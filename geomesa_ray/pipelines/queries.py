@@ -1225,6 +1225,17 @@ def q_knn_hex(sf_dir: str) -> pa.Table:
     )
 
 
+def q_top_domains_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Grouped top-k (k=2 most frequent sources per language, ties by
+    source ASC) — integer counts + deterministic tie-breaks, mirrored by
+    a ROW_NUMBER window oracle."""
+    from geomesa_ray.stages.corpus import topk_per_group
+
+    return topk_per_group(
+        _read_docs(sf_dir, ["lang", "source"]), "lang", "source", k=2
+    )
+
+
 def q_hll_users(sf_dir: str) -> pa.Table:
     """Distributed HyperLogLog over user_id (clearspring analog carried by
     the reference's MinMax stat): the driver verifies the FULL integer
@@ -2405,6 +2416,7 @@ QUERIES = {
     "knn_hex": q_knn_hex,
     "hex_pyramid": q_hex_pyramid,
     "hll_users": q_hll_users,
+    "top_domains_per_lang": q_top_domains_per_lang,
     "reproject": q_reproject,
     "reproject_conic": q_reproject_conic,
     "reproject_osgb": q_reproject_osgb,
@@ -3586,3 +3598,16 @@ FROM b5 GROUP BY 1
 
 
 ORACLE_SQL["hll_users"] = _hll_users_oracle_sql()
+
+ORACLE_SQL["top_domains_per_lang"] = """
+WITH counts AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, n,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY lang ORDER BY n DESC, source ASC
+       ) AS BIGINT) AS rank
+FROM counts
+QUALIFY rank <= 2
+"""

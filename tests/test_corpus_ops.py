@@ -1221,3 +1221,39 @@ def test_cosine_neardup_cap_and_guard(ray_session, embeddings):
     tau_on_pair = float(sims[iu, ju].max())
     with pytest.raises(Exception, match="hash-unsafe boundary"):
         cosine_neardup_pairs(ds, threshold=tau_on_pair).to_pandas()
+
+
+def test_topk_per_group_huge_path(ray_session):
+    """Force the non-converged shard path (fanin_rows=1) and check it
+    matches the single-block path and brute-force truth."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geomesa_ray.stages.corpus import topk_per_group
+
+    rows = [("en", f"s{i % 7}") for i in range(200)] + \
+           [("de", f"s{i % 3}") for i in range(90)] + [("fr", "s0")]
+    t = pa.table({"lang": [r[0] for r in rows], "source": [r[1] for r in rows]})
+    ds = rd.from_arrow(t).map_batches(lambda b: b, batch_format="pyarrow",
+                                      batch_size=37)
+
+    def truth(k):
+        c = collections.Counter(rows)
+        per = collections.defaultdict(list)
+        for (g, s), n in c.items():
+            per[g].append((-n, s))
+        out = set()
+        for g, items in per.items():
+            for rank, (negn, s) in enumerate(sorted(items)[:k], 1):
+                out.add((g, s, -negn, rank))
+        return out
+
+    got_fast = {(r["lang"], r["source"], r["n"], r["rank"])
+                for r in topk_per_group(ds, "lang", "source", 2).take_all()}
+    got_huge = {(r["lang"], r["source"], r["n"], r["rank"])
+                for r in topk_per_group(ds, "lang", "source", 2,
+                                        fanin_rows=1).take_all()}
+    assert got_fast == truth(2)
+    assert got_huge == truth(2)

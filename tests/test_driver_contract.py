@@ -74,6 +74,7 @@ SUBSET = [
     "knn_hex",
     "hex_pyramid",
     "hll_users",
+    "top_domains_per_lang",
 ]
 
 
