@@ -73,6 +73,21 @@ def cmd_scan(args) -> dict:
             int(np.datetime64(lo).astype("datetime64[ms]").astype(np.int64)),
             int(np.datetime64(hi).astype("datetime64[ms]").astype(np.int64)),
         )
+    import os
+
+    if bbox is not None and os.path.exists(
+        os.path.join(args.index, "_meta", "hex.json")
+    ):
+        # hex-prefix-partitioned layout (ingest_hex): route the bbox scan
+        # through its partition pruning instead of the z planner
+        from geomesa_ray.stages.hexindex import hex_indexed_scan
+
+        stats: dict = {}
+        ds = hex_indexed_scan(args.index, bbox, stats=stats)
+        ds.write_parquet(args.out)
+        return {"rows": ds.count(), "layout": "hex",
+                "files_read": stats["files_read"],
+                "files_total": stats["files_total"]}
     ds = scan(args.index, Query(bbox=bbox, interval=interval, loose=args.loose))
     ds.write_parquet(args.out)
     return {"rows": ds.count()}

@@ -243,3 +243,23 @@ def test_k_ring_edge_cells_stay_on_lattice():
     assert (a >= 0).all() and (b >= 0).all()
     # out-of-lattice offsets collapse to the center cell (duplicates ok)
     assert c in set(ring.tolist())
+
+
+def test_cli_scan_routes_hex_layout(ray_session, tmp_path):
+    import contextlib, io, json as _json
+
+    from geomesa_ray.cli import main
+    from geomesa_ray.pipelines.queries import events_points
+    from geomesa_ray.stages.hexindex import ingest_hex
+
+    sf = "/root/testdata/sf0.001"
+    layout = str(tmp_path / "hexcli")
+    ingest_hex(events_points(sf), layout, res=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["scan", "--index", layout, "--bbox", "20,10,60,40",
+                   "--out", str(tmp_path / "out")])
+    assert rc == 0
+    res = _json.loads(buf.getvalue().splitlines()[-1])
+    assert res["layout"] == "hex" and res["rows"] > 0
+    assert 0 < res["files_read"] < res["files_total"]
