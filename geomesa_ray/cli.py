@@ -73,19 +73,32 @@ def cmd_scan(args) -> dict:
             int(np.datetime64(lo).astype("datetime64[ms]").astype(np.int64)),
             int(np.datetime64(hi).astype("datetime64[ms]").astype(np.int64)),
         )
-    import os
-
-    if bbox is not None and os.path.exists(
-        os.path.join(args.index, "_meta", "hex.json")
-    ):
+    if os.path.exists(os.path.join(args.index, "_meta", "hex.json")):
         # hex-prefix-partitioned layout (ingest_hex): route the bbox scan
         # through its partition pruning instead of the z planner
+        if interval is not None or args.loose:
+            raise SystemExit(
+                "hex layouts support bbox scans only: --interval/--loose "
+                "need a z-indexed layout (ingest)"
+            )
+        if bbox is None:
+            raise SystemExit("scanning a hex layout requires --bbox")
         from geomesa_ray.stages.hexindex import hex_indexed_scan
 
         stats: dict = {}
         ds = hex_indexed_scan(args.index, bbox, stats=stats)
         ds.write_parquet(args.out)
-        return {"rows": ds.count(), "layout": "hex",
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        # count from the written footers — ds.count() would re-read and
+        # re-filter every pruned file a second time (cmd_convert pattern)
+        rows = sum(
+            _pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(os.path.join(args.out, "*.parquet"))
+        )
+        return {"rows": rows, "layout": "hex",
                 "files_read": stats["files_read"],
                 "files_total": stats["files_total"]}
     ds = scan(args.index, Query(bbox=bbox, interval=interval, loose=args.loose))

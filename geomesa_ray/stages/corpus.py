@@ -1117,10 +1117,22 @@ def topk_per_group(ds: ray.data.Dataset, group_col: str, key_col: str,
     def partial(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return schema.empty_table()
+        import pyarrow.compute as pc
+
+        # null group/key rows are excluded (the rank kernel's lexsort
+        # can't order None; callers wanting a NULL bucket should
+        # fill_null upstream — divergence from SQL GROUP BY documented)
+        g = batch[group_col].cast(pa.string())
+        key = batch[key_col].cast(pa.string())
+        valid = pc.and_(pc.is_valid(g), pc.is_valid(key))
+        if not pc.all(valid).as_py():
+            g, key = g.filter(valid), key.filter(valid)
+        if len(g) == 0:
+            return schema.empty_table()
         t = pa.table({
-            group_col: batch[group_col].cast(pa.string()),
-            key_col: batch[key_col].cast(pa.string()),
-            "n": pa.array(np.ones(len(batch), np.int64)),
+            group_col: g,
+            key_col: key,
+            "n": pa.array(np.ones(len(g), np.int64)),
         })
         return _group_sum(t, [group_col, key_col], ["n"])
 

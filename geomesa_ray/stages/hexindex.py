@@ -235,12 +235,19 @@ def ingest_hex(ds: ray.data.Dataset, out_dir: str, res: int = 2,
     ``hex_cell=<id>/`` directories keyed by the coarse hex cell — the
     "file layout keyed by H3 prefix so pruning works" plan item
     (SURVEY §scan-parallelism). Streaming write, no driver
-    materialization. Rebuild is idempotent (overwrite); callers gate
-    completion with a marker (_cached_layout's _READY pattern) — the
-    sort shuffle itself is not partially resumable."""
+    materialization. Rebuild is idempotent BECAUSE stale ``hex_cell=*``
+    dirs are deleted first — Ray's write_parquet appends uniquely-named
+    files, so rerunning into a populated dir would otherwise duplicate
+    every row (the crash-between-write-and-marker case of
+    _cached_layout); the sort shuffle itself is not partially
+    resumable."""
+    import glob
     import json
     import os
+    import shutil
 
+    for stale in glob.glob(os.path.join(out_dir, "hex_cell=*")):
+        shutil.rmtree(stale)
     keyed = hex_assign(ds, res=res, lon_col=lon_col, lat_col=lat_col,
                        out_col="hex_cell")
     # cluster by cell before the partitioned write: without it every
@@ -271,7 +278,7 @@ def plan_hex_files(out_dir: str, cells) -> tuple[list[str], int]:
 
 def hex_indexed_scan(out_dir: str, bbox: tuple[float, float, float, float],
                      columns: list[str] | None = None,
-                     lon_col: str = "lon", lat_col: str = "lat",
+                     lon_col: str | None = None, lat_col: str | None = None,
                      stats: dict | None = None) -> ray.data.Dataset:
     """bbox scan over a hex-partitioned layout: loose hex covering of the
     box prunes partition directories at plan time (only those FILES are
@@ -286,6 +293,10 @@ def hex_indexed_scan(out_dir: str, bbox: tuple[float, float, float, float],
     with open(os.path.join(out_dir, "_meta", "hex.json")) as f:
         meta = json.load(f)
     res = meta["res"]
+    # the layout's recorded coordinate columns are authoritative; explicit
+    # args override only for layouts written by other tools
+    lon_col = lon_col or meta.get("lon_col", "lon")
+    lat_col = lat_col or meta.get("lat_col", "lat")
     xmin, ymin, xmax, ymax = bbox
     cells = hg.cover_bbox(xmin, ymin, xmax, ymax, res)
     files, total = plan_hex_files(out_dir, cells)

@@ -1252,8 +1252,23 @@ def test_topk_per_group_huge_path(ray_session):
 
     got_fast = {(r["lang"], r["source"], r["n"], r["rank"])
                 for r in topk_per_group(ds, "lang", "source", 2).take_all()}
-    got_huge = {(r["lang"], r["source"], r["n"], r["rank"])
-                for r in topk_per_group(ds, "lang", "source", 2,
-                                        fanin_rows=1).take_all()}
     assert got_fast == truth(2)
+
+    # the tree merge converges on any test-sized input (it only fails to
+    # at >8^rounds blocks), so FORCE the non-converged shard-ranking
+    # branch by reporting converged=False
+    import geomesa_ray.stages.corpus as corpus_mod
+
+    real_tree_merge = corpus_mod._tree_merge
+    try:
+        corpus_mod._tree_merge = lambda *a, **kw: (real_tree_merge(*a, **kw)[0], False)
+        got_huge = {(r["lang"], r["source"], r["n"], r["rank"])
+                    for r in topk_per_group(ds, "lang", "source", 2).take_all()}
+    finally:
+        corpus_mod._tree_merge = real_tree_merge
     assert got_huge == truth(2)
+
+    # null group/key rows are excluded, not a crash
+    tn = pa.table({"lang": ["en", None, "en"], "source": ["s1", "s1", None]})
+    got_null = topk_per_group(rd.from_arrow(tn), "lang", "source", 2).take_all()
+    assert [(r["lang"], r["source"], r["n"]) for r in got_null] == [("en", "s1", 1)]

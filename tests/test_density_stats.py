@@ -543,16 +543,24 @@ def test_parse_stat_specs_and_unobserve():
 
 
 def test_cli_sketch_spec(ray_session):
-    from geomesa_ray.cli import main
+    # SUBPROCESS: cli.main owns (and shuts down) its own Ray session,
+    # which must never touch the shared test session (test_route_cli.py
+    # convention — running in-process re-inits later tests at 32 cpus)
+    import json as _json
+    import os
+    import subprocess
+    import sys
 
-    import contextlib, io, json as _json
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = main(["sketch", "--table", "events",
-                   "--spec", "MinMax(value);Count();GroupBy(event_type,Count(event_id))",
-                   "--sf-dir", "/root/testdata/sf0.001"])
-    assert rc == 0
-    out = _json.loads(buf.getvalue().splitlines()[-1])
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "geomesa_ray.cli", "--num-cpus", "4",
+         "sketch", "--table", "events",
+         "--spec", "MinMax(value);Count();GroupBy(event_type,Count(event_id))",
+         "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = _json.loads(proc.stdout.strip().splitlines()[-1])
     st = out["stats"]
     assert st["Count()"]["count"] == 1000
     assert st["MinMax(value)"]["min"] is not None

@@ -246,20 +246,38 @@ def test_k_ring_edge_cells_stay_on_lattice():
 
 
 def test_cli_scan_routes_hex_layout(ray_session, tmp_path):
-    import contextlib, io, json as _json
+    # cli.main owns (and shuts down) its OWN Ray session, so it must run
+    # in a SUBPROCESS — in-process it would kill the shared test session
+    # (test_route_cli.py convention)
+    import json as _json
+    import os
+    import subprocess
+    import sys
 
-    from geomesa_ray.cli import main
     from geomesa_ray.pipelines.queries import events_points
     from geomesa_ray.stages.hexindex import ingest_hex
 
     sf = "/root/testdata/sf0.001"
     layout = str(tmp_path / "hexcli")
     ingest_hex(events_points(sf), layout, res=2)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = main(["scan", "--index", layout, "--bbox", "20,10,60,40",
-                   "--out", str(tmp_path / "out")])
-    assert rc == 0
-    res = _json.loads(buf.getvalue().splitlines()[-1])
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "geomesa_ray.cli", "--num-cpus", "4",
+         "scan", "--index", layout, "--bbox", "20,10,60,40",
+         "--out", str(tmp_path / "out")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = _json.loads(proc.stdout.strip().splitlines()[-1])
     assert res["layout"] == "hex" and res["rows"] > 0
     assert 0 < res["files_read"] < res["files_total"]
+    # --interval on a hex layout must fail loudly, never silently superset
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "geomesa_ray.cli", "--num-cpus", "4",
+         "scan", "--index", layout, "--bbox", "20,10,60,40",
+         "--interval", "2024-01-01/2024-01-08",
+         "--out", str(tmp_path / "out2")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc2.returncode != 0
+    assert "z-indexed" in proc2.stderr
