@@ -79,6 +79,7 @@ HEADLINE = [
     "hex_pyramid",
     "hll_users",
     "top_domains_per_lang",
+    "hex_zonal_stats",
 ]
 
 

@@ -1236,6 +1236,18 @@ def q_top_domains_per_lang(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_hex_zonal_stats(sf_dir: str) -> ray.data.Dataset:
+    """Zonal statistics via the fused hex-keyed join: per polygon,
+    count + integral floor-sum + exact max of the event value column
+    (only order-independent aggregates are emitted, per the oracle
+    rules — raw double sums are not hash-safe)."""
+    from geomesa_ray.stages.hexindex import hex_zonal_stats
+
+    return hex_zonal_stats(
+        events_points(sf_dir), polygons_table(), res=6, value_col="value"
+    )
+
+
 def q_hll_users(sf_dir: str) -> pa.Table:
     """Distributed HyperLogLog over user_id (clearspring analog carried by
     the reference's MinMax stat): the driver verifies the FULL integer
@@ -2417,6 +2429,7 @@ QUERIES = {
     "hex_pyramid": q_hex_pyramid,
     "hll_users": q_hll_users,
     "top_domains_per_lang": q_top_domains_per_lang,
+    "hex_zonal_stats": q_hex_zonal_stats,
     "reproject": q_reproject,
     "reproject_conic": q_reproject_conic,
     "reproject_osgb": q_reproject_osgb,
@@ -3610,4 +3623,15 @@ SELECT lang, source, n,
        ) AS BIGINT) AS rank
 FROM counts
 QUALIFY rank <= 2
+"""
+
+ORACLE_SQL["hex_zonal_stats"] = f"""
+WITH {_DERIVE_SQL.strip()}, {_RECTS_SQL}
+SELECT p.poly_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CAST(FLOOR(d.value) AS BIGINT)) AS BIGINT) AS sum_floor_value,
+       MAX(d.value) AS max_value
+FROM derived d JOIN polys p
+  ON d.lon >= p.xmin AND d.lon <= p.xmax AND d.lat >= p.ymin AND d.lat <= p.ymax
+GROUP BY 1
 """

@@ -407,3 +407,110 @@ def hex_pyramid(ds: ray.data.Dataset, res_fine: int, res_coarse: int,
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def hex_zonal_stats(points: ray.data.Dataset, polygons: pa.Table,
+                    res: int = 6, value_col: str = "value",
+                    predicate: str = "intersects", id_col: str = "poly_id",
+                    wkb_col: str = "geom_wkb", lon_col: str = "lon",
+                    lat_col: str = "lat",
+                    fanin_rows: int = 2_000_000) -> ray.data.Dataset:
+    """Zonal statistics: per polygon, aggregate a measure column over the
+    points it contains — the payload-carrying form of the fused
+    hex-cell-keyed aggregate join (:func:`hex_pip_count`). Emits
+    ``(id_col, n_points, sum_floor_value, max_value)``:
+
+    * ``n_points`` / ``sum_floor_value`` are integers (the floor is
+      mirrored in SQL, so reordered partial sums stay bit-exact — raw
+      double sums are NOT hash-safe, per the repo's oracle rules);
+    * ``max_value`` is an exact double (max is order-independent).
+
+    Same scale shape as hex_pip_count: broadcast cell→polygon CSR,
+    per-batch exact PIP residual, per-polygon partials, tree merge —
+    no shuffle."""
+    from geomesa_ray.geometry.predicates import points_in_polygon
+    from geomesa_ray.stages.join import (PREDICATES, PolygonSet,
+                                         _resolve_broadcast)
+
+    if predicate not in PREDICATES:
+        raise ValueError(f"predicate must be one of {PREDICATES}")
+    pset = PolygonSet(polygons, id_col=id_col, wkb_col=wkb_col)
+    uniq, offsets, csr_polys = _hex_csr_cover(polygons, res, wkb_col)
+    ids = polygons[id_col].to_pylist()
+    ref = ray.put((uniq, offsets, csr_polys, pset))
+    include_boundary = predicate in ("intersects", "covers")
+
+    schema = pa.schema([
+        pa.field(id_col, pa.string()),
+        pa.field("n_points", pa.int64()),
+        pa.field("sum_floor_value", pa.int64()),
+        pa.field("max_value", pa.float64()),
+    ])
+
+    def _agg(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch)
+            .group_by([id_col], maintain_order=False)
+            .agg([pl.col("n_points").sum(),
+                  pl.col("sum_floor_value").sum(),
+                  pl.col("max_value").max()])
+            .sort(id_col)
+            .to_arrow()
+        )
+        return out.cast(schema)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells_u, offs, cpolys, ps = _resolve_broadcast(ref)
+        if len(batch) == 0 or len(cells_u) == 0:
+            return schema.empty_table()
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        val = batch[value_col].to_numpy(zero_copy_only=False)
+        cell = hg.hex_encode(lon, lat, res)
+        pos = np.searchsorted(cells_u, cell)
+        pos_c = np.clip(pos, 0, len(cells_u) - 1)
+        hit = cells_u[pos_c] == cell
+        counts = np.where(hit, offs[pos_c + 1] - offs[pos_c], 0)
+        total = int(counts.sum())
+        if total == 0:
+            return schema.empty_table()
+        first = np.cumsum(counts) - counts
+        pt_idx = np.repeat(np.arange(len(cell), dtype=np.int64), counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
+        cand_poly = cpolys[np.repeat(offs[pos_c], counts) + within]
+        order = np.argsort(cand_poly, kind="stable")
+        pt_idx, cand_poly = pt_idx[order], cand_poly[order]
+        upoly, starts = np.unique(cand_poly, return_index=True)
+        ends = np.append(starts[1:], len(cand_poly))
+        n_hits = np.zeros(len(ps), np.int64)
+        sfv = np.zeros(len(ps), np.int64)
+        vmax = np.full(len(ps), -np.inf)
+        fval = np.floor(val).astype(np.int64)
+        for poly_i, s, e in zip(upoly.tolist(), starts.tolist(), ends.tolist()):
+            pts = pt_idx[s:e]
+            mask = points_in_polygon(lon[pts], lat[pts], ps.geoms[poly_i],
+                                     include_boundary=include_boundary)
+            inside = pts[mask]
+            n_hits[poly_i] = len(inside)
+            if len(inside):
+                sfv[poly_i] = int(fval[inside].sum())
+                vmax[poly_i] = float(val[inside].max())
+        nz = np.nonzero(n_hits)[0]
+        return pa.table({
+            id_col: pa.array([ids[i] for i in nz.tolist()], pa.string()),
+            "n_points": pa.array(n_hits[nz], pa.int64()),
+            "sum_floor_value": pa.array(sfv[nz], pa.int64()),
+            "max_value": pa.array(vmax[nz], pa.float64()),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return schema.empty_table()
+        return _agg(batch.cast(schema))
+
+    partials = points.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
+    merged, _ = _tree_merge(partials, merge, fanin_rows=fanin_rows)
+    return merged

@@ -75,6 +75,7 @@ SUBSET = [
     "hex_pyramid",
     "hll_users",
     "top_domains_per_lang",
+    "hex_zonal_stats",
 ]
 
 

@@ -281,3 +281,28 @@ def test_cli_scan_routes_hex_layout(ray_session, tmp_path):
     )
     assert proc2.returncode != 0
     assert "z-indexed" in proc2.stderr
+
+
+def test_hex_zonal_stats_matches_broadcast_join(ray_session):
+    """Zonal stats equals per-polygon aggregates of the broadcast join."""
+    import collections
+
+    import numpy as np
+
+    from geomesa_ray.pipelines.queries import events_points, polygons_table
+    from geomesa_ray.stages.hexindex import hex_zonal_stats
+    from geomesa_ray.stages.join import pip_join_broadcast
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["poly_id"]: (r["n_points"], r["sum_floor_value"], r["max_value"])
+           for r in hex_zonal_stats(events_points(sf), polygons_table(),
+                                    res=7).take_all()}
+    ref = pip_join_broadcast(events_points(sf), polygons_table(),
+                             predicate="intersects")
+    agg = collections.defaultdict(lambda: [0, 0, -np.inf])
+    for r in ref.select_columns(["poly_id", "value"]).take_all():
+        a = agg[r["poly_id"]]
+        a[0] += 1
+        a[1] += int(np.floor(r["value"]))
+        a[2] = max(a[2], r["value"])
+    assert got == {k: tuple(v) for k, v in agg.items()}
