@@ -189,6 +189,22 @@ def cmd_convert(args) -> dict:
     return {"rows": rows, "format": args.format}
 
 
+def cmd_hexdensity(args) -> dict:
+    """Hex-cell density over any parquet with lon/lat columns, exported
+    as a GeoJSON FeatureCollection of hexagon polygons (the raster→vector
+    visualization surface; reference analog: the density/heatmap process
+    rendered on a hex grid)."""
+    import ray
+
+    from geomesa_ray.stages.hexindex import hex_density_geojson
+
+    ds = ray.data.read_parquet(args.input,
+                               columns=[args.lon_col, args.lat_col])
+    n = hex_density_geojson(ds, res=args.res, path=args.out,
+                            lon_col=args.lon_col, lat_col=args.lat_col)
+    return {"features": n, "res": args.res, "out": args.out}
+
+
 def cmd_sketch(args) -> dict:
     """Distributed stats sketches over a parquet table from a
     reference-style spec string (geomesa-tools stats-analyze analog,
@@ -419,6 +435,15 @@ def main(argv=None) -> int:
     p.add_argument("--bench", default=None,
                    help="benchmark parquet (decontaminate)")
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser("hexdensity")
+    p.add_argument("--input", required=True,
+                   help="parquet file/dir with lon/lat columns")
+    p.add_argument("--res", type=int, default=6)
+    p.add_argument("--lon-col", default="lon")
+    p.add_argument("--lat-col", default="lat")
+    p.add_argument("--out", required=True, help="GeoJSON output path")
+    p.set_defaults(fn=cmd_hexdensity)
 
     p = sub.add_parser("sketch")
     p.add_argument("--table", required=True, help="table name under --sf-dir")

@@ -408,3 +408,42 @@ def write_geojson(ds: ray.data.Dataset, path: str, lon_col: str = "lon",
                 total += 1
         f.write("]}")
     return total
+
+
+def write_geojson_polygons(ds: ray.data.Dataset, path: str,
+                           wkb_col: str = "geom_wkb",
+                           limit_props: list[str] | None = None) -> int:
+    """GeoJSON FeatureCollection export for polygon geometries (WKB
+    column → Polygon features) — the vector side of raster→vector
+    surfaces like hex densities. Streams batches; the file write is the
+    driver-side sink, like :func:`write_geojson`."""
+    import json
+
+    from geomesa_ray.geometry.wkb import from_wkb
+
+    total = 0
+    with open(path, "w") as f:
+        f.write('{"type":"FeatureCollection","features":[')
+        first = True
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            props_cols = limit_props or [
+                c for c in batch.schema.names if c != wkb_col
+            ]
+            wkbs = batch[wkb_col].to_pylist()
+            props = {c: batch[c].to_pylist() for c in props_cols}
+            for i in range(len(batch)):
+                geom = from_wkb(wkbs[i])
+                ring = geom.shell if hasattr(geom, "shell") else geom.rings[0]
+                feat = {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [[list(p) for p in ring]],
+                    },
+                    "properties": {c: props[c][i] for c in props_cols},
+                }
+                f.write(("" if first else ",") + json.dumps(feat, default=str))
+                first = False
+                total += 1
+        f.write("]}")
+    return total

@@ -514,3 +514,27 @@ def hex_zonal_stats(points: ray.data.Dataset, polygons: pa.Table,
                                   batch_size=None)
     merged, _ = _tree_merge(partials, merge, fanin_rows=fanin_rows)
     return merged
+
+
+def hex_density_geojson(ds: ray.data.Dataset, res: int, path: str,
+                        lon_col: str = "lon", lat_col: str = "lat") -> int:
+    """Raster→vector surface: per-cell counts rendered as GeoJSON hexagon
+    polygons (cell boundary from curves/hexgrid.hex_boundary_wkbs).
+    Returns the feature count."""
+    from geomesa_ray.stages.export import write_geojson_polygons
+
+    dens = hex_density(ds, res, lon_col=lon_col, lat_col=lat_col)
+
+    def boundary(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "hex": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "geom_wkb": pa.array([], pa.binary()),
+            })
+        cells = batch["hex"].to_numpy(zero_copy_only=False)
+        return batch.append_column("geom_wkb", hg.hex_boundary_wkbs(cells))
+
+    with_geom = dens.map_batches(boundary, batch_format="pyarrow",
+                                 batch_size=None)
+    return write_geojson_polygons(with_geom, path, wkb_col="geom_wkb")

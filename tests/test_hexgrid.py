@@ -306,3 +306,35 @@ def test_hex_zonal_stats_matches_broadcast_join(ray_session):
         a[1] += int(np.floor(r["value"]))
         a[2] = max(a[2], r["value"])
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_hex_density_geojson_cli(ray_session, tmp_path):
+    """CLI hexdensity writes a valid FeatureCollection whose per-feature
+    counts sum to the input rows and whose hexagons contain... their cell."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from geomesa_ray.pipelines.queries import events_points
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "pts")
+    events_points(sf).write_parquet(src)
+    out = str(tmp_path / "hex.geojson")
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "geomesa_ray.cli", "--num-cpus", "4",
+         "hexdensity", "--input", src, "--res", "5", "--out", out],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = _json.loads(proc.stdout.strip().splitlines()[-1])
+    gj = _json.load(open(out))
+    assert gj["type"] == "FeatureCollection"
+    feats = gj["features"]
+    assert len(feats) == res["features"] > 0
+    assert sum(f["properties"]["n_events"] for f in feats) == 1000
+    f0 = feats[0]
+    ring = f0["geometry"]["coordinates"][0]
+    assert len(ring) == 7 and ring[0] == ring[-1]
