@@ -312,3 +312,66 @@ def test_streaming_window_watermark_is_microsecond_exact(ray_session, dirs):
                  [100_000_123_457, 100_000_123_456, 100_000_123_999])
     r = sw.poll()
     assert r["late_dropped"] == 1
+
+def test_streaming_hex_density_view(ray_session, dirs):
+    """Composition: a live hex heatmap — producer segments carry the
+    exact-integer hex cell (curves/hexgrid), StreamingWindow keys on it,
+    and the windowed per-cell counts (incl. crash/resume) match a DuckDB
+    oracle built from the same integer hex chain + window floor.
+    (State keys come back as strings — the upsert state's key encoding —
+    so the compare casts.)"""
+    import duckdb
+    import numpy as np
+
+    from geomesa_ray.curves.hexgrid import RES_SHIFT, hex_encode
+    from geomesa_ray.pipelines.queries import (_hex_cell_ctes,
+                                               _hex_sql_interleave)
+    from geomesa_ray.state.streaming import StreamingWindow
+
+    src, state = dirs
+    rng = np.random.default_rng(5)
+
+    def seg(path, n, t0):
+        lon = rng.uniform(-20, 40, n)
+        lat = rng.uniform(30, 60, n)
+        ts = (t0 + np.arange(n) * 1_000_000).astype(np.int64)
+        t = pa.table({
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "hex": pa.array(hex_encode(lon, lat, 5), pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        })
+        pq.write_table(t, path)
+
+    seg(os.path.join(src, "seg-000.parquet"), 40, 0)
+    sw = StreamingWindow(src, state, ts_col="ts", key_col="hex",
+                         window_s=30, allowed_lateness_s=0)
+    sw.poll()
+    # crash/resume: a NEW consumer over the same state dir continues
+    seg(os.path.join(src, "seg-001.parquet"), 25, 45_000_000)
+    sw2 = StreamingWindow(src, state, ts_col="ts", key_col="hex",
+                          window_s=30, allowed_lateness_s=0)
+    r = sw2.poll()
+    assert r["segments"] == 1  # only the new segment replays
+
+    got = sw2.counts().to_pandas()
+    got["hex"] = got["hex"].astype("int64")
+    got = got.sort_values(["window_start_us", "hex"]).reset_index(drop=True)
+
+    interleave = (f"({_hex_sql_interleave('ha')} | "
+                  f"({_hex_sql_interleave('hb')} << 1)) | {5 << RES_SHIFT}")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW pts AS SELECT lon, lat, ts "
+            f"FROM read_parquet('{src}/seg-*.parquet')")
+    exp = con.sql(f"""
+    WITH derived AS (SELECT * FROM pts),
+    {_hex_cell_ctes(5, "derived", "ts").strip()}
+    SELECT (epoch_us(ts) // 30000000) * 30000000 AS window_start_us,
+           ({interleave}) AS hex,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM pick_5
+    GROUP BY 1, 2
+    """).df().sort_values(["window_start_us", "hex"]).reset_index(drop=True)
+    assert got["hex"].tolist() == exp["hex"].tolist()
+    assert got["window_start_us"].tolist() == exp["window_start_us"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
