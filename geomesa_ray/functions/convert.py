@@ -4,7 +4,10 @@ Reference: geomesa-convert-common/.../transforms/StringFunctionFactory.scala
 :23-189 (strip/replace/regexReplace/capitalize/lowercase/uppercase/concat/
 mkstring/emptyToNull/length/substr/printf/trim), DateFunctionFactory.scala:
 31-198, MathFunctionFactory.scala:17-96, IdFunctionFactory.scala:30-102
-(md5/murmur/uuid determinism), EncodingFunctionFactory.scala:20-28.
+(md5/murmur/uuid determinism), EncodingFunctionFactory.scala:20-28,
+CastFunctionFactory.scala:17-96 (toInt/toLong/toFloat/toDouble with
+default-on-failure), GeometryFunctionFactory.scala:30-103 (point /
+geometry-from-WKT → WKB columns).
 
 Each function maps an Arrow array → Arrow array via pyarrow.compute where a
 kernel exists; deterministic ids come from the engine's stable hash.
@@ -259,3 +262,77 @@ def hex_cell(lon, lat, res=9):
     if hasattr(r, "to_pylist"):  # column of a single literal broadcast
         r = r.to_pylist()[0]
     return pa.array(hex_encode(_np(lon), _np(lat), int(r)), pa.int64())
+
+
+def _coerce_num(col, default, np_dtype, pa_type):
+    """Cast-with-default (CastFunctionFactory.scala:17-60 semantics:
+    unparseable → default, or null when no default)."""
+    import pandas as pd
+
+    s = pd.to_numeric(
+        pd.Series(col.to_pylist() if hasattr(col, "to_pylist") else col),
+        errors="coerce",
+    )
+    if default is not None:
+        d = default.as_py() if hasattr(default, "as_py") else default
+        s = s.fillna(d)
+    mask = s.isna().to_numpy()
+    vals = s.fillna(0).to_numpy().astype(np_dtype)
+    return pa.array(vals, pa_type, mask=mask)
+
+
+def to_int(col, default=None):
+    return _coerce_num(col, default, np.int32, pa.int32())
+
+
+def to_long(col, default=None):
+    return _coerce_num(col, default, np.int64, pa.int64())
+
+
+def to_float(col, default=None):
+    return _coerce_num(col, default, np.float32, pa.float32())
+
+
+def to_double(col, default=None):
+    return _coerce_num(col, default, np.float64, pa.float64())
+
+
+def to_string(col):
+    return pc.cast(col, pa.string())
+
+
+def to_boolean(col):
+    """'true'/'false'/'1'/'0' (case-insensitive) → bool, else null."""
+    s = pc.utf8_lower(pc.cast(col, pa.string()))
+    true = pc.is_in(s, value_set=pa.array(["true", "1", "t", "yes"]))
+    false = pc.is_in(s, value_set=pa.array(["false", "0", "f", "no"]))
+    return pc.if_else(true, True, pc.if_else(false, False, pa.scalar(None, pa.bool_())))
+
+
+def point_geom(lon, lat):
+    """point(x, y) → WKB Point column (GeometryFunctionFactory.scala:30)."""
+    from geomesa_ray.geometry.wkb import point_wkbs
+
+    def _np(col):
+        return (col.to_numpy(zero_copy_only=False)
+                if hasattr(col, "to_numpy") else np.asarray(col, np.float64))
+
+    return point_wkbs(_np(lon), _np(lat))
+
+
+def geom_from_wkt(col):
+    """geometry(wkt) → WKB column (GeometryFunctionFactory geometry
+    parser; unparseable → null, converter error-mode friendly)."""
+    from geomesa_ray.geometry.wkt import from_wkt
+    from geomesa_ray.geometry.wkb import to_wkb
+
+    out = []
+    for s in col.to_pylist():
+        if s is None:
+            out.append(None)
+            continue
+        try:
+            out.append(to_wkb(from_wkt(s)))
+        except Exception:
+            out.append(None)
+    return pa.array(out, pa.binary())

@@ -76,6 +76,19 @@ _BUILTINS: dict[str, Callable] = {
     "murmur3_64": _c.murmur3_64,
     "murmurHash3": _c.murmur3_64,
     "hexCell": _c.hex_cell,
+    "toInt": _c.to_int,
+    "toInteger": _c.to_int,
+    "stringToInt": _c.to_int,
+    "toLong": _c.to_long,
+    "stringToLong": _c.to_long,
+    "toFloat": _c.to_float,
+    "toDouble": _c.to_double,
+    "stringToDouble": _c.to_double,
+    "toString": _c.to_string,
+    "toBoolean": _c.to_boolean,
+    "point": _c.point_geom,
+    "geometry": _c.geom_from_wkt,
+    "geomFromWKT": _c.geom_from_wkt,
     "uuidZ3": _c.uuid5,
     "uuid5": _c.uuid5,
     "withDefault": _c.with_default,

@@ -265,3 +265,26 @@ def wkb_envelopes(arr) -> np.ndarray:
         env_into(mv, 0, acc)
         out[i] = acc
     return out
+
+
+def point_wkbs(x, y):
+    """Vectorized batch constructor: N Point WKBs as one Arrow binary
+    array (same record-array construction as rect_wkbs). Byte-identical
+    to ``to_wkb(Point(x, y))``."""
+    import pyarrow as pa
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    rec = np.zeros(n, dtype=[("bo", "u1"), ("typ", "<u4"),
+                             ("x", "<f8"), ("y", "<f8")])
+    rec["bo"] = 1
+    rec["typ"] = _POINT
+    rec["x"] = x
+    rec["y"] = y
+    data = rec.tobytes()
+    width = rec.dtype.itemsize
+    offsets = np.arange(0, (n + 1) * width, width, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+    )

@@ -130,3 +130,26 @@ def test_hex_cell_function():
     out = compile_expr("hexCell($lon, $lat, 7)")(t)
     exp = hex_encode(np.array([2.35, -73.98]), np.array([48.85, 40.75]), 7)
     assert out.to_pylist() == exp.tolist()
+
+
+def test_cast_and_geometry_functions():
+    import pyarrow as pa
+
+    from geomesa_ray.functions.exprlang import compile_expr
+    from geomesa_ray.geometry.wkb import from_wkb
+
+    t = pa.table({"v": ["12", "x", "7"], "lon": [1.0, 2.0, 3.0],
+                  "lat": [4.0, 5.0, 6.0],
+                  "w": ["POINT (1 2)", "garbage", None]})
+    assert compile_expr("toInt($v)")(t).to_pylist() == [12, None, 7]
+    assert compile_expr("toInt($v, 0)")(t).to_pylist() == [12, 0, 7]
+    assert compile_expr("toLong($v)")(t).type == pa.int64()
+    assert compile_expr("toDouble($v)")(t).to_pylist() == [12.0, None, 7.0]
+    tb = pa.table({"b": ["true", "NO", "1"]})
+    assert compile_expr("toBoolean($b)")(tb).to_pylist() == [True, False, True]
+    assert compile_expr("toString($lon)")(t).to_pylist() == ["1", "2", "3"]
+    pts = compile_expr("point($lon, $lat)")(t)
+    assert from_wkb(pts[1].as_py()).x == 2.0
+    g = compile_expr("geomFromWKT($w)")(t)
+    assert from_wkb(g[0].as_py()).x == 1.0
+    assert g[1].as_py() is None and g[2].as_py() is None
