@@ -8,7 +8,8 @@ actor pools for stateful stages.
 
 Layout:
     curves/     pure numpy kernels: Z2/Z3 interleave, normalization, time
-                binning, XZ2, geohash, quadtree cells, range planning
+                binning, XZ2, geohash, quadtree cells, range planning,
+                S2 scheme, H3-analog hex tessellation (hexgrid)
     geometry/   from-scratch vectorized geometry: WKB/WKT, point-in-polygon,
                 STRtree, measures (no shapely/GEOS in this environment)
     stages/     Ray Data operators (extract, encode, join, knn, density, ...)
