@@ -264,37 +264,74 @@ def hex_cell(lon, lat, res=9):
     return pa.array(hex_encode(_np(lon), _np(lat), int(r)), pa.int64())
 
 
-def _coerce_num(col, default, np_dtype, pa_type):
-    """Cast-with-default (CastFunctionFactory.scala:17-60 semantics:
-    unparseable → default, or null when no default)."""
-    import pandas as pd
+def _default_of(default):
+    return default.as_py() if hasattr(default, "as_py") else default
 
-    s = pd.to_numeric(
-        pd.Series(col.to_pylist() if hasattr(col, "to_pylist") else col),
-        errors="coerce",
-    )
-    if default is not None:
-        d = default.as_py() if hasattr(default, "as_py") else default
-        s = s.fillna(d)
-    mask = s.isna().to_numpy()
-    vals = s.fillna(0).to_numpy().astype(np_dtype)
-    return pa.array(vals, pa_type, mask=mask)
+
+def _coerce_int(col, default, bits, pa_type):
+    """Cast-with-default (CastFunctionFactory.scala:17-60: unparseable or
+    out-of-range → default, or null). Fast path is Arrow's exact safe
+    cast (vectorized, raises on ANY bad value); the fallback is
+    per-element exact integer parsing — NEVER a float round-trip, which
+    silently rounds >2^53 and wraps on astype (review finding)."""
+    col = pa.array(col) if not isinstance(col, (pa.Array, pa.ChunkedArray)) else col
+    try:
+        return pc.cast(col, pa_type)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    d = _default_of(default)
+    out = []
+    for v in col.to_pylist():
+        i = None
+        if isinstance(v, bool):
+            i = int(v)
+        elif isinstance(v, int):
+            i = v
+        elif isinstance(v, float):
+            i = int(v)  # truncation, Number.intValue semantics
+        elif v is not None:
+            try:
+                i = int(str(v).strip())
+            except (ValueError, TypeError):
+                i = None
+        if i is None or not lo <= i <= hi:
+            i = d
+        out.append(i)
+    return pa.array(out, pa_type)
+
+
+def _coerce_float(col, default, pa_type):
+    col = pa.array(col) if not isinstance(col, (pa.Array, pa.ChunkedArray)) else col
+    try:
+        return pc.cast(col, pa_type)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
+    d = _default_of(default)
+    out = []
+    for v in col.to_pylist():
+        try:
+            f = float(v) if v is not None else None
+        except (ValueError, TypeError):
+            f = None
+        out.append(d if f is None else f)
+    return pa.array(out, pa_type)
 
 
 def to_int(col, default=None):
-    return _coerce_num(col, default, np.int32, pa.int32())
+    return _coerce_int(col, default, 32, pa.int32())
 
 
 def to_long(col, default=None):
-    return _coerce_num(col, default, np.int64, pa.int64())
+    return _coerce_int(col, default, 64, pa.int64())
 
 
 def to_float(col, default=None):
-    return _coerce_num(col, default, np.float32, pa.float32())
+    return _coerce_float(col, default, pa.float32())
 
 
 def to_double(col, default=None):
-    return _coerce_num(col, default, np.float64, pa.float64())
+    return _coerce_float(col, default, pa.float64())
 
 
 def to_string(col):
@@ -310,14 +347,27 @@ def to_boolean(col):
 
 
 def point_geom(lon, lat):
-    """point(x, y) → WKB Point column (GeometryFunctionFactory.scala:30)."""
+    """point(x, y) → WKB Point column (GeometryFunctionFactory.scala:30).
+    Null (or NaN) coordinates yield a null geometry — same null contract
+    as geom_from_wkt, never a NaN-coordinate WKB blob."""
     from geomesa_ray.geometry.wkb import point_wkbs
 
     def _np(col):
         return (col.to_numpy(zero_copy_only=False)
-                if hasattr(col, "to_numpy") else np.asarray(col, np.float64))
+                if hasattr(col, "to_numpy") else
+                np.atleast_1d(np.asarray(col, np.float64)))
 
-    return point_wkbs(_np(lon), _np(lat))
+    x, y = _np(lon), _np(lat)
+    arr = point_wkbs(x, y)
+    bad = np.isnan(np.broadcast_to(x, (len(arr),))) | np.isnan(
+        np.broadcast_to(y, (len(arr),))
+    )
+    if not bad.any():
+        return arr
+    return pa.array(
+        [None if b else v for v, b in zip(arr.to_pylist(), bad.tolist())],
+        pa.binary(),
+    )
 
 
 def geom_from_wkt(col):

@@ -270,12 +270,27 @@ def wkb_envelopes(arr) -> np.ndarray:
 def point_wkbs(x, y):
     """Vectorized batch constructor: N Point WKBs as one Arrow binary
     array (same record-array construction as rect_wkbs). Byte-identical
-    to ``to_wkb(Point(x, y))``."""
+    to ``to_wkb(Point(x, y))``. Scalars broadcast against arrays;
+    mismatched non-scalar lengths raise."""
     import pyarrow as pa
 
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    if len(x) != len(y):
+        if len(x) == 1:
+            x = np.broadcast_to(x, y.shape)
+        elif len(y) == 1:
+            y = np.broadcast_to(y, x.shape)
+        else:
+            raise ValueError(f"length mismatch: {len(x)} vs {len(y)}")
     n = len(x)
+    if (n + 1) * 21 > 2**31 - 1:
+        # pa.binary() offsets are int32; np.arange would silently wrap
+        # (same guard as hexgrid.hex_boundary_wkbs)
+        raise ValueError(
+            f"{n} points exceed the 2 GiB Arrow binary offset range; "
+            "chunk the batch"
+        )
     rec = np.zeros(n, dtype=[("bo", "u1"), ("typ", "<u4"),
                              ("x", "<f8"), ("y", "<f8")])
     rec["bo"] = 1

@@ -147,6 +147,27 @@ def _hex_csr_cover(poly_table: pa.Table, res: int, wkb_col: str):
     return uniq, offsets, polys
 
 
+def _csr_candidates(cells_u, offs, cpolys, cell):
+    """Vectorized CSR expansion shared by hex_pip_count / hex_zonal_stats:
+    candidate (pt_idx, cand_poly) pairs sorted by polygon, or ``None``
+    when there are no candidates."""
+    if len(cells_u) == 0:
+        return None
+    pos = np.searchsorted(cells_u, cell)
+    pos_c = np.clip(pos, 0, len(cells_u) - 1)
+    hit = cells_u[pos_c] == cell
+    counts = np.where(hit, offs[pos_c + 1] - offs[pos_c], 0)
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    first = np.cumsum(counts) - counts
+    pt_idx = np.repeat(np.arange(len(cell), dtype=np.int64), counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
+    cand_poly = cpolys[np.repeat(offs[pos_c], counts) + within]
+    order = np.argsort(cand_poly, kind="stable")
+    return pt_idx[order], cand_poly[order]
+
+
 def hex_pip_count(points: ray.data.Dataset, polygons: pa.Table, res: int = 6,
                   predicate: str = "intersects", id_col: str = "poly_id",
                   wkb_col: str = "geom_wkb", lon_col: str = "lon",
@@ -189,21 +210,11 @@ def hex_pip_count(points: ray.data.Dataset, polygons: pa.Table, res: int = 6,
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
         cell = hg.hex_encode(lon, lat, res)
-        pos = np.searchsorted(cells_u, cell)
-        pos_c = np.clip(pos, 0, max(len(cells_u) - 1, 0))
-        hit = (cells_u[pos_c] == cell) if len(cells_u) else np.zeros(len(cell), bool)
-        counts = np.where(hit, offs[pos_c + 1] - offs[pos_c], 0)
-        total = int(counts.sum())
-        if total == 0:
+        cand = _csr_candidates(cells_u, offs, cpolys, cell)
+        if cand is None:
             return schema.empty_table()
-        # vectorized CSR gather of candidate (point, polygon) pairs
-        first = np.cumsum(counts) - counts
-        pt_idx = np.repeat(np.arange(len(cell), dtype=np.int64), counts)
-        within = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
-        cand_poly = cpolys[np.repeat(offs[pos_c], counts) + within]
+        pt_idx, cand_poly = cand
         # exact residual, grouped per candidate polygon (match_points kernel)
-        order = np.argsort(cand_poly, kind="stable")
-        pt_idx, cand_poly = pt_idx[order], cand_poly[order]
         upoly, starts = np.unique(cand_poly, return_index=True)
         ends = np.append(starts[1:], len(cand_poly))
         n_hits = np.zeros(len(ps), np.int64)
@@ -469,19 +480,10 @@ def hex_zonal_stats(points: ray.data.Dataset, polygons: pa.Table,
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
         val = batch[value_col].to_numpy(zero_copy_only=False)
         cell = hg.hex_encode(lon, lat, res)
-        pos = np.searchsorted(cells_u, cell)
-        pos_c = np.clip(pos, 0, len(cells_u) - 1)
-        hit = cells_u[pos_c] == cell
-        counts = np.where(hit, offs[pos_c + 1] - offs[pos_c], 0)
-        total = int(counts.sum())
-        if total == 0:
+        cand = _csr_candidates(cells_u, offs, cpolys, cell)
+        if cand is None:
             return schema.empty_table()
-        first = np.cumsum(counts) - counts
-        pt_idx = np.repeat(np.arange(len(cell), dtype=np.int64), counts)
-        within = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
-        cand_poly = cpolys[np.repeat(offs[pos_c], counts) + within]
-        order = np.argsort(cand_poly, kind="stable")
-        pt_idx, cand_poly = pt_idx[order], cand_poly[order]
+        pt_idx, cand_poly = cand
         upoly, starts = np.unique(cand_poly, return_index=True)
         ends = np.append(starts[1:], len(cand_poly))
         n_hits = np.zeros(len(ps), np.int64)

@@ -153,3 +153,30 @@ def test_cast_and_geometry_functions():
     g = compile_expr("geomFromWKT($w)")(t)
     assert from_wkb(g[0].as_py()).x == 1.0
     assert g[1].as_py() is None and g[2].as_py() is None
+
+
+def test_cast_exactness_and_point_nulls():
+    """Review findings: large-int exactness with bad rows present,
+    out-of-range → default/null (never wrap), point() null contract,
+    literal-first point broadcast."""
+    import pyarrow as pa
+
+    from geomesa_ray.functions.convert import (point_geom, to_float, to_int,
+                                               to_long)
+    from geomesa_ray.functions.exprlang import compile_expr
+    from geomesa_ray.geometry.wkb import from_wkb
+
+    big = "9223372036854775807"
+    got = to_long(pa.array([big, "x"])).to_pylist()
+    assert got == [9223372036854775807, None]
+    assert to_int(pa.array(["3000000000"])).to_pylist() == [None]
+    assert to_int(pa.array(["3000000000"]), -1).to_pylist() == [-1]
+    assert to_int(pa.array([3.7])).to_pylist() == [3]  # Number.intValue
+    assert to_float(pa.array(["1e39", "x"])).to_pylist()[1] is None
+    # point(): null/NaN coordinate → null geometry, not NaN WKB
+    pts = point_geom(pa.array([1.0, None]), pa.array([2.0, 3.0]))
+    assert from_wkb(pts[0].as_py()).x == 1.0 and pts[1].as_py() is None
+    # literal-first broadcast
+    t = pa.table({"lat": [4.0, 5.0]})
+    arr = compile_expr("point(2.0, $lat)")(t)
+    assert from_wkb(arr[1].as_py()).y == 5.0
