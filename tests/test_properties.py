@@ -273,3 +273,60 @@ def test_batch_wkb_constructors_match_scalar(vals):
     assert rect[0].as_py() == to_wkb(
         Polygon([(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)])
     )
+
+
+# --- hex grid (curves/hexgrid.py) -------------------------------------------
+
+hex_res = st.integers(min_value=0, max_value=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon, lat, hex_res)
+def test_hex_assignment_voronoi_property(x, y, res):
+    """No neighboring lattice center is strictly closer than the assigned
+    one (randomized complement of test_hexgrid's grid sweep)."""
+    from geomesa_ray.curves import hexgrid as hg
+
+    hw, vv = hg.res_pitches(res)
+    px, py = hg.hex_xy(np.array([x]), np.array([y]))
+    a, b = hg.hex_cell_ab(px, py, res)
+    assigned = (px - a * hw) ** 2 + (py - b * vv) ** 2
+    for da in (-2, -1, 0, 1, 2):
+        for db in (-2, -1, 0, 1, 2):
+            if (da + db) % 2:
+                continue
+            d2 = (px - (a + da) * hw) ** 2 + (py - (b + db) * vv) ** 2
+            assert d2[0] >= assigned[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon, lat, hex_res)
+def test_hex_pack_roundtrip_and_center_containment(x, y, res):
+    from geomesa_ray.curves import hexgrid as hg
+
+    c = hg.hex_encode(np.array([x]), np.array([y]), res)
+    r, a, b = hg.hex_decode(c)
+    assert int(r[0]) == res and (int(a[0]) + int(b[0])) % 2 == 0
+    assert int(hg.pack_cell(a, b, res)[0]) == int(c[0])
+    # the center's own cell is itself (idempotence)
+    cx, cy = hg.hex_center_units(c)
+    a2, b2 = hg.hex_cell_ab(cx, cy, res)
+    assert int(a2[0]) == int(a[0]) and int(b2[0]) == int(b[0])
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon, lat, lon, lat, st.integers(min_value=3, max_value=10))
+def test_hex_distance_symmetric_and_triangle(x1, y1, x2, y2, res):
+    from geomesa_ray.curves import hexgrid as hg
+
+    c1 = hg.hex_encode(np.array([x1]), np.array([y1]), res)
+    c2 = hg.hex_encode(np.array([x2]), np.array([y2]), res)
+    d12 = int(hg.hex_distance(c1, c2)[0])
+    d21 = int(hg.hex_distance(c2, c1)[0])
+    assert d12 == d21 >= 0
+    if d12 == 0:
+        assert int(c1[0]) == int(c2[0])
+    # neighbors returned by k_ring(1) are at distance <= 1
+    ring = hg.k_ring(int(c1[0]), 1)
+    d = hg.hex_distance(np.full(len(ring), c1[0]), ring)
+    assert d.max() <= 1
