@@ -2632,9 +2632,9 @@ SELECT DISTINCT d.event_id FROM derived d JOIN track t
 SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 """,
     "sqlite_customer_stats": """
-SELECT c_nationkey, COUNT(*) AS n,
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n,
        CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building
-FROM customer GROUP BY c_nationkey
+FROM customer GROUP BY 1
 """,
     "value_histogram": """
 WITH b AS (
@@ -2832,15 +2832,18 @@ WITH t AS (
   FROM documents
 ),
 p AS (
-  SELECT *, COALESCE(SUM(n_tokens) OVER (
+  -- SUM(BIGINT) OVER yields HUGEINT (→ float64 in pandas); the engine
+  -- emits int64, so every derived column must be cast back (VERDICT r4)
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-  ), 0) AS start_tok FROM t
+  ), 0) AS BIGINT) AS start_tok FROM t
 )
 SELECT doc_id, n_tokens, start_tok,
-       start_tok // 2048 AS chunk_first,
-       start_tok % 2048 AS chunk_off,
-       CASE WHEN n_tokens = 0 THEN start_tok // 2048
-            ELSE (start_tok + n_tokens - 1) // 2048 END AS chunk_last
+       CAST(start_tok // 2048 AS BIGINT) AS chunk_first,
+       CAST(start_tok % 2048 AS BIGINT) AS chunk_off,
+       CAST(CASE WHEN n_tokens = 0 THEN start_tok // 2048
+            ELSE (start_tok + n_tokens - 1) // 2048 END AS BIGINT)
+         AS chunk_last
 FROM p
 """
 
@@ -3588,7 +3591,10 @@ def _hex_pyramid_oracle_sql() -> str:
             f"AS n FROM pick_p{r} GROUP BY 1, 2)"
         )
     selects = " UNION ALL ".join(
-        f"SELECT {r} AS res, {packed(r)} AS hex, n AS n_events FROM lvl{r}"
+        # integer literal alone would type res as INT32 vs the engine's
+        # int64 → driver hash mismatch (VERDICT r4)
+        f"SELECT CAST({r} AS BIGINT) AS res, {packed(r)} AS hex, "
+        f"n AS n_events FROM lvl{r}"
         for r in (6, 5, 4)
     )
     return f"WITH {', '.join(parts)}\n{selects}"
