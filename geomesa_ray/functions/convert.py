@@ -269,18 +269,23 @@ def _default_of(default):
 
 
 def _coerce_int(col, default, bits, pa_type):
-    """Cast-with-default (CastFunctionFactory.scala:17-60: unparseable or
-    out-of-range → default, or null). Fast path is Arrow's exact safe
-    cast (vectorized, raises on ANY bad value); the fallback is
+    """Cast-with-default (CastFunctionFactory.scala:17-60: unparseable,
+    out-of-range, non-finite, OR NULL → default). Fast path is Arrow's
+    exact safe cast (vectorized, raises on ANY bad value); the fallback is
     per-element exact integer parsing — NEVER a float round-trip, which
-    silently rounds >2^53 and wraps on astype (review finding)."""
+    silently rounds >2^53 and wraps on astype (review finding). Null
+    semantics are identical on both paths (fill_null after the fast cast),
+    so the output never depends on which block a null lands in."""
+    import math
+
     col = pa.array(col) if not isinstance(col, (pa.Array, pa.ChunkedArray)) else col
+    d = _default_of(default)
     try:
-        return pc.cast(col, pa_type)
+        out = pc.cast(col, pa_type)
+        return pc.fill_null(out, d) if d is not None else out
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
         pass
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
-    d = _default_of(default)
     out = []
     for v in col.to_pylist():
         i = None
@@ -289,7 +294,9 @@ def _coerce_int(col, default, bits, pa_type):
         elif isinstance(v, int):
             i = v
         elif isinstance(v, float):
-            i = int(v)  # truncation, Number.intValue semantics
+            # truncation, Number.intValue semantics; NaN/Inf have no int
+            # value → default (int() would raise and kill the Ray task)
+            i = int(v) if math.isfinite(v) else None
         elif v is not None:
             try:
                 i = int(str(v).strip())
@@ -303,11 +310,13 @@ def _coerce_int(col, default, bits, pa_type):
 
 def _coerce_float(col, default, pa_type):
     col = pa.array(col) if not isinstance(col, (pa.Array, pa.ChunkedArray)) else col
+    d = _default_of(default)
     try:
-        return pc.cast(col, pa_type)
+        out = pc.cast(col, pa_type)
+        # same null semantics as the fallback path (null → default)
+        return pc.fill_null(out, d) if d is not None else out
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
         pass
-    d = _default_of(default)
     out = []
     for v in col.to_pylist():
         try:

@@ -288,7 +288,12 @@ def derive_columns(ds, exprs: dict[str, str]):
         for name, fn in compiled.items():
             out = fn(batch)
             if not isinstance(out, (pa.Array, pa.ChunkedArray)):
-                out = pa.array([out] * len(batch))
+                # infer the Arrow type from the scalar ONCE so 0-row blocks
+                # (which filters legitimately emit) carry the same typed
+                # column as non-empty blocks — pa.array([]) would infer
+                # null and break downstream union/write schema checks
+                typ = pa.scalar(out).type
+                out = pa.array([out] * len(batch), type=typ)
             if name in batch.schema.names:
                 batch = batch.set_column(
                     batch.schema.get_field_index(name), name, out

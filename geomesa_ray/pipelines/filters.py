@@ -246,7 +246,85 @@ def extract_intervals(f: Filter) -> list[tuple[int, int]]:
 
 def evaluate(f: Filter, batch: pa.Table, lon_col="lon", lat_col="lat",
              ts_col="warc_ts") -> np.ndarray:
-    """Vectorized boolean mask for the FULL predicate over a batch."""
+    """Vectorized keep-mask for the FULL predicate over a batch: rows where
+    the predicate is TRUE under SQL/ECQL three-valued logic. NULL attribute
+    values make comparison leaves UNKNOWN, which ``Not``/``And``/``Or``
+    combine by Kleene rules — so ``NOT (value <= 150)`` correctly excludes
+    NULL values instead of keeping them (two-valued ``~fill_null(False)``
+    would include them; advisor finding r4)."""
+    t, _ = _evaluate_tf(f, batch, lon_col, lat_col, ts_col)
+    return t
+
+
+def _leaf_tf(res, col) -> "tuple[np.ndarray, np.ndarray]":
+    """(definitely-true, definitely-false) for a single-column comparison
+    whose Arrow result ``res`` is null exactly where the input is null."""
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    t = pc.fill_null(res, False).to_numpy(zero_copy_only=False) & valid
+    return t, valid & ~t
+
+
+def _evaluate_tf(f: Filter, batch: pa.Table, lon_col="lon", lat_col="lat",
+                 ts_col="warc_ts") -> "tuple[np.ndarray, np.ndarray]":
+    """Kleene evaluation: returns (T, F) masks — definitely true /
+    definitely false; UNKNOWN is neither. NOT swaps them, AND is
+    (all-T, any-F), OR is (any-T, all-F). Geometry/time leaves are
+    two-valued (the layout guarantees non-null coordinates)."""
+    if isinstance(f, Not):
+        t, fm = _evaluate_tf(f.part, batch, lon_col, lat_col, ts_col)
+        return fm, t
+    if isinstance(f, And):
+        t = np.ones(len(batch), dtype=bool)
+        fm = np.zeros(len(batch), dtype=bool)
+        for p in f.parts:
+            pt, pf = _evaluate_tf(p, batch, lon_col, lat_col, ts_col)
+            t &= pt
+            fm |= pf
+        return t, fm
+    if isinstance(f, Or):
+        t = np.zeros(len(batch), dtype=bool)
+        fm = np.ones(len(batch), dtype=bool)
+        for p in f.parts:
+            pt, pf = _evaluate_tf(p, batch, lon_col, lat_col, ts_col)
+            t |= pt
+            fm &= pf
+        return t, fm
+    if isinstance(f, AttrEq):
+        return _leaf_tf(pc.equal(batch[f.column], f.value), batch[f.column])
+    if isinstance(f, AttrRange):
+        ge = (pc.greater_equal(batch[f.column], f.lo)
+              if f.lo is not None else pa.array([True] * len(batch)))
+        le = (pc.less_equal(batch[f.column], f.hi)
+              if f.hi is not None else pa.array([True] * len(batch)))
+        return _leaf_tf(pc.and_kleene(ge, le), batch[f.column])
+    if isinstance(f, AttrCmp):
+        ops = {
+            "<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+            ">=": pc.greater_equal, "=": pc.equal, "<>": pc.not_equal,
+        }
+        return _leaf_tf(ops[f.op](batch[f.column], f.value), batch[f.column])
+    if isinstance(f, AttrLike):
+        import re
+
+        rx = "^" + "".join(
+            ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+            for ch in f.pattern
+        ) + "$"
+        col = batch[f.column].cast(pa.string())
+        return _leaf_tf(pc.match_substring_regex(col, rx), col)
+    if isinstance(f, AttrIn):
+        return _leaf_tf(
+            pc.is_in(batch[f.column], value_set=pa.array(list(f.values))),
+            batch[f.column],
+        )
+    # geometry / time leaves: two-valued
+    t = _evaluate2(f, batch, lon_col, lat_col, ts_col)
+    return t, ~t
+
+
+def _evaluate2(f: Filter, batch: pa.Table, lon_col="lon", lat_col="lat",
+               ts_col="warc_ts") -> np.ndarray:
+    """Two-valued leaves (spatial / temporal; non-null by layout)."""
     if isinstance(f, BBox):
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
@@ -262,64 +340,12 @@ def evaluate(f: Filter, batch: pa.Table, lon_col="lon", lat_col="lat",
 
         ts = to_epoch_millis(batch[ts_col])
         return (ts >= f.lo_ms) & (ts < f.hi_ms)
-    if isinstance(f, AttrEq):
-        return pc.fill_null(pc.equal(batch[f.column], f.value), False).to_numpy(
-            zero_copy_only=False
-        )
-    if isinstance(f, AttrRange):
-        mask = np.ones(len(batch), dtype=bool)
-        if f.lo is not None:
-            mask &= pc.fill_null(
-                pc.greater_equal(batch[f.column], f.lo), False
-            ).to_numpy(zero_copy_only=False)
-        if f.hi is not None:
-            mask &= pc.fill_null(
-                pc.less_equal(batch[f.column], f.hi), False
-            ).to_numpy(zero_copy_only=False)
-        return mask
     if isinstance(f, DWithin):
         from geomesa_ray.geometry.measures import points_within_m
 
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
         return points_within_m(lon, lat, f.geometry, f.radius_m)
-    if isinstance(f, AttrCmp):
-        ops = {
-            "<": pc.less, "<=": pc.less_equal, ">": pc.greater,
-            ">=": pc.greater_equal, "=": pc.equal, "<>": pc.not_equal,
-        }
-        return pc.fill_null(ops[f.op](batch[f.column], f.value), False).to_numpy(
-            zero_copy_only=False
-        )
-    if isinstance(f, AttrLike):
-        import re
-
-        # CQL wildcards → anchored regex: % = any run, _ = any char
-        rx = "^" + "".join(
-            ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
-            for ch in f.pattern
-        ) + "$"
-        return pc.fill_null(
-            pc.match_substring_regex(batch[f.column].cast(pa.string()), rx),
-            False,
-        ).to_numpy(zero_copy_only=False)
-    if isinstance(f, AttrIn):
-        return pc.fill_null(
-            pc.is_in(batch[f.column], value_set=pa.array(list(f.values))),
-            False,
-        ).to_numpy(zero_copy_only=False)
-    if isinstance(f, Not):
-        return ~evaluate(f.part, batch, lon_col, lat_col, ts_col)
-    if isinstance(f, And):
-        mask = np.ones(len(batch), dtype=bool)
-        for p in f.parts:
-            mask &= evaluate(p, batch, lon_col, lat_col, ts_col)
-        return mask
-    if isinstance(f, Or):
-        mask = np.zeros(len(batch), dtype=bool)
-        for p in f.parts:
-            mask |= evaluate(p, batch, lon_col, lat_col, ts_col)
-        return mask
     raise TypeError(type(f).__name__)
 
 

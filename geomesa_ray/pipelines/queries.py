@@ -1302,23 +1302,22 @@ def q_bin_roundtrip(sf_dir: str) -> pa.Table:
     events encoded to packed BIN blobs (FNV track hash) and decoded back;
     the oracle mirrors the track-id fold, second truncation and float32
     coordinate narrowing in SQL."""
-    from geomesa_ray.stages.export import BinEncode, bin_decode
+    from geomesa_ray.stages.export import BinEncode, bin_decode_batch
 
     enc = BinEncode(track_col="url", ts_col="ts", track_hash="fnv")
     ds = events_points(sf_dir).map_batches(
         lambda b: b.append_column("url", b["event_id"].cast(pa.string())),
         batch_format="pyarrow",
     )
-    parts = []
-    for blob_batch in ds.map_batches(enc.__call__, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for blob in blob_batch["bin"].to_pylist():
-            parts.append(bin_decode(blob))
-    tbl = pa.concat_tables(parts)
+    # encode AND decode both run distributed in map_batches (the decode is
+    # one np.frombuffer over each batch's blob buffer — no per-blob loop);
+    # only the small verification result reaches the driver
+    decoded = ds.map_batches(enc.__call__, batch_format="pyarrow").map_batches(
+        bin_decode_batch, batch_format="pyarrow"
+    )
     import pandas as pd
 
-    df = tbl.to_pandas()
+    df = decoded.to_pandas()
     df["lat"] = df["lat"].astype(np.float64)
     df["lon"] = df["lon"].astype(np.float64)
     df = df.sort_values(["track_id", "dtg_ms"]).reset_index(drop=True)

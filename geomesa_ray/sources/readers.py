@@ -153,14 +153,29 @@ def read_fixed_width(
     (Dataset, spec)."""
     import pyarrow.compute as pc
 
-    raw = ray.data.read_text(paths)
     if skip_lines:
-        # deterministic per-file header skip would need file offsets;
-        # read_text already splits lines, so drop the first N GLOBAL rows
-        # only when reading a single file (multi-file callers pre-strip)
+        # deterministic header skip needs file-relative row positions,
+        # which read_text's byte-range tasks don't expose — so read the
+        # file per-task with read_binary_files and drop the first N lines
+        # inside the task (never on the driver; a fixed-width file can be
+        # tens of GB). One block per file enters; Ray's dynamic block
+        # splitting re-chunks the output at target_max_block_size.
         if isinstance(paths, list) and len(paths) > 1:
             raise ValueError("skip_lines requires a single input file")
-        raw = ray.data.from_items(raw.take_all()[skip_lines:])
+
+        def split_drop(batch: pa.Table) -> pa.Table:
+            out = []
+            for blob in batch["bytes"]:
+                text = blob.as_py().decode("utf-8")
+                lines = text.splitlines()
+                out.extend(lines[skip_lines:])
+            return pa.table({"text": pa.array(out, pa.string())})
+
+        raw = ray.data.read_binary_files(paths).map_batches(
+            split_drop, batch_format="pyarrow"
+        )
+    else:
+        raw = ray.data.read_text(paths)
 
     def slice_cols(batch: pa.Table) -> pa.Table:
         line = batch["text"]

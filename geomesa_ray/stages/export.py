@@ -110,6 +110,41 @@ def bin_decode(blob: bytes, has_label: bool = False) -> pa.Table:
     return pa.table(cols)
 
 
+def bin_decode_batch(batch: pa.Table, has_label: bool = False) -> pa.Table:
+    """Vectorized decode of a whole batch of BIN blobs: the layout is
+    fixed-width, so the batch decodes as ONE ``np.frombuffer`` over the
+    Arrow binary column's data buffer — no per-blob Python loop. Blob
+    boundaries don't matter for decoding (records are self-delimiting by
+    width); nulls are rejected loudly."""
+    arr = batch.column("bin").combine_chunks()
+    if arr.null_count:
+        raise ValueError("bin column contains nulls")
+    # binary → int32 offsets, large_binary → int64; slice the data buffer
+    # by the first/last offsets so sliced arrays (nonzero arr.offset) and
+    # leading buffer baggage decode correctly
+    off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(
+        arr.buffers()[1], dtype=off_dt, count=len(arr) + 1, offset=arr.offset * off_dt().itemsize
+    )
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offsets[0]: offsets[-1]]
+    if has_label:
+        dt = np.dtype([("t", "<u4"), ("s", "<i4"), ("la", "<f4"), ("lo", "<f4"), ("lb", "<i8")])
+    else:
+        dt = np.dtype([("t", "<u4"), ("s", "<i4"), ("la", "<f4"), ("lo", "<f4")])
+    if len(data) % dt.itemsize:
+        raise ValueError("bin payload is not a whole number of records")
+    rec = data.view(dt)
+    cols = {
+        "track_id": pa.array(rec["t"].astype(np.int64), pa.int64()),
+        "dtg_ms": pa.array(rec["s"].astype(np.int64) * 1000, pa.int64()),
+        "lat": pa.array(np.ascontiguousarray(rec["la"]), pa.float32()),
+        "lon": pa.array(np.ascontiguousarray(rec["lo"]), pa.float32()),
+    }
+    if has_label:
+        cols["label"] = pa.array(np.ascontiguousarray(rec["lb"]), pa.int64())
+    return pa.table(cols)
+
+
 def write_bin(ds: ray.data.Dataset, path: str, **encoder_kwargs) -> int:
     """Stream the dataset into one .bin file; returns record count."""
     enc = BinEncode(**encoder_kwargs)
@@ -433,12 +468,19 @@ def write_geojson_polygons(ds: ray.data.Dataset, path: str,
             props = {c: batch[c].to_pylist() for c in props_cols}
             for i in range(len(batch)):
                 geom = from_wkb(wkbs[i])
-                ring = geom.shell if hasattr(geom, "shell") else geom.rings[0]
+                # all rings, not just the shell — GeoJSON Polygon coordinates
+                # are [shell, *holes]; dropping holes silently fills them in
+                if hasattr(geom, "shell"):
+                    rings = [geom.shell, *getattr(geom, "holes", [])]
+                else:
+                    rings = list(geom.rings)
                 feat = {
                     "type": "Feature",
                     "geometry": {
                         "type": "Polygon",
-                        "coordinates": [[list(p) for p in ring]],
+                        "coordinates": [
+                            [list(p) for p in ring] for ring in rings
+                        ],
                     },
                     "properties": {c: props[c][i] for c in props_cols},
                 }

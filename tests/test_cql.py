@@ -114,13 +114,30 @@ def test_parse_errors_are_loud(bad):
         parse_ecql(bad)
 
 
-def test_not_and_cmp_null_semantics_documented():
-    """Our NOT complements the matched set (NULL attr rows PASS a NOT),
-    which diverges from SQL three-valued logic — assert the behavior so
-    a silent change breaks the build."""
-    batch = pa.table({"v": pa.array([1.0, None], pa.float64())})
-    assert evaluate(parse_ecql("v <= 5"), batch).tolist() == [True, False]
-    assert evaluate(parse_ecql("NOT v <= 5"), batch).tolist() == [False, True]
+def test_not_and_cmp_null_semantics_three_valued():
+    """SQL/ECQL three-valued logic: a NULL attribute makes the comparison
+    UNKNOWN, which neither the predicate NOR its negation keeps (Kleene
+    NOT swaps true/false and leaves unknown) — advisor finding r4."""
+    batch = pa.table({
+        "v": pa.array([1.0, None, 9.0], pa.float64()),
+        "w": pa.array([1.0, 1.0, 1.0], pa.float64()),
+    })
+    assert evaluate(parse_ecql("v <= 5"), batch).tolist() == [True, False, False]
+    assert evaluate(parse_ecql("NOT v <= 5"), batch).tolist() == [False, False, True]
+    # Kleene: FALSE AND UNKNOWN = FALSE, so the NULL-v row is definitely
+    # false inside the AND and NOT keeps it...
+    assert evaluate(
+        parse_ecql("NOT (w > 5 AND v < 0)"), batch
+    ).tolist() == [True, True, True]
+    # ...while NOT over a conjunct that stays UNKNOWN on the NULL row
+    # still excludes it
+    assert evaluate(
+        parse_ecql("NOT (v > 5 AND v < 8)"), batch
+    ).tolist() == [True, False, True]
+    # TRUE OR UNKNOWN = TRUE
+    assert evaluate(
+        parse_ecql("w <= 5 OR v < 0"), batch
+    ).tolist() == [True, True, True]
 
 
 def test_dwithin_beyond_parse_and_eval():

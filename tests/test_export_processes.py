@@ -154,3 +154,52 @@ def test_tube_select(ray_session, tmp_path):
     expect = {u for u, dd in zip(allp["url"].to_pylist(), d) if dd <= 30_000}
     assert set(res["url"]) == expect
     assert len(expect) > 0
+
+def test_bin_decode_batch_vectorized(geo_table):
+    """Batch decode (one np.frombuffer over the blob buffer) matches the
+    per-blob decoder, including on sliced arrays with a nonzero offset."""
+    from geomesa_ray.stages.export import bin_decode_batch
+
+    enc = BinEncode()
+    half = len(geo_table) // 2
+    blobs = pa.table({
+        "bin": pa.concat_arrays([
+            enc(geo_table.slice(0, half))["bin"].combine_chunks(),
+            enc(geo_table.slice(half))["bin"].combine_chunks(),
+        ])
+    })
+    got = bin_decode_batch(blobs)
+    expect = pa.concat_tables([
+        bin_decode(blobs["bin"][0].as_py()),
+        bin_decode(blobs["bin"][1].as_py()),
+    ])
+    assert got.equals(expect)
+    # sliced (offset≠0) column decodes only its own blobs
+    got2 = bin_decode_batch(blobs.slice(1))
+    assert got2.equals(bin_decode(blobs["bin"][1].as_py()))
+
+
+def test_geojson_polygon_holes(ray_session, tmp_path):
+    """Interior rings survive export: GeoJSON Polygon coordinates are
+    [shell, *holes] (advisor finding r4)."""
+    import json
+
+    import ray
+
+    from geomesa_ray.geometry.base import Polygon
+    from geomesa_ray.geometry.wkb import to_wkb
+    from geomesa_ray.stages.export import write_geojson_polygons
+
+    poly = Polygon(
+        [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+        holes=[[(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]],
+    )
+    tbl = pa.table({"id": pa.array([1], pa.int64()),
+                    "geom_wkb": pa.array([to_wkb(poly)], pa.binary())})
+    path = str(tmp_path / "holes.geojson")
+    n = write_geojson_polygons(ray.data.from_arrow(tbl), path)
+    assert n == 1
+    feat = json.load(open(path))["features"][0]
+    rings = feat["geometry"]["coordinates"]
+    assert len(rings) == 2
+    assert rings[1][0] == [4, 4]

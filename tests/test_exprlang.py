@@ -180,3 +180,51 @@ def test_cast_exactness_and_point_nulls():
     t = pa.table({"lat": [4.0, 5.0]})
     arr = compile_expr("point(2.0, $lat)")(t)
     assert from_wkb(arr[1].as_py()).y == 5.0
+
+
+def test_cast_nonfinite_and_null_consistency():
+    """Advisor findings r4: NaN/Inf must honor the unparseable→default
+    contract (int(nan) raises), and null handling must be identical on the
+    fast-cast and fallback paths (block-content-independent)."""
+    import math
+
+    import pyarrow as pa
+
+    from geomesa_ray.functions.convert import to_float, to_int
+
+    # non-finite floats route to default/null, never crash the task
+    assert to_int(pa.array([1.5, float("nan")]), 0).to_pylist() == [1, 0]
+    assert to_int(pa.array([float("inf"), float("-inf")]), -1).to_pylist() == [-1, -1]
+    assert to_int(pa.array([float("nan")])).to_pylist() == [None]
+    # null semantics are batch-content-INdependent: the same null row gets
+    # the default whether the block hit the fast cast or the fallback
+    assert to_int(pa.array(["1", None]), 7).to_pylist() == [1, 7]
+    assert to_int(pa.array(["x", None]), 7).to_pylist() == [7, 7]
+    assert to_int(pa.array(["1", None])).to_pylist() == [1, None]
+    assert to_int(pa.array(["x", None])).to_pylist() == [None, None]
+    assert to_float(pa.array(["1.5", None]), 2.0).to_pylist() == [1.5, 2.0]
+    got = to_float(pa.array(["z", None]), 2.0).to_pylist()
+    assert got[0] == 2.0 and got[1] == 2.0 and all(math.isfinite(v) for v in got)
+
+
+def test_derive_constant_on_empty_block(ray_session):
+    """A constant expression must carry its inferred Arrow type onto 0-row
+    blocks (filters legitimately emit them); a null-typed empty column
+    breaks union/write schema checks (advisor finding r4)."""
+    import pyarrow as pa
+    import ray
+
+    from geomesa_ray.functions.exprlang import derive_columns
+
+    full = pa.table({"a": pa.array([1, 2], pa.int64())})
+    empty = full.slice(0, 0)
+    ds = ray.data.from_arrow([empty, full])
+    out = derive_columns(ds, {"c": "42", "s": "'x'"})
+    schemas = {
+        str(b.schema)
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=None)
+    }
+    assert len(schemas) == 1  # empty and non-empty blocks agree
+    tbl = out.to_pandas()
+    assert tbl["c"].tolist() == [42, 42]
+    assert tbl["s"].tolist() == ["x", "x"]
