@@ -383,22 +383,152 @@ _CONIC_CRS: dict[str, dict] = {
 }
 
 
-def register_crs(code: str, **params) -> None:
+# named ellipsoids (published proj/EPSG constants): a, inverse flattening
+# (or b for the historically b-defined ones)
+_ELLPS: dict[str, tuple[float, float]] = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "airy": (6377563.396, 299.3249646),
+    "mod_airy": (6377340.189, 299.3249646),
+    "intl": (6378388.0, 297.0),
+    "bessel": (6377397.155, 299.1528128),
+    "krass": (6378245.0, 298.3),
+    "clrk66": (6378206.4, 294.9786982),
+    "clrk80ign": (6378249.2, 293.4660213),
+    "sphere": (6370997.0, 0.0),
+}
+
+# geographic CRS on a non-WGS84 datum (+proj=longlat +towgs84=...):
+# no projection, just the Helmert hop
+_LONGLAT_CRS: dict[str, dict] = {}
+
+
+def parse_proj_string(s: str) -> dict:
+    """Parse a proj4-style parameter string (``+proj=tmerc +lat_0=49 …``)
+    into the params dict used by the projection tables. Supported
+    projections: tmerc, utm (lowered to tmerc), lcc, aea, longlat.
+    Ellipsoids via ``+a``/``+rf`` (or ``+b``), or named ``+ellps``;
+    ``+towgs84`` with 3 or 7 comma-separated values composes the Helmert
+    datum hop. Unknown switches that cannot change the math (``+no_defs``,
+    ``+units=m``, ``+datum=WGS84``, ``+type=crs``, ``+wktext``) are
+    ignored; anything else raises loudly rather than silently mis-project."""
+    kv: dict[str, str | bool] = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k] = v
+        else:
+            kv[tok] = True
+
+    proj = kv.pop("proj", None)
+    if proj not in ("tmerc", "utm", "lcc", "aea", "longlat", "latlong"):
+        raise ValueError(f"unsupported +proj={proj}")
+
+    # ellipsoid
+    a = f = None
+    if "a" in kv:
+        a = float(kv.pop("a"))
+        if "rf" in kv:
+            rf = float(kv.pop("rf"))
+            f = 1.0 / rf if rf else 0.0
+        elif "b" in kv:
+            b = float(kv.pop("b"))
+            f = (a - b) / a
+        elif "f" in kv:
+            f = float(kv.pop("f"))
+        else:
+            f = 0.0  # sphere
+    else:
+        name = kv.pop("ellps", None) or (
+            "WGS84" if kv.get("datum") == "WGS84" else None
+        )
+        if name is None and proj in ("longlat", "latlong"):
+            name = "WGS84"
+        if name not in _ELLPS:
+            raise ValueError(f"unknown +ellps={name} (and no +a given)")
+        a, rf = _ELLPS[name]
+        f = 1.0 / rf if rf else 0.0
+    kv.pop("datum", None)
+
+    params: dict = dict(a=a, f=f)
+    if "towgs84" in kv:
+        t = tuple(float(v) for v in str(kv.pop("towgs84")).split(","))
+        if len(t) == 3:
+            t = t + (0.0, 0.0, 0.0, 0.0)
+        if len(t) != 7:
+            raise ValueError("+towgs84 needs 3 or 7 values")
+        if any(t):  # all-zero means WGS84-equivalent: skip the hop
+            params["towgs84"] = t
+
+    if proj == "utm":
+        zone = int(kv.pop("zone"))
+        if not 1 <= zone <= 60:
+            raise ValueError(f"bad +zone={zone}")
+        params.update(
+            proj="tmerc", lat_0=0.0, lon_0=zone * 6.0 - 183.0, k=0.9996,
+            x_0=500000.0, y_0=10000000.0 if kv.pop("south", False) else 0.0,
+        )
+    elif proj == "tmerc":
+        params.update(
+            proj="tmerc",
+            lat_0=float(kv.pop("lat_0", 0.0)),
+            lon_0=float(kv.pop("lon_0", 0.0)),
+            k=float(kv.pop("k", kv.pop("k_0", 1.0))),
+            x_0=float(kv.pop("x_0", 0.0)),
+            y_0=float(kv.pop("y_0", 0.0)),
+        )
+        kv.pop("k_0", None)
+    elif proj in ("lcc", "aea"):
+        lat_1 = float(kv.pop("lat_1"))
+        params.update(
+            proj=proj,
+            lat_1=lat_1,
+            lat_2=float(kv.pop("lat_2", lat_1)),
+            lat_0=float(kv.pop("lat_0", 0.0)),
+            lon_0=float(kv.pop("lon_0", 0.0)),
+            x_0=float(kv.pop("x_0", 0.0)),
+            y_0=float(kv.pop("y_0", 0.0)),
+        )
+    else:  # longlat / latlong
+        params["proj"] = "longlat"
+
+    if kv.get("units", "m") != "m":
+        raise ValueError(f"unsupported +units={kv['units']}")
+    for ignorable in ("units", "no_defs", "type", "wktext", "nadgrids"):
+        kv.pop(ignorable, None)
+    if kv:
+        raise ValueError(f"unsupported proj parameters: {sorted(kv)}")
+    return params
+
+
+def register_crs(code: str, proj_string: str | None = None, **params) -> None:
     """Register a CRS by proj-style constants — the SPI-analog extension
-    point for codes outside the built-in tables. ``proj`` is "lcc" /
-    "aea" (``lat_1``/``lat_2`` standard parallels, ``lat_0``/``lon_0``
-    origin, ``x_0``/``y_0`` false offsets, ``a`` semi-major, ``f``
-    flattening) or "tmerc" (``lat_0``/``lon_0``/``k``/``x_0``/``y_0``/
-    ``a``/``f``). An optional ``towgs84`` 7-tuple (dx, dy, dz, rx″, ry″,
-    rz″, ds ppm; EPSG 9606 position-vector) composes a Helmert datum hop
-    with the projection."""
+    point for codes outside the built-in tables. Accepts EITHER a proj4
+    parameter string (``register_crs("EPSG:31370", "+proj=lcc +lat_1=…")``
+    — any published EPSG entry works without code changes) or keyword
+    constants: ``proj`` is "lcc" / "aea" (``lat_1``/``lat_2`` standard
+    parallels, ``lat_0``/``lon_0`` origin, ``x_0``/``y_0`` false offsets,
+    ``a`` semi-major, ``f`` flattening), "tmerc" (``lat_0``/``lon_0``/
+    ``k``/``x_0``/``y_0``/``a``/``f``), or "longlat" (datum-shift-only
+    geographic CRS). An optional ``towgs84`` 7-tuple (dx, dy, dz, rx″,
+    ry″, rz″, ds ppm; EPSG 9606 position-vector) composes a Helmert datum
+    hop with the projection."""
+    if proj_string is not None:
+        if params:
+            raise ValueError("pass a proj string OR keyword params, not both")
+        params = parse_proj_string(proj_string)
     proj = params.get("proj")
     if proj == "tmerc":
         _TM_CRS[code.upper()] = params
     elif proj in ("lcc", "aea"):
         _CONIC_CRS[code.upper()] = params
+    elif proj == "longlat":
+        _LONGLAT_CRS[code.upper()] = params
     else:
-        raise ValueError("proj must be 'lcc', 'aea', or 'tmerc'")
+        raise ValueError("proj must be 'lcc', 'aea', 'tmerc', or 'longlat'")
 
 
 def _lcc_consts(p: dict):
@@ -574,6 +704,11 @@ def _to_4326(code: str):
     conic = _conic_fns(code)
     if conic is not None:
         return conic[0]
+    ll = _LONGLAT_CRS.get(code)
+    if ll is not None:
+        if "towgs84" not in ll:
+            return None  # WGS84-equivalent geographic CRS: identity
+        return lambda lon, lat: _datum_to_wgs84(lon, lat, ll)
     raise NotImplementedError(f"unsupported CRS {code}")
 
 
@@ -592,6 +727,11 @@ def _from_4326(code: str):
     conic = _conic_fns(code)
     if conic is not None:
         return conic[1]
+    ll = _LONGLAT_CRS.get(code)
+    if ll is not None:
+        if "towgs84" not in ll:
+            return None
+        return lambda lon, lat: _wgs84_to_datum(lon, lat, ll)
     raise NotImplementedError(f"unsupported CRS {code}")
 
 

