@@ -401,3 +401,149 @@ class StreamingWindow:
         return {"segments": len(pending), "window_rows": rows,
                 "late_dropped": int(dropped),
                 "watermark_us": self.watermark_us}
+
+
+class ContinuousConsumer:
+    """Long-running tailer closing the micro-batch gap vs the reference's
+    live consumer (KafkaDataStore.scala:598-614 behavior contract): owns a
+    :class:`StreamingUpsert` or :class:`StreamingWindow` and polls it
+    continuously on a background thread, so view generations advance as
+    segments land — no manual ``poll()`` calls. The checkpoint contract is
+    unchanged (every advance is the wrapped consumer's atomic
+    publish+checkpoint), so kill/restart resumes exactly like the
+    micro-batch path, and a crashed loop surfaces its error on ``stop()``.
+
+    ``now_ms_fn`` supplies the TTL clock for upsert consumers (defaults to
+    wall clock when the consumer has a TTL). Run it on the driver, or
+    off-driver via :func:`start_consumer_actor`.
+    """
+
+    def __init__(self, consumer, poll_interval_s: float = 0.25,
+                 now_ms_fn=None):
+        import threading
+
+        self.consumer = consumer
+        self.poll_interval_s = float(poll_interval_s)
+        if now_ms_fn is None and getattr(consumer, "ttl_ms", None) is not None:
+            import time as _time
+
+            now_ms_fn = lambda: int(_time.time() * 1000)  # noqa: E731
+        self._now_ms_fn = now_ms_fn
+        self._stop = threading.Event()
+        self._thread: "threading.Thread | None" = None
+        self._lock = threading.Lock()
+        self._polls = 0
+        self._segments = 0
+        self._error: "BaseException | None" = None
+
+    # -- lifecycle ------------------------------------------------------
+
+    def start(self) -> "ContinuousConsumer":
+        import threading
+
+        if self._thread is not None:
+            raise RuntimeError("consumer already started")
+        self._thread = threading.Thread(
+            target=self._loop, name="geomesa-ray-consumer", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def _poll_once(self) -> dict:
+        if self._now_ms_fn is not None and isinstance(
+            self.consumer, StreamingUpsert
+        ):
+            return self.consumer.poll(now_ms=self._now_ms_fn())
+        return self.consumer.poll()
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                r = self._poll_once()
+            except BaseException as ex:  # surfaced on stop()/status()
+                with self._lock:
+                    self._error = ex
+                return
+            with self._lock:
+                self._polls += 1
+                self._segments += int(r.get("segments") or 0)
+            if not r.get("segments"):
+                # idle: wait for new segments (interruptible sleep)
+                self._stop.wait(self.poll_interval_s)
+
+    def stop(self, timeout_s: float = 60.0) -> dict:
+        """Stop the loop, join the thread, re-raise any loop error, and
+        return the final status."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout_s)
+            if self._thread.is_alive():
+                raise TimeoutError("consumer thread did not stop")
+        st = self.status()
+        if self._error is not None:
+            raise RuntimeError("consumer loop failed") from self._error
+        return st
+
+    # -- observation ------------------------------------------------------
+
+    def status(self) -> dict:
+        with self._lock:
+            return {
+                "generation": self.consumer._ckpt["generation"],
+                "consumed": len(self.consumer._ckpt["consumed"]),
+                "polls": self._polls,
+                "segments": self._segments,
+                "running": self._thread is not None
+                and self._thread.is_alive(),
+                "error": repr(self._error) if self._error else None,
+            }
+
+    def wait_for_generation(self, gen: int, timeout_s: float = 30.0) -> bool:
+        """Block until the view generation reaches ``gen`` (True) or the
+        timeout/loop-death hits (False) — the test/ops hook for 'the view
+        caught up with the topic'."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            if self.consumer._ckpt["generation"] >= gen:
+                return True
+            if self._error is not None:
+                return False
+            _time.sleep(min(0.05, self.poll_interval_s))
+        return self.consumer._ckpt["generation"] >= gen
+
+
+def start_consumer_actor(consumer_cls, consumer_kwargs: dict,
+                         poll_interval_s: float = 0.25,
+                         use_ttl_clock: bool = False):
+    """Run a :class:`ContinuousConsumer` inside a detached-from-driver Ray
+    actor (``num_cpus=0`` — the heavy lifting is still Dataset tasks, the
+    actor only drives them), so the tailer survives driver-side work and
+    multiple topics can be tailed in parallel. Returns the actor handle;
+    call ``.status.remote()`` / ``.stop.remote()`` on it. State remains
+    file-backed, so the live view is readable from anywhere via
+    ``consumer_cls(**consumer_kwargs).view()``/``.counts()``."""
+
+    @ray.remote(num_cpus=0)
+    class _ConsumerActor:
+        def __init__(self):
+            import time as _time
+
+            now_fn = (lambda: int(_time.time() * 1000)) if use_ttl_clock else None
+            self._cc = ContinuousConsumer(
+                consumer_cls(**consumer_kwargs),
+                poll_interval_s=poll_interval_s,
+                now_ms_fn=now_fn,
+            ).start()
+
+        def status(self) -> dict:
+            return self._cc.status()
+
+        def wait_for_generation(self, gen: int, timeout_s: float = 30.0) -> bool:
+            return self._cc.wait_for_generation(gen, timeout_s)
+
+        def stop(self) -> dict:
+            return self._cc.stop()
+
+    return _ConsumerActor.remote()
