@@ -328,6 +328,63 @@ def hot_cells_from_manifest(
     return {int(c): int(round(v)) for c, v in top}
 
 
+def hot_cells_from_hex_layout(
+    layout_dir: str,
+    cell_res: int = DEFAULT_CELL_RES,
+    top_k: int = 64,
+    span_limit: int = 4096,
+) -> dict[int, int]:
+    """Hot-cell histogram from a hex-partitioned layout
+    (:func:`geomesa_ray.stages.hexindex.ingest_hex` — ``hex_cell=<id>/``
+    dirs): per-dir row counts come free from parquet footers (no data
+    read, no pipeline execution), and each hex cell's count is spread
+    uniformly over the quadtree cells covering its bounding box — the
+    hex analog of :func:`hot_cells_from_manifest`, so hex layouts feed
+    the same z2-cell-salted join skew detection. Hex cells whose cover
+    at ``cell_res`` exceeds ``span_limit`` contribute nothing (too
+    coarse to evidence concentrated skew), mirroring the z2 span rule."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from geomesa_ray.curves.hexgrid import hex_center, hex_decode, res_pitches
+    from geomesa_ray.stages.encode import cells_for_box
+
+    with open(os.path.join(layout_dir, "_meta", "hex.json")) as f:
+        json.load(f)  # validates this IS a hex layout; res rides the ids
+    acc: dict[int, float] = {}
+    for d in sorted(glob.glob(os.path.join(layout_dir, "hex_cell=*"))):
+        cell = int(os.path.basename(d).split("=", 1)[1])
+        rows = sum(
+            _pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(d, "*.parquet"))
+        )
+        if rows <= 0:
+            continue
+        res, _a, _b = hex_decode(np.array([cell], dtype=np.int64))
+        hw, vv = res_pitches(int(res[0]))
+        clon, clat = hex_center(np.array([cell], dtype=np.int64))
+        # Voronoi cell lies within ±hw / ±vv micro-degrees of its center
+        # (half the lattice pitches bound the cell; over-covering only
+        # smears the histogram, never misses a hot cell)
+        cells, eff_res = cells_for_box(
+            float(clon[0]) - hw * 1e-5, float(clat[0]) - vv * 1e-5,
+            float(clon[0]) + hw * 1e-5, float(clat[0]) + vv * 1e-5,
+            cell_res, max_cells=span_limit,
+        )
+        if eff_res != cell_res:
+            continue  # cover escalated: un-clustered at this resolution
+        per = rows / len(cells)
+        for c in cells:
+            acc[int(c)] = acc.get(int(c), 0.0) + per
+    top = sorted(acc.items(), key=lambda kv: -kv[1])[:top_k]
+    # spread weights under half a row are noise, not skew evidence — drop
+    # them rather than emit 0-count entries
+    return {int(c): int(round(v)) for c, v in top if round(v) >= 1}
+
+
 _BROADCAST_CACHE: dict = {}
 
 
@@ -531,7 +588,9 @@ def pip_join_shuffle(
 
     ``layout_dir``: when the point side comes from an ingested layout,
     pass its directory and the skew histogram is derived for free from
-    the manifest's per-file z2 stats (:func:`hot_cells_from_manifest`)
+    the manifest's per-file z2 stats (:func:`hot_cells_from_manifest`) —
+    or, for a hex-partitioned layout (``_meta/hex.json`` present), from
+    the per-dir footer row counts (:func:`hot_cells_from_hex_layout`) —
     instead of re-executing a sampled prefix of the pipeline. Also
     requires ``cell_res``. ``stats['histogram_source']`` records which
     path ran (``'manifest'`` | ``'provided'`` | ``'sample'``).
@@ -578,7 +637,12 @@ def pip_join_shuffle(
         raise ValueError("hot_cells / layout_dir require an explicit cell_res")
     source = "provided" if hot_cells is not None else "sample"
     if hot_cells is None and layout_dir is not None:
-        hot_cells = hot_cells_from_manifest(layout_dir, cell_res=cell_res)
+        import os as _os
+
+        if _os.path.exists(_os.path.join(layout_dir, "_meta", "hex.json")):
+            hot_cells = hot_cells_from_hex_layout(layout_dir, cell_res=cell_res)
+        else:
+            hot_cells = hot_cells_from_manifest(layout_dir, cell_res=cell_res)
         source = "manifest"
     if stats is not None:
         stats["histogram_source"] = source

@@ -307,3 +307,68 @@ def test_manifest_hot_cells_skips_probe(ray_session, polygons, tmp_path,
     assert stats["histogram_source"] == "manifest"
     assert len(got) == len(expect)
     assert set(got) == expect
+
+
+def test_hex_layout_hot_cells_skips_probe(ray_session, polygons, tmp_path,
+                                          monkeypatch):
+    """A hex-partitioned layout feeds the same free skew histogram
+    (VERDICT r4 next-round #7): per-dir footer row counts → z2 cells,
+    histogram_source records 'manifest', the sampled probe never runs,
+    and the join output still matches the oracle."""
+    import ray.data
+
+    from geomesa_ray.curves.sfc import Z2SFC
+    from geomesa_ray.stages import join as join_mod
+    from geomesa_ray.stages.encode import DEFAULT_CELL_RES, cell_of_z2
+    from geomesa_ray.stages.hexindex import ingest_hex
+
+    rng = np.random.default_rng(5)
+    n_hot, n_bg = 2000, 800  # ≤1024 distinct cells per written fragment
+    lon = np.concatenate([2.30 + rng.random(n_hot) * 0.02,
+                          rng.random(n_bg) * 340.0 - 170.0])
+    lat = np.concatenate([48.85 + rng.random(n_hot) * 0.01,
+                          rng.random(n_bg) * 160.0 - 80.0])
+    n = n_hot + n_bg
+    tbl = pa.table({
+        "url": pa.array([f"https://x.test/{i}" for i in range(n)], pa.string()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+    })
+    layout = tmp_path / "hexlayout"
+    # res 5: the Paris cluster lands in one dir, each dir's bbox cover at
+    # res 12 stays within the span limit, and the dir count stays under
+    # pyarrow's 1024-partitions-per-fragment write cap
+    ingest_hex(ray.data.from_arrow(tbl), str(layout), res=5)
+
+    hist = join_mod.hot_cells_from_hex_layout(str(layout), DEFAULT_CELL_RES,
+                                              top_k=1 << 16)
+    assert hist and all(v > 0 for v in hist.values())
+    hot_cell = int(cell_of_z2(
+        Z2SFC().index(np.array([2.31]), np.array([48.855])), DEFAULT_CELL_RES
+    )[0])
+    # the true hot z2 cell is attributed mass (counts are spread uniformly
+    # over each hex cell's bbox cover, so rank among the cover's ties is
+    # arbitrary — membership and weight are what matter)
+    assert hot_cell in hist
+    # ...and its weight reflects the cluster's hex dir, far above any
+    # single-background-row spread
+    bg_weight = (len(tbl) - n_hot) / len(hist)
+    assert hist[hot_cell] > bg_weight
+
+    def _boom(*a, **k):
+        raise AssertionError("hot_cell_histogram must not run")
+
+    monkeypatch.setattr(join_mod, "hot_cell_histogram", _boom)
+
+    points = ray.data.read_parquet(str(layout))
+    stats: dict = {}
+    joined = pip_join_shuffle(
+        points, polygons, predicate="intersects",
+        cell_res=DEFAULT_CELL_RES, n_salt=4, hot_threshold=50,
+        layout_dir=str(layout), stats=stats,
+    )
+    got = _pairs_of(joined)
+    expect = oracle_pairs(tbl, polygons, "intersects")
+    assert stats["histogram_source"] == "manifest"
+    assert len(got) == len(expect)
+    assert set(got) == expect
