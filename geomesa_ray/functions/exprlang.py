@@ -247,9 +247,34 @@ def compile_expr(text: str) -> Callable[[pa.Table], "pa.Array"]:
 
 def _check(node) -> None:
     if node[0] == "call":
+        if node[1] == "cql":
+            # the CQL escape hatch (CqlFunctionFactory.scala:29-66 analog):
+            # validate the embedded predicate at compile time, on the driver
+            if len(node[2]) != 1 or node[2][0][0] != "lit" \
+                    or not isinstance(node[2][0][1], str):
+                raise ExprParseError(
+                    "cql() takes exactly one literal ECQL string"
+                )
+            _cql_compiled(node[2][0][1])
+            return
         _resolve(node[1])
         for a in node[2]:
             _check(a)
+
+
+_CQL_CACHE: dict[str, object] = {}
+
+
+def _cql_compiled(text: str):
+    """Parse-once cache for cql() predicates (compiled on the driver AND
+    once per worker process — the parse is microseconds, the cache keeps
+    the per-batch path allocation-free)."""
+    f = _CQL_CACHE.get(text)
+    if f is None:
+        from geomesa_ray.pipelines.cql import parse_ecql
+
+        f = _CQL_CACHE[text] = parse_ecql(text)
+    return f
 
 
 def _eval(node, batch: pa.Table):
@@ -274,6 +299,18 @@ def _eval(node, batch: pa.Table):
             col = batch[name]
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     # call
+    if node[1] == "cql":
+        # ECQL-predicate escape hatch: ``cql('type = ''click'' AND value >
+        # 100')`` → boolean column under Kleene three-valued semantics
+        # (rows where the predicate is definitely TRUE). The reference's
+        # CqlFunctionFactory exposes the full geotools ECQL function table
+        # inside converter expressions; the predicate subset is the
+        # mainstream use (filtering/flagging records during conversion) —
+        # value-returning ECQL functions are covered by the DSL builtins
+        # themselves (registry precedence note in the module docstring).
+        from geomesa_ray.pipelines.filters import evaluate as _cql_eval
+
+        return pa.array(_cql_eval(_cql_compiled(node[2][0][1]), batch))
     fn = _resolve(node[1])
     return fn(*[_eval(a, batch) for a in node[2]])
 

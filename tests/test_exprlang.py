@@ -228,3 +228,31 @@ def test_derive_constant_on_empty_block(ray_session):
     tbl = out.to_pandas()
     assert tbl["c"].tolist() == [42, 42]
     assert tbl["s"].tolist() == ["x", "x"]
+
+
+def test_cql_escape_hatch():
+    """cql('<ecql>') inside a transform expression — the CqlFunctionFactory
+    analog (geomesa-convert CqlFunctionFactory.scala:29-66): the predicate
+    compiles on the driver (loud parse errors) and evaluates per batch under
+    the same Kleene three-valued semantics as the query-layer filters."""
+    import pyarrow as pa
+    import pytest
+
+    from geomesa_ray.functions.exprlang import ExprParseError, compile_expr
+
+    batch = pa.table({
+        "type": ["click", "view", "click", None],
+        "value": [150, 50, 90, 200],
+    })
+    fn = compile_expr(r"cql('type = \'click\' AND value >= 100')")
+    assert fn(batch).to_pylist() == [True, False, False, False]
+    # Kleene NOT: the null-typed row passes on value alone
+    fn2 = compile_expr(r"cql('NOT (value <= 100)')")
+    assert fn2(batch).to_pylist() == [True, False, False, True]
+    # composes with DSL builtins
+    fn3 = compile_expr(r"intToBoolean(toInt(cql('value > 100')))")
+    assert fn3(batch).to_pylist() == [True, False, False, True]
+    with pytest.raises(ExprParseError):
+        compile_expr("cql($type)")  # must be a literal string
+    with pytest.raises(ValueError):
+        compile_expr("cql('value ><')")  # bad ECQL fails at compile time
