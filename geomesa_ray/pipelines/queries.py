@@ -481,6 +481,65 @@ def q_raster_regions(sf_dir: str) -> ray.data.Dataset:
     return raster_regions(tiles, threshold=2.0, width=128, height=128)
 
 
+def supplier_diamonds(sf_dir: str) -> ray.data.Dataset:
+    """supplier → deterministic convex diamonds (center, radius, weight
+    from splitmix64(s_suppkey) limbs — same finalizer as
+    corpus._splitmix64, so the oracle reuses splitmix_ctes verbatim).
+    Vertices are exact int64 micro-degrees; the diamond's 4 inclusive
+    half-planes are algebraically |Δx|+|Δy| ≤ r, which the oracle mirrors
+    as one L1 inequality."""
+    from geomesa_ray.stages.corpus import _splitmix64
+
+    ds = _read_split(sf_dir, "supplier", ["s_suppkey"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            pa.field("poly_id", pa.int64()), pa.field("w", pa.int64()),
+            pa.field("vxs", pa.list_(pa.int64())),
+            pa.field("vys", pa.list_(pa.int64())),
+        ])
+        if len(batch) == 0:
+            return schema.empty_table()
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = _splitmix64(k.astype(np.uint64))
+        cx = -180_000_000 + (z % np.uint64(360_000_000)).astype(np.int64)
+        zz = z // np.uint64(360_000_000)
+        cy = -90_000_000 + (zz % np.uint64(180_000_000)).astype(np.int64)
+        r = 2_000_000 + (
+            (zz // np.uint64(180_000_000)) % np.uint64(8_000_000)
+        ).astype(np.int64)
+        w = 1 + (z % np.uint64(10)).astype(np.int64)
+        n = len(k)
+        vx = np.stack([cx + r, cx, cx - r, cx], axis=1).ravel()
+        vy = np.stack([cy, cy + r, cy, cy - r], axis=1).ravel()
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * 4)
+        return pa.table({
+            "poly_id": pa.array(k, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+            "vxs": pa.ListArray.from_arrays(offs, pa.array(vx, pa.int64())),
+            "vys": pa.ListArray.from_arrays(offs, pa.array(vy, pa.int64())),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def q_rasterize_polygons(sf_dir: str) -> ray.data.Dataset:
+    """Vector → raster attribute burn (VectorToRasterProcess analog, the
+    inverse of raster_regions): supplier-derived convex diamonds painted
+    onto the 256×256 world grid with exact-integer half-plane containment;
+    per covered cell emits covering count, integral weight sum, and min
+    polygon id — bit-deterministic under any partitioning."""
+    from geomesa_ray.stages.raster import burn_polygons
+
+    out = burn_polygons(
+        supplier_diamonds(sf_dir), width=256, height=256, weight_col="w"
+    )
+    return out.map_batches(
+        lambda b: b.sort_by([("cell_x", "ascending"), ("cell_y", "ascending")]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
 def _indexed_events_layout(sf_dir: str) -> str:
     """Cached z-ordered layout of the derived events points (built once per
     sf_dir via the resumable ingest; reruns skip complete groups)."""
@@ -2383,6 +2442,7 @@ QUERIES = {
     "pip_join_sharded": q_pip_join_sharded,
     "tile_agg": q_tile_agg,
     "raster_regions": q_raster_regions,
+    "rasterize_polygons": q_rasterize_polygons,
     "knn": q_knn,
     "knn_indexed": q_knn_indexed,
     "events_by_type": q_events_by_type,
@@ -3261,6 +3321,54 @@ FROM b5
 
 
 ORACLE_SQL["split_assign"] = _split_assign_oracle_sql()
+
+
+def _rasterize_polygons_oracle_sql() -> str:
+    """Mirror of stages/raster.burn_polygons over supplier_diamonds: the
+    diamond's four inclusive integer half-planes collapse to one L1
+    inequality in doubled micro-degrees; cell-range numerators are clamped
+    non-negative/sub-span BEFORE the floor-div so `//` truncation equals
+    numpy's floor on both sides. 256×256 world grid: 1406250 × 703125
+    µdeg cells (exact divisors)."""
+    from geomesa_ray.pipelines.oracles import splitmix_ctes
+
+    return f"""
+WITH {splitmix_ctes("supplier", id_col="s_suppkey", prefix="r")},
+polys AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+         CAST(-180000000 + z % 360000000 AS BIGINT) AS cx,
+         CAST(-90000000 + (z // 360000000) % 180000000 AS BIGINT) AS cy,
+         CAST(2000000 + ((z // 360000000) // 180000000) % 8000000 AS BIGINT) AS r,
+         CAST(1 + z % 10 AS BIGINT) AS w
+  FROM r5
+),
+xi AS (
+  SELECT poly_id, cx, cy, r, w,
+         unnest(generate_series(GREATEST(cx - r + 180000000, 0) // 1406250,
+                                LEAST(cx + r + 180000000, 359999999) // 1406250))
+           AS cell_x
+  FROM polys
+),
+xj AS (
+  SELECT poly_id, cx, cy, r, w, cell_x,
+         unnest(generate_series(GREATEST(cy - r + 90000000, 0) // 703125,
+                                LEAST(cy + r + 90000000, 179999999) // 703125))
+           AS cell_y
+  FROM xi
+),
+hit AS (
+  SELECT * FROM xj
+  WHERE abs((-360000000 + (2 * cell_x + 1) * 1406250) - 2 * cx)
+      + abs((-180000000 + (2 * cell_y + 1) * 703125) - 2 * cy) <= 2 * r
+)
+SELECT CAST(cell_x AS BIGINT) AS cell_x, CAST(cell_y AS BIGINT) AS cell_y,
+       COUNT(*)::BIGINT AS n_polys, SUM(w)::BIGINT AS w_sum,
+       MIN(poly_id)::BIGINT AS min_poly
+FROM hit GROUP BY cell_x, cell_y
+"""
+
+
+ORACLE_SQL["rasterize_polygons"] = _rasterize_polygons_oracle_sql()
 
 
 def _mix_epochs_oracle_sql() -> str:

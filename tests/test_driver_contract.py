@@ -83,6 +83,8 @@ SUBSET = [
     "hll_users",
     "top_domains_per_lang",
     "hex_zonal_stats",
+    # round-5 vector→raster attribute burn
+    "rasterize_polygons",
 ]
 
 
