@@ -31,6 +31,7 @@ HEADLINE = [
     "pip_join_sharded",
     "tile_agg",
     "raster_regions",
+    "rasterize_polygons",
     "tile_agg_lines",
     "bbox_scan",
     "bbox_time_scan",
@@ -60,6 +61,7 @@ HEADLINE = [
     "bigram_coverage",
     "quality_buckets",
     "user_sessions",
+    "asof_join",
     "bpe_token_counts",
     "decontaminate",
     "split_assign",

@@ -540,6 +540,29 @@ def q_rasterize_polygons(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_asof_join(sf_dir: str) -> ray.data.Dataset:
+    """As-of join (backward inclusive): each purchase event picks the same
+    user's latest view event at-or-before its timestamp — the classic
+    event→state enrichment, mirrored natively by DuckDB ASOF LEFT JOIN.
+    Right-side (user, ts) ties resolve to MAX(event_id) on both sides;
+    unmatched rows carry -1 sentinels so every column stays int64."""
+    from geomesa_ray.stages.asof import asof_join
+
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def only(kind: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(batch["event_type"], kind))
+        return f
+
+    left = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(only("view"), batch_format="pyarrow")
+    return asof_join(left, right, key_col="user_id", ts_col="ts",
+                     left_id_col="event_id", right_val_col="event_id")
+
+
 def _indexed_events_layout(sf_dir: str) -> str:
     """Cached z-ordered layout of the derived events points (built once per
     sf_dir via the resumable ingest; reruns skip complete groups)."""
@@ -2443,6 +2466,7 @@ QUERIES = {
     "tile_agg": q_tile_agg,
     "raster_regions": q_raster_regions,
     "rasterize_polygons": q_rasterize_polygons,
+    "asof_join": q_asof_join,
     "knn": q_knn,
     "knn_indexed": q_knn_indexed,
     "events_by_type": q_events_by_type,
@@ -3369,6 +3393,25 @@ FROM hit GROUP BY cell_x, cell_y
 
 
 ORACLE_SQL["rasterize_polygons"] = _rasterize_polygons_oracle_sql()
+
+# stages/asof.py mirror: DuckDB's native ASOF LEFT JOIN is the same
+# backward-inclusive semantics; the GROUP BY pre-aggregate mirrors the
+# kernel's max-value tie rule and the COALESCE(-1) its non-null contract
+ORACLE_SQL["asof_join"] = """
+WITH l AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS rts_us,
+         MAX(event_id) AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.event_id AS left_id, l.user_id AS key, l.ts_us,
+       COALESCE(r.rts_us, -1)::BIGINT AS match_ts_us,
+       COALESCE(r.v, -1)::BIGINT AS match_val
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.rts_us
+"""
 
 
 def _mix_epochs_oracle_sql() -> str:

@@ -83,8 +83,9 @@ SUBSET = [
     "hll_users",
     "top_domains_per_lang",
     "hex_zonal_stats",
-    # round-5 vector→raster attribute burn
+    # round-5 vector→raster attribute burn + as-of join
     "rasterize_polygons",
+    "asof_join",
 ]
 
 
