@@ -62,6 +62,7 @@ HEADLINE = [
     "quality_buckets",
     "user_sessions",
     "asof_join",
+    "interval_join",
     "bpe_token_counts",
     "decontaminate",
     "split_assign",

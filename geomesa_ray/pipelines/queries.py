@@ -563,6 +563,38 @@ def q_asof_join(sf_dir: str) -> ray.data.Dataset:
                      left_id_col="event_id", right_val_col="event_id")
 
 
+def q_interval_join(sf_dir: str) -> ray.data.Dataset:
+    """Keyed interval (range) join: every click within 7 days at-or-after
+    the same user's signup, one row per (signup, click) pair with the lag.
+    The oracle is the plain SQL range join (``BETWEEN`` over epoch-us)."""
+    from geomesa_ray.stages.asof import _ts_to_us, interval_join
+
+    ev = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def clicks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["event_type"], "click"))
+
+    def signup_windows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.equal(batch["event_type"], "signup"))
+        lo = _ts_to_us(b["ts"])
+        return pa.table({
+            "interval_id": b["event_id"].cast(pa.int64()),
+            "user_id": b["user_id"].cast(pa.int64()),
+            "lo_us": pa.array(lo, pa.int64()),
+            "hi_us": pa.array(lo + 7 * 86_400_000_000, pa.int64()),
+        })
+
+    return interval_join(
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        ev.map_batches(signup_windows, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts",
+    )
+
+
 def _indexed_events_layout(sf_dir: str) -> str:
     """Cached z-ordered layout of the derived events points (built once per
     sf_dir via the resumable ingest; reruns skip complete groups)."""
@@ -2467,6 +2499,7 @@ QUERIES = {
     "raster_regions": q_raster_regions,
     "rasterize_polygons": q_rasterize_polygons,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "knn": q_knn,
     "knn_indexed": q_knn_indexed,
     "events_by_type": q_events_by_type,
@@ -3411,6 +3444,22 @@ SELECT l.event_id AS left_id, l.user_id AS key, l.ts_us,
        COALESCE(r.rts_us, -1)::BIGINT AS match_ts_us,
        COALESCE(r.v, -1)::BIGINT AS match_val
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.rts_us
+"""
+
+# stages/asof.interval_join mirror: both bounds inclusive == BETWEEN
+ORACLE_SQL["interval_join"] = """
+WITH s AS (
+  SELECT event_id AS interval_id, user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS lo_us
+  FROM events WHERE event_type = 'signup'
+),
+c AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT s.interval_id, c.event_id, (c.t_us - s.lo_us)::BIGINT AS lag_us
+FROM s JOIN c ON s.user_id = c.user_id
+  AND c.t_us BETWEEN s.lo_us AND s.lo_us + 604800000000
 """
 
 

@@ -1,4 +1,4 @@
-"""Distributed as-of join (event → latest state at event time).
+"""Distributed temporal joins: as-of join and keyed interval (range) join.
 
 For every left row ``(key, ts)`` find the right row with the same key
 and the greatest ``ts`` that is ≤ the left ``ts`` (inclusive backward
@@ -139,5 +139,111 @@ def asof_join(
     ).union(right.map_batches(tag(0, right_val_col), batch_format="pyarrow"))
     return tagged.groupby("__shard__").map_groups(
         lambda g: _asof_shard(g.drop_columns(["__shard__"]), tol_us),
+        batch_format="pyarrow",
+    )
+
+
+def _interval_shard(group: pa.Table) -> pa.Table:
+    """In-shard kernel for the keyed interval join: one sort of the event
+    side by (key, ts) rank composite, then per-interval [start, end)
+    positions via two searchsorted calls and a fully vectorized pair
+    expansion (the same repeat/arange trick as the raster cell burn)."""
+    schema = pa.schema([
+        pa.field("interval_id", pa.int64()), pa.field("event_id", pa.int64()),
+        pa.field("lag_us", pa.int64()),
+    ])
+    if len(group) == 0:
+        return schema.empty_table()
+    side = group["__side__"].to_numpy(zero_copy_only=False)
+    k = group["__key__"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = group["__us__"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t2 = group["__us2__"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = group["__val__"].to_numpy(zero_copy_only=False).astype(np.int64)
+    E = side == 1
+    ek, et, eid = k[E], t[E], v[E]
+    ik, lo, hi, iid = k[~E], t[~E], t2[~E], v[~E]
+    if not len(ek) or not len(ik):
+        return schema.empty_table()
+    tu = np.unique(np.concatenate([et, lo, hi]))
+    ku = np.unique(np.concatenate([ek, ik]))
+    m = np.int64(len(tu) + 1)
+    ecomp = np.searchsorted(ku, ek).astype(np.int64) * m \
+        + np.searchsorted(tu, et)
+    order = np.argsort(ecomp, kind="stable")
+    ecomp, et, eid = ecomp[order], et[order], eid[order]
+    iki = np.searchsorted(ku, ik).astype(np.int64)
+    start = np.searchsorted(ecomp, iki * m + np.searchsorted(tu, lo), "left")
+    end = np.searchsorted(ecomp, iki * m + np.searchsorted(tu, hi), "right")
+    counts = np.maximum(end - start, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return schema.empty_table()
+    pid = np.repeat(np.arange(len(ik)), counts)
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.arange(total) - np.repeat(cum, counts) + start[pid]
+    return pa.table({
+        "interval_id": pa.array(iid[pid], pa.int64()),
+        "event_id": pa.array(eid[idx], pa.int64()),
+        "lag_us": pa.array(et[idx] - lo[pid], pa.int64()),
+    })
+
+
+def interval_join(
+    events: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+    interval_id_col: str = "interval_id",
+    lo_col: str = "lo_us",
+    hi_col: str = "hi_us",
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Keyed interval (range) join: emit one pair per (interval, event)
+    with equal ``key_col`` and ``lo_us ≤ ts ≤ hi_us`` (both bounds
+    inclusive — mirrored by SQL ``BETWEEN``). Output rows are
+    ``(interval_id, event_id, lag_us)`` with ``lag_us = ts − lo`` —
+    int64 throughout; the pair SET is partitioning-invariant.
+
+    Scale shape: the same single key-sharded shuffle as :func:`asof_join`
+    (a key's rows must fit one shard); within a shard the pair expansion
+    is fully vectorized, so cost is O(rows·log rows + output pairs).
+    ``lo_us``/``hi_us`` are int64 epoch-microseconds (derive them from a
+    timestamp with the caller's arithmetic so the oracle can mirror it
+    exactly)."""
+    if n_shards is None:
+        n_shards = default_shards()
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].cast(pa.int64())
+        kn = key.to_numpy(zero_copy_only=False).astype(np.int64)
+        us = _ts_to_us(batch[ts_col])
+        return pa.table({
+            "__side__": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            "__key__": key,
+            "__us__": pa.array(us, pa.int64()),
+            "__us2__": pa.array(us, pa.int64()),
+            "__val__": batch[event_id_col].cast(pa.int64()),
+            "__shard__": pa.array(kn % n_shards, pa.int64()),
+        })
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].cast(pa.int64())
+        kn = key.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__side__": pa.array(np.zeros(len(batch), np.int64), pa.int64()),
+            "__key__": key,
+            "__us__": batch[lo_col].cast(pa.int64()),
+            "__us2__": batch[hi_col].cast(pa.int64()),
+            "__val__": batch[interval_id_col].cast(pa.int64()),
+            "__shard__": pa.array(kn % n_shards, pa.int64()),
+        })
+
+    tagged = events.map_batches(
+        tag_events, batch_format="pyarrow"
+    ).union(intervals.map_batches(tag_intervals, batch_format="pyarrow"))
+    return tagged.groupby("__shard__").map_groups(
+        lambda g: _interval_shard(g.drop_columns(["__shard__"])),
         batch_format="pyarrow",
     )

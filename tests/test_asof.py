@@ -104,3 +104,80 @@ def test_pipeline_matches_duckdb_asof(ray_session):
     assert (a.match_ts_us != -1).any()  # some purchases have a prior view
     assert dict(a.dtypes) == dict(b.dtypes)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+# ---------------------------------------------------------------------------
+
+def _igroup(ek, et, eid, ik, lo, hi, iid):
+    n_e, n_i = len(ek), len(ik)
+    return pa.table({
+        "__side__": pa.array([1] * n_e + [0] * n_i, pa.int64()),
+        "__key__": pa.array(list(ek) + list(ik), pa.int64()),
+        "__us__": pa.array(list(et) + list(lo), pa.int64()),
+        "__us2__": pa.array(list(et) + list(hi), pa.int64()),
+        "__val__": pa.array(list(eid) + list(iid), pa.int64()),
+    })
+
+
+def test_interval_kernel_vs_bruteforce():
+    from geomesa_ray.stages.asof import _interval_shard
+
+    rng = np.random.RandomState(11)
+    ek = rng.randint(0, 6, 300)
+    et = rng.randint(0, 100, 300).astype(np.int64)
+    eid = np.arange(300, dtype=np.int64)
+    ik = rng.randint(0, 8, 40)
+    lo = rng.randint(0, 90, 40).astype(np.int64)
+    hi = lo + rng.randint(0, 30, 40)
+    iid = np.arange(1000, 1040, dtype=np.int64)
+    out = _interval_shard(_igroup(ek, et, eid, ik, lo, hi, iid)).to_pandas()
+    got = set(zip(out.interval_id, out.event_id))
+    exp = set()
+    for a, l, h, i in zip(ik, lo, hi, iid):
+        for b, t, e in zip(ek, et, eid):
+            if a == b and l <= t <= h:
+                exp.add((i, e))
+    assert got == exp
+    # lag values
+    lom = dict(zip(iid, lo))
+    etm = dict(zip(eid, et))
+    for _, r in out.iterrows():
+        assert r.lag_us == etm[r.event_id] - lom[r.interval_id]
+
+
+def test_interval_kernel_bounds_inclusive_and_empty():
+    from geomesa_ray.stages.asof import _interval_shard
+
+    out = _interval_shard(
+        _igroup([1, 1, 1], [5, 10, 11], [0, 1, 2], [1], [5], [10], [9])
+    ).to_pandas()
+    assert set(out.event_id) == {0, 1}  # both bounds inclusive
+    assert len(_interval_shard(_igroup([], [], [], [1], [0], [5], [9]))) == 0
+    assert len(_interval_shard(_igroup([1], [3], [0], [], [], [], []))) == 0
+
+
+def test_interval_pipeline_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from geomesa_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    out = QUERIES["interval_join"](sf).to_pandas()
+    exp = con.sql(ORACLE_SQL["interval_join"]).df()
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    a, b = norm(out), norm(exp)
+    assert len(a) > 0
+    assert dict(a.dtypes) == dict(b.dtypes)
+    pd.testing.assert_frame_equal(a, b)

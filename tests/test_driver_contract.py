@@ -86,6 +86,7 @@ SUBSET = [
     # round-5 vector→raster attribute burn + as-of join
     "rasterize_polygons",
     "asof_join",
+    "interval_join",
 ]
 
 
