@@ -70,6 +70,7 @@ HEADLINE = [
     "curate_corpus",
     "incremental_dedup",
     "tumbling_counts",
+    "sliding_counts",
     "stratified_sample",
     "mix_epochs",
     "ann_filtered_topk",

@@ -2459,6 +2459,17 @@ def q_tumbling_counts(sf_dir: str) -> ray.data.Dataset:
     return tumbling_counts(ds, window_s=86_400)
 
 
+def q_sliding_counts(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window event counts per event_type (1-day windows hopping
+    every 6 h — each event lands in 4 overlapping windows); the k-fold
+    expansion runs inside the per-batch combiner, mirrored in SQL by a
+    CROSS JOIN with generate_series(0, 3)."""
+    from geomesa_ray.stages.sessions import sliding_counts
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+    return sliding_counts(ds, window_s=86_400, hop_s=21_600)
+
+
 def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
     """Training-mixture downsampling: per-source keep rates derived
     deterministically from the source's numeric suffix
@@ -2568,6 +2579,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "incremental_dedup": q_incremental_dedup,
     "tumbling_counts": q_tumbling_counts,
+    "sliding_counts": q_sliding_counts,
     "stratified_sample": q_stratified_sample,
 }
 
@@ -3606,6 +3618,18 @@ SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
        event_type,
        count(*) AS n_events
 FROM events GROUP BY 1, 2
+"""
+
+# stages/sessions.sliding_counts mirror: same floor arithmetic shifted by
+# each of the k = window/hop offsets
+ORACLE_SQL["sliding_counts"] = """
+SELECT (epoch_us(ts) // 21600000000) * 21600000000
+         - h.j * 21600000000 AS window_start_us,
+       event_type,
+       count(*) AS n_events
+FROM events
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) h
+GROUP BY 1, 2
 """
 
 

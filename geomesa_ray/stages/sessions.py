@@ -169,3 +169,68 @@ def tumbling_counts(ds: ray.data.Dataset, ts_col: str = "ts",
             Sum("n_events", alias_name="n_events")
         )
     return merged
+
+
+def sliding_counts(ds: ray.data.Dataset, ts_col: str = "ts",
+                   key_col: str | None = "event_type",
+                   window_s: int = 86_400, hop_s: int = 21_600,
+                   fanin_rows: int = 2_000_000) -> ray.data.Dataset:
+    """Sliding (hopping) window aggregate: windows of ``window_s`` start
+    at every multiple of ``hop_s`` (``window_s`` must divide evenly), so
+    each event counts toward ``k = window_s/hop_s`` consecutive windows —
+    the overlapping-window face of :func:`tumbling_counts`.
+
+    Scale shape: the k-fold expansion happens INSIDE the per-batch
+    combiner (k is small and fixed), partials tree-merge shuffle-free,
+    and output stays bounded by #hops × #keys; the SQL mirror is the
+    same arithmetic cross-joined with ``generate_series(0, k-1)``.
+    """
+    from geomesa_ray.stages.corpus import _group_sum, _tree_merge
+
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = window_s // hop_s
+    h_us = int(hop_s) * 1_000_000
+    key_cols = ["window_start_us"] + ([key_col] if key_col else [])
+    schema = pa.schema(
+        [pa.field("window_start_us", pa.int64())]
+        + ([pa.field(key_col, pa.string())] if key_col else [])
+        + [pa.field("n_events", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return schema.empty_table()
+        t = batch[ts_col]
+        unit = t.type.unit if pa.types.is_timestamp(t.type) else "us"
+        ints = t.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[unit]
+        us = ints // 1_000 if scale is None else ints * scale
+        base = (us // h_us) * h_us
+        win = (base[:, None] - np.arange(k, dtype=np.int64)[None, :] * h_us
+               ).ravel()
+        cols = {"window_start_us": pa.array(win, pa.int64())}
+        if key_col:
+            cols[key_col] = batch[key_col].cast(pa.string()).take(
+                pa.array(np.repeat(np.arange(len(batch)), k))
+            )
+        cols["n_events"] = pa.array(np.ones(len(batch) * k, np.int64),
+                                    pa.int64())
+        return _group_sum(pa.table(cols), key_cols, ["n_events"])
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return schema.empty_table()
+        return _group_sum(batch.cast(schema), key_cols, ["n_events"])
+
+    merged, converged = _tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge, fanin_rows=fanin_rows,
+    )
+    if not converged:
+        from ray.data.aggregate import Sum
+
+        merged = merged.groupby(key_cols).aggregate(
+            Sum("n_events", alias_name="n_events")
+        )
+    return merged

@@ -87,6 +87,7 @@ SUBSET = [
     "rasterize_polygons",
     "asof_join",
     "interval_join",
+    "sliding_counts",
 ]
 
 

@@ -236,3 +236,50 @@ def test_cdf_buckets_invariants_random(ray_session):
         for val in np.unique(v):
             smaller = int((v < val).sum())
             assert (b[v == val] == smaller * nb // len(v)).all()
+
+
+def test_sliding_counts_matches_bruteforce(ray_session):
+    """Each event lands in exactly window/hop consecutive windows; counts
+    match a per-window brute force (and the hop=window case degenerates to
+    tumbling)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geomesa_ray.stages.sessions import sliding_counts, tumbling_counts
+
+    rng = np.random.RandomState(3)
+    us = rng.randint(0, 10 * 86_400, 500).astype(np.int64) * 1_000_000
+    types = np.array(["a", "b", "c"])[rng.randint(0, 3, 500)]
+    t = pa.table({
+        "ts": pa.array(us, pa.timestamp("us")),
+        "event_type": pa.array(types.tolist(), pa.string()),
+    })
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=37
+    )
+    out = sliding_counts(ds, window_s=86_400, hop_s=21_600).to_pandas()
+    h = 21_600 * 1_000_000
+    exp = {}
+    for u, k in zip(us, types):
+        base = (u // h) * h
+        for j in range(4):
+            exp[(base - j * h, k)] = exp.get((base - j * h, k), 0) + 1
+    got = {(r.window_start_us, r.event_type): r.n_events
+           for r in out.itertuples()}
+    assert got == exp
+    # degenerate hop == window: identical to tumbling
+    sl = sliding_counts(ds, window_s=86_400, hop_s=86_400).to_pandas()
+    tu = tumbling_counts(ds, window_s=86_400).to_pandas()
+    key = ["window_start_us", "event_type"]
+    assert sl.sort_values(key).reset_index(drop=True).equals(
+        tu.sort_values(key).reset_index(drop=True))
+
+
+def test_sliding_counts_rejects_uneven_hop(ray_session):
+    import pytest
+
+    from geomesa_ray.stages.sessions import sliding_counts
+
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_counts(None, window_s=100, hop_s=33)
