@@ -1755,6 +1755,30 @@ def q_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return ngram_jaccard_pairs(ds, n=3, threshold=0.5)
 
 
+def q_jaccard_pairs_capped(sf_dir: str) -> ray.data.Dataset:
+    """The SCALE arm of exact Jaccard: shingles appearing in more than
+    max_df=64 docs are stop-shingles (dropped from pair generation with
+    loud markers; union still uses full doc shingle counts, so the filter
+    is conservative — capped Jaccard ≤ exact Jaccard). The exact arm's
+    candidate volume is Σ C(df,2), quadratic in template boilerplate df
+    (measured 138M candidate rows at sf1 vs 6M capped); the cap is what a
+    10^12-doc corpus must run, and because a shingle lives wholly in one
+    hash shard, "per-segment df" == global df — so the oracle mirrors the
+    cap as a plain ``HAVING COUNT(*) <= 64`` on the shingle join."""
+    import pyarrow.compute as pc
+
+    from geomesa_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_df=64)
+    # strip the stop-shingle marker rows (left_id = -1) for the oracle;
+    # markers stay observable via the stats= hook
+    return out.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["left_id"], 0)),
+        batch_format="pyarrow",
+    )
+
+
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
     from geomesa_ray.stages.dedup import simhash_pairs
 
@@ -2470,6 +2494,27 @@ def q_sliding_counts(sf_dir: str) -> ray.data.Dataset:
     return sliding_counts(ds, window_s=86_400, hop_s=21_600)
 
 
+def q_track_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-user track statistics over the derived integer centi-degree
+    points (the same (event_id·7919)%36000 lattice events_points uses,
+    kept integral for exact path sums): count, duration, L1 path length
+    under a total (ts, event_id) order, and the track bbox. One
+    user-shard shuffle + lexsort/reduceat kernel (stages/tracks.py)."""
+    from geomesa_ray.stages.tracks import track_stats
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "ix", pa.array((eid * 7919) % 36000, pa.int64())
+        ).append_column(
+            "iy", pa.array((eid * 104729) % 18000, pa.int64())
+        )
+
+    return track_stats(ds.map_batches(derive, batch_format="pyarrow"))
+
+
 def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
     """Training-mixture downsampling: per-source keep rates derived
     deterministically from the source's numeric suffix
@@ -2524,6 +2569,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    "jaccard_pairs_capped": q_jaccard_pairs_capped,
     "cosine_neardup": q_cosine_neardup,
     "convert_expr": q_convert_expr,
     "simhash_pairs": q_simhash_pairs,
@@ -2580,6 +2626,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "tumbling_counts": q_tumbling_counts,
     "sliding_counts": q_sliding_counts,
+    "track_stats": q_track_stats,
     "stratified_sample": q_stratified_sample,
 }
 
@@ -3078,6 +3125,33 @@ WITH words AS (
 ), pair AS (
   SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*)::BIGINT AS inter
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.left_id, p.right_id, p.inter,
+       ca.n + cb.n - p.inter AS union_cnt
+FROM pair p
+JOIN cnt ca ON ca.doc_id = p.left_id
+JOIN cnt cb ON cb.doc_id = p.right_id
+WHERE 2 * p.inter >= (ca.n + cb.n - p.inter)
+ORDER BY 1, 2
+"""
+    # capped arm: identical except pair generation ignores shingles with
+    # global df > 64 (the stop-shingle cap; doc_n counts stay uncapped)
+    ORACLE_SQL["jaccard_pairs_capped"] = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), cnt AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id
+), keep AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 64
+), pair AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN keep k ON k.s = a.s
   GROUP BY 1, 2
 )
 SELECT p.left_id, p.right_id, p.inter,
@@ -3630,6 +3704,29 @@ SELECT (epoch_us(ts) // 21600000000) * 21600000000
 FROM events
 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) h
 GROUP BY 1, 2
+"""
+
+# stages/tracks.track_stats mirror: the lag window's (ts, event_id) order
+# is the kernel's lexsort order, so the path sum is total-order exact
+ORACLE_SQL["track_stats"] = """
+WITH pts AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         (event_id * 7919) % 36000 AS ix,
+         (event_id * 104729) % 18000 AS iy
+  FROM events
+), steps AS (
+  SELECT user_id, us, ix, iy,
+         abs(ix - lag(ix) OVER w) + abs(iy - lag(iy) OVER w) AS step
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_points,
+       (MAX(us) - MIN(us))::BIGINT AS duration_us,
+       COALESCE(SUM(step), 0)::BIGINT AS path_l1,
+       MIN(ix)::BIGINT AS min_x, MAX(ix)::BIGINT AS max_x,
+       MIN(iy)::BIGINT AS min_y, MAX(iy)::BIGINT AS max_y
+FROM steps GROUP BY user_id
 """
 
 

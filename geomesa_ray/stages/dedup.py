@@ -1320,29 +1320,56 @@ def _jaccard_shard_pairs(group: pa.Table, id_col: str,
         return _jaccard_pair_table([], [], [], [], [])
     group = group.sort_by([("s", "ascending")]).combine_chunks()
     s = group["s"].combine_chunks() if isinstance(group["s"], pa.ChunkedArray) else group["s"]
-    ids = group[id_col].to_numpy(zero_copy_only=False)
-    dn = group["doc_n"].to_numpy(zero_copy_only=False)
+    ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    dn = group["doc_n"].to_numpy(zero_copy_only=False).astype(np.int64)
     neq = pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)).to_numpy(
         zero_copy_only=False)
     starts = np.nonzero(np.concatenate([[True], neq]))[0]
-    ends = np.concatenate([starts[1:], [len(s)]])
-    multi = ends - starts >= 2
-    li: list = []; ri: list = []; ln: list = []; rn: list = []; iv: list = []
-    for st, en in zip(starts[multi], ends[multi]):
-        if max_df is not None and en - st > max_df:
-            li.append(-1); ri.append(int(en - st))
-            ln.append(0); rn.append(0); iv.append(0)
-            continue
-        seg_ids = ids[st:en]
-        seg_n = dn[st:en]
-        order = np.argsort(seg_ids, kind="stable")
-        seg_ids, seg_n = seg_ids[order], seg_n[order]
-        c = len(seg_ids)
-        ii, jj = np.triu_indices(c, k=1)
-        li.extend(seg_ids[ii].tolist()); ri.extend(seg_ids[jj].tolist())
-        ln.extend(seg_n[ii].tolist()); rn.extend(seg_n[jj].tolist())
-        iv.extend([1] * len(ii))
-    return _jaccard_pair_table(li, ri, ln, rn, iv)
+    seg_len = np.diff(np.concatenate([starts, [len(s)]]))
+    stop = (seg_len > max_df) if max_df is not None \
+        else np.zeros(len(starts), dtype=bool)
+    # fully vectorized all-pairs expansion: re-sort so ids ascend WITHIN
+    # each shingle segment (seg_of is the primary key and already sorted,
+    # so lexsort leaves segment boundaries in place), then each element
+    # pairs with every earlier element of its segment — `loc` pairs each
+    seg_of = np.repeat(np.arange(len(starts)), seg_len)
+    order = np.lexsort((ids, seg_of))
+    ids2, dn2 = ids[order], dn[order]
+    elem_start = np.repeat(starts, seg_len)
+    loc = np.arange(len(ids2)) - elem_start
+    cnt = np.where(stop[seg_of] | (seg_len[seg_of] < 2), 0, loc)
+    m = int(cnt.sum())
+    if m:
+        right_idx = np.repeat(np.arange(len(ids2)), cnt)
+        cum = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=cum[1:])
+        left_idx = (np.arange(m) - np.repeat(cum, cnt)
+                    + np.repeat(elem_start, cnt))
+        li = ids2[left_idx]
+        ri = ids2[right_idx]
+        ln = dn2[left_idx]
+        rn = dn2[right_idx]
+        # in-shard pair aggregation: each surviving pair leaves this shard
+        # as ONE row (inter = shared shingles in this shard), so the merge
+        # tree moves O(distinct pairs × shards), not O(Σ df²) rows
+        o2 = np.lexsort((ri, li))
+        li, ri, ln, rn = li[o2], ri[o2], ln[o2], rn[o2]
+        b = np.nonzero(np.concatenate(
+            [[True], (li[1:] != li[:-1]) | (ri[1:] != ri[:-1])]
+        ))[0]
+        inter = np.diff(np.concatenate([b, [m]]))
+        li, ri, ln, rn = li[b], ri[b], ln[b], rn[b]
+    else:
+        li = ri = ln = rn = inter = np.empty(0, dtype=np.int64)
+    if stop.any():
+        # loud stop-shingle marker rows (left_id = -1, right_id = df)
+        li = np.concatenate([li, np.full(int(stop.sum()), -1, np.int64)])
+        ri = np.concatenate([ri, seg_len[stop]])
+        z = np.zeros(int(stop.sum()), dtype=np.int64)
+        ln = np.concatenate([ln, z])
+        rn = np.concatenate([rn, z])
+        inter = np.concatenate([inter, z])
+    return _jaccard_pair_table(li, ri, ln, rn, inter)
 
 
 def _jaccard_pair_table(li, ri, ln, rn, iv) -> pa.Table:
@@ -1373,10 +1400,14 @@ def ngram_jaccard_pairs(
     The threshold compare is exact rational arithmetic
     (``inter * q >= p * union``), never a float ratio.
 
-    Scale shape: one bounded shuffle keyed by ``hash(shingle) % shards``
-    (O(shards) group calls), candidate pairs tree-merged (no Ray sort
-    aggregate). ``max_df`` caps stop-shingle segments with loud marker rows
-    surfaced via ``stats`` — the same contract as minhash mega-buckets."""
+    Scale shape: two bounded shuffles (O(shards) group calls each) —
+    ``hash(shingle) % shards`` builds the inverted index and generates
+    per-shard-aggregated candidate rows, then ``left_id % shards``
+    completes the pair sums in one vectorized reduction. ``max_df`` caps
+    stop-shingle segments with loud marker rows surfaced via ``stats`` —
+    the same contract as minhash mega-buckets; the EXACT (uncapped) arm's
+    candidate volume is inherently Σ C(df,2), so run it capped at corpus
+    scale (see q_jaccard_pairs_capped)."""
     from fractions import Fraction
 
     frac = Fraction(threshold)
@@ -1404,7 +1435,7 @@ def ngram_jaccard_pairs(
             batch_format="pyarrow",
         )
 
-    def merge(batch: pa.Table) -> pa.Table:
+    def reduce_pairs(batch: pa.Table) -> pa.Table:
         l = batch["left_id"].to_numpy(zero_copy_only=False)
         if len(l) == 0:
             return batch
@@ -1425,31 +1456,28 @@ def ngram_jaccard_pairs(
             "inter": pa.array(np.add.reduceat(iv, starts), pa.int64()),
         })
 
-    merged = pairs.map_batches(
-        merge, batch_format="pyarrow", batch_size=4_000_000
-    ).materialize()
-    rounds = 0
-    while merged.num_blocks() > 1 and rounds < 10:
-        merged = merged.repartition(max(1, merged.num_blocks() // 8)).map_batches(
-            merge, batch_format="pyarrow", batch_size=4_000_000
-        ).materialize()
-        rounds += 1
-    if merged.num_blocks() > 1:
-        # gigantic candidate set: exact fallback through the shuffle aggregate
-        merged = (
-            merged.groupby(["left_id", "right_id"])
-            .aggregate(
-                ray.data.aggregate.Sum("inter", alias_name="inter_sum"),
-                ray.data.aggregate.Max("left_n", alias_name="left_n_m"),
-                ray.data.aggregate.Max("right_n", alias_name="right_n_m"),
-            )
-            .map_batches(
-                lambda b: b.rename_columns(
-                    ["left_id", "right_id", "inter", "left_n", "right_n"]
-                ),
-                batch_format="pyarrow",
-            )
+    # ONE bounded shuffle completes the pair aggregation: a pair's rows
+    # all carry the same left_id, so routing by left_id % shards puts
+    # every partial of a pair in one shard and a single vectorized
+    # reduction finishes it. (A tree merge is wrong here: partials of the
+    # SAME pair surface in up to `shards` different shard outputs, so
+    # tree rounds barely collapse rows while re-shipping the full volume
+    # each round — measured 133.6M candidate rows at 10× scale took the
+    # tree minutes vs ~one plasma pass for this shuffle.)
+    def route(batch: pa.Table) -> pa.Table:
+        l = batch["left_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pshard", pa.array((l % shards).astype(np.int64), pa.int64())
         )
+
+    merged = (
+        pairs.map_batches(route, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(
+            lambda g: reduce_pairs(g.drop_columns(["pshard"])),
+            batch_format="pyarrow",
+        )
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         iv = batch["inter"].to_numpy(zero_copy_only=False)
