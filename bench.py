@@ -84,6 +84,9 @@ HEADLINE = [
     "hll_users",
     "top_domains_per_lang",
     "hex_zonal_stats",
+    "jaccard_pairs_capped",
+    "track_stats",
+    "dup_span_stats",
 ]
 
 

@@ -1583,6 +1583,28 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_dup_span_stats(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr-style duplicated-span detection (stages/spans.py):
+    per-doc counts of exact duplicated 8-token windows merged into
+    maximal spans. Hash-count shuffle → broadcast candidate set →
+    exact gram confirmation → per-doc island merge; every output is an
+    exact integer so the SQL mirror hash-matches."""
+    from geomesa_ray.stages.spans import duplicated_spans
+
+    return duplicated_spans(_read_docs(sf_dir, ["doc_id", "text"]), k=8)
+
+
+def q_dup_spans(sf_dir: str) -> ray.data.Dataset:
+    """Merged duplicated-span extents per doc (token positions, end
+    exclusive) — the removal-ready output of the same three-pass
+    pipeline as dup_span_stats."""
+    from geomesa_ray.stages.spans import duplicated_spans
+
+    return duplicated_spans(
+        _read_docs(sf_dir, ["doc_id", "text"]), k=8, output="spans"
+    )
+
+
 def q_ann_filtered_topk(sf_dir: str) -> pa.Table:
     """Metadata-filtered ANN (the production 'search within a subset'
     shape): exact cosine top-10 among embeddings with ``label = 3``. The
@@ -2541,6 +2563,8 @@ QUERIES = {
     "cql_scan": q_cql_scan,
     "dwithin_scan": q_dwithin_scan,
     "pack_sequences": q_pack_sequences,
+    "dup_span_stats": q_dup_span_stats,
+    "dup_spans": q_dup_spans,
     "mix_epochs": q_mix_epochs,
     "chunk_corpus": q_chunk_corpus,
     "ann_filtered_topk": q_ann_filtered_topk,
@@ -3020,6 +3044,68 @@ SELECT doc_id, n_tokens, start_tok,
             ELSE (start_tok + n_tokens - 1) // 2048 END AS BIGINT)
          AS chunk_last
 FROM p
+"""
+
+# duplicated-span mirror: the identical ASCII \w+ token kernel, k-gram
+# windows via a correlated UNNEST(range(...)) (this DuckDB rejects lateral
+# generate_series), exact string grouping (the engine's pass-2 confirms by
+# string too, so hash routing can never diverge), and the same
+# gaps-and-islands merge (break strictly past prev+k; adjacency merges).
+# All outputs integral; window sums cast ::BIGINT (HUGEINT rule).
+_DUP_SPAN_K = 8
+_DUP_SPAN_CTES = f"""
+docs AS (
+  SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i:i+{_DUP_SPAN_K - 1}], ' ') AS gram
+  FROM docs, UNNEST(range(1, len(toks) - {_DUP_SPAN_K} + 2)) AS g(i)
+),
+dupg AS MATERIALIZED (
+  SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= 2
+),
+marked AS (
+  SELECT doc_id, pos FROM wins WHERE gram IN (SELECT gram FROM dupg)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        + {_DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
+  FROM marked
+),
+isl2 AS (
+  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM isl
+),
+spans AS MATERIALIZED (
+  SELECT doc_id, isl_id, MIN(pos) AS s, MAX(pos) + {_DUP_SPAN_K} AS e,
+         COUNT(*) AS nw
+  FROM isl2 GROUP BY doc_id, isl_id
+)
+"""
+
+ORACLE_SQL["dup_span_stats"] = f"""
+WITH {_DUP_SPAN_CTES.strip()}
+SELECT d.doc_id,
+  CAST(GREATEST(len(d.toks) - {_DUP_SPAN_K} + 1, 0) AS BIGINT)
+    AS total_windows,
+  CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+  CAST(COALESCE(p.span_count, 0) AS BIGINT) AS span_count,
+  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM docs d LEFT JOIN (
+  SELECT doc_id, SUM(nw) AS dup_windows, COUNT(*) AS span_count,
+         SUM(e - s) AS dup_tokens
+  FROM spans GROUP BY doc_id
+) p USING (doc_id)
+"""
+
+ORACLE_SQL["dup_spans"] = f"""
+WITH {_DUP_SPAN_CTES.strip()}
+SELECT doc_id, CAST(s AS BIGINT) AS span_start,
+       CAST(e AS BIGINT) AS span_end
+FROM spans
 """
 
 # haversine mirrored op-for-op (radians → sin²(Δφ/2)+cosφ₁cosφ₂sin²(Δλ/2)
