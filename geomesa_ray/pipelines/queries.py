@@ -1605,6 +1605,19 @@ def q_dup_spans(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_remove_spans(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr removal: every occurrence of a duplicated 8-token
+    span dropped, remaining tokens re-joined with single spaces (the
+    token-kernel rebuild contract — whitespace/punct normalized away,
+    mirrored exactly in SQL). Text moves exactly twice (chunk_corpus
+    budget)."""
+    from geomesa_ray.stages.spans import duplicated_spans
+
+    return duplicated_spans(
+        _read_docs(sf_dir, ["doc_id", "text"]), k=8, output="clean"
+    )
+
+
 def q_ann_filtered_topk(sf_dir: str) -> pa.Table:
     """Metadata-filtered ANN (the production 'search within a subset'
     shape): exact cosine top-10 among embeddings with ``label = 3``. The
@@ -2565,6 +2578,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "dup_span_stats": q_dup_span_stats,
     "dup_spans": q_dup_spans,
+    "remove_spans": q_remove_spans,
     "mix_epochs": q_mix_epochs,
     "chunk_corpus": q_chunk_corpus,
     "ann_filtered_topk": q_ann_filtered_topk,
@@ -3106,6 +3120,30 @@ WITH {_DUP_SPAN_CTES.strip()}
 SELECT doc_id, CAST(s AS BIGINT) AS span_start,
        CAST(e AS BIGINT) AS span_end
 FROM spans
+"""
+
+# removal mirror: token ordinals anti-filtered against the span set,
+# rebuilt with string_agg ORDER BY position (strings are deterministic
+# under the sorted-rows hash, so text_clean is hash-safe)
+ORACLE_SQL["remove_spans"] = f"""
+WITH {_DUP_SPAN_CTES.strip()},
+tok_rows AS (
+  SELECT doc_id, j - 1 AS tp, toks[j] AS tok
+  FROM docs, UNNEST(range(1, len(toks) + 1)) AS t(j)
+),
+kept AS (
+  SELECT r.* FROM tok_rows r WHERE NOT EXISTS (
+    SELECT 1 FROM spans s WHERE s.doc_id = r.doc_id
+      AND r.tp >= s.s AND r.tp < s.e)
+)
+SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+  CAST(len(d.toks) AS BIGINT) AS n_tokens,
+  CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM docs d LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) a USING (doc_id)
 """
 
 # haversine mirrored op-for-op (radians → sin²(Δφ/2)+cosφ₁cosφ₂sin²(Δλ/2)

@@ -43,6 +43,7 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from geomesa_ray.stages.corpus import _splitmix64
@@ -136,9 +137,16 @@ def duplicated_spans(
     dup_windows, span_count, dup_tokens); docs with no duplicated
     windows report zeros. ``output="spans"`` → one row per merged span:
     (id, span_start, span_end) in token positions (end exclusive);
-    adjacent windows (``pos == prev + k``) merge.
+    adjacent windows (``pos == prev + k``) merge. ``output="clean"`` →
+    ExactSubstr removal: one row per doc (id, text_clean, n_tokens,
+    n_removed) with EVERY occurrence of a duplicated span dropped and
+    the remaining tokens re-joined with single spaces (a token-kernel
+    rebuild — inter-token whitespace/punctuation is normalized away,
+    stated contract, mirrored exactly by the SQL oracle). In clean mode
+    the doc text rides the doc-shard route, so text moves exactly twice
+    (the chunk_corpus budget).
     """
-    if output not in ("stats", "spans"):
+    if output not in ("stats", "spans", "clean"):
         raise ValueError(f"unknown output mode {output!r}")
     if n_shards is None:
         n_shards = default_shards()
@@ -215,7 +223,12 @@ def duplicated_spans(
             "gram": pa.concat_arrays([
                 grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
                 else grams,
-                pa.array([""] * len(ids), pa.string()),
+                # clean mode: the doc row carries its text to the doc
+                # shard; stats/spans move no text at all
+                (pc.fill_null(batch[text_col], "").combine_chunks()
+                 .cast(pa.string())
+                 if output == "clean"
+                 else pa.array([""] * len(ids), pa.string())),
             ]),
             "__shard__": pa.array(np.concatenate([
                 (h % np.uint64(n_shards)).astype(np.int64),
@@ -242,7 +255,7 @@ def duplicated_spans(
             )
             keep[np.nonzero(win)[0][cnt[inv] >= 2]] = True
         ids, pos, tw = ids[keep], pos[keep], tw[keep]
-        return pa.table({
+        cols = {
             id_col: pa.array(ids, pa.int64()),
             "pos": pa.array(pos, pa.int64()),
             "tw": pa.array(tw, pa.int64()),
@@ -251,7 +264,19 @@ def duplicated_spans(
                     np.int64
                 ), pa.int64(),
             ),
-        })
+        }
+        if output == "clean":
+            # doc rows keep their text; confirmed window rows only need
+            # (id, pos) downstream — blank the gram to keep the second
+            # text hop to exactly the doc rows
+            gram = pc.fill_null(group["gram"], "").combine_chunks()
+            gram = gram.take(pa.array(np.nonzero(keep)[0], pa.int64()))
+            cols["gram"] = pc.if_else(
+                pa.array(pos >= 0),
+                pa.array([""] * len(ids), pa.string()),
+                gram.cast(pa.string()),
+            )
+        return pa.table(cols)
 
     # ---- pass 3: per-doc island merge ----
     def doc_stats(group: pa.Table) -> pa.Table:
@@ -315,11 +340,69 @@ def duplicated_spans(
             "dup_tokens": pa.array(out_dt, pa.int64()),
         })
 
+    # ---- pass 3 (clean): rebuild token streams without the spans ----
+    def doc_clean(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False)
+        doc_m = pos < 0
+        d_order = np.argsort(ids[doc_m], kind="stable")
+        d_ids = ids[doc_m][d_order]
+        texts = (
+            pc.fill_null(group["gram"], "").combine_chunks()
+            .take(pa.array(np.nonzero(doc_m)[0], pa.int64()))
+            .take(pa.array(d_order, pa.int64()))
+        )
+        toks, nt = _tokenize(texts)
+        wids, wpos = ids[~doc_m], pos[~doc_m]
+        order = np.lexsort((wpos, wids))
+        wids, wpos = wids[order], wpos[order]
+        # merge to islands first so covered ranges never double-count
+        if len(wids):
+            brk = np.concatenate([[True], wids[1:] != wids[:-1]]) | \
+                np.concatenate([[True], wpos[1:] > wpos[:-1] + k])
+        else:
+            brk = np.zeros(0, dtype=bool)
+        isl_start = np.nonzero(brk)[0]
+        isl_end = (np.concatenate([isl_start[1:], [len(wids)]]) - 1
+                   if len(isl_start) else isl_start)
+        s = wpos[isl_start]
+        e = wpos[isl_end] + k
+        d_at = np.searchsorted(d_ids, wids[isl_start])
+        doc_start = np.concatenate([[0], np.cumsum(nt)[:-1]])
+        total = int(nt.sum())
+        keep_mask = np.ones(total, dtype=bool)
+        if len(s):
+            lens = e - s
+            flat0 = np.repeat(doc_start[d_at] + s, lens)
+            off = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            keep_mask[flat0 + off] = False
+        flat = toks.explode().drop_nulls()
+        doc_idx_flat = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
+        kept = pl.DataFrame({
+            "d": pl.Series(doc_idx_flat[keep_mask]),
+            "tok": flat.filter(pl.Series(keep_mask)),
+        }).group_by("d", maintain_order=True).agg(
+            pl.col("tok").str.join(" ").alias("text_clean")
+        )
+        clean = np.full(len(d_ids), "", dtype=object)
+        clean[kept["d"].to_numpy()] = kept["text_clean"].to_numpy()
+        n_removed = np.zeros(len(d_ids), np.int64)
+        np.add.at(n_removed, d_at, (e - s).astype(np.int64))
+        return pa.table({
+            id_col: pa.array(d_ids, pa.int64()),
+            "text_clean": pa.array(clean, pa.string()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    final = doc_clean if output == "clean" else doc_stats
     return (
         ds.map_batches(extract_cands, batch_format="pyarrow",
                        batch_size=None)
         .groupby("__shard__")
         .map_groups(confirm, batch_format="pyarrow")
         .groupby("__shard__")
-        .map_groups(doc_stats, batch_format="pyarrow")
+        .map_groups(final, batch_format="pyarrow")
     )

@@ -127,6 +127,41 @@ def test_spans_match_oracle(ray_session, fixture_con):
         assert (s[1:] > e[:-1] + 0).all()  # strictly past prev end
 
 
+def test_clean_mode_matches_oracle(ray_session, fixture_con):
+    tbl, con = fixture_con
+    out = (
+        duplicated_spans(
+            ray.data.from_arrow(tbl).repartition(5), k=K, output="clean"
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    ora = con.sql(f"""
+        WITH {_CTES.strip()},
+        tok_rows AS (
+          SELECT doc_id, j - 1 AS tp, toks[j] AS tok
+          FROM docs, UNNEST(range(1, len(toks) + 1)) AS t(j)
+        ),
+        kept AS (
+          SELECT r.* FROM tok_rows r WHERE NOT EXISTS (
+            SELECT 1 FROM spans s WHERE s.doc_id = r.doc_id
+              AND r.tp >= s.s AND r.tp < s.e)
+        )
+        SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+          CAST(len(d.toks) AS BIGINT) AS n_tokens,
+          CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM docs d LEFT JOIN (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text_clean,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id) a USING (doc_id)
+        ORDER BY doc_id
+    """).df()
+    assert out.equals(ora)
+    hit = out.set_index("doc_id")
+    assert hit.loc[3, "n_removed"] == hit.loc[3, "n_tokens"]  # fully dup
+    assert hit.loc[8, "text_clean"] == ""                      # empty doc
+    assert hit.loc[9, "n_removed"] == 0                        # short doc
+
+
 def test_clean_corpus_all_zero(ray_session):
     tbl = pa.table({
         "doc_id": pa.array([1, 2, 3], pa.int64()),
