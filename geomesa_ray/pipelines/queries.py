@@ -1618,6 +1618,19 @@ def q_remove_spans(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_top_dup_grams(sf_dir: str) -> ray.data.Dataset:
+    """Global heavy hitters among exact duplicated 8-grams (the
+    contamination-triage report). Per-gram counts are complete within
+    a hash shard (same gram → same shard), so there is no cross-shard
+    count merge — only a bounded top-k tree merge. Total-order
+    tie-break (n_occ desc, gram asc) mirrored by ROW_NUMBER."""
+    from geomesa_ray.stages.spans import top_duplicated_grams
+
+    return top_duplicated_grams(
+        _read_docs(sf_dir, ["doc_id", "text"]), k=8, top=20
+    )
+
+
 def q_ann_filtered_topk(sf_dir: str) -> pa.Table:
     """Metadata-filtered ANN (the production 'search within a subset'
     shape): exact cosine top-10 among embeddings with ``label = 3``. The
@@ -2579,6 +2592,7 @@ QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "dup_spans": q_dup_spans,
     "remove_spans": q_remove_spans,
+    "top_dup_grams": q_top_dup_grams,
     "mix_epochs": q_mix_epochs,
     "chunk_corpus": q_chunk_corpus,
     "ann_filtered_topk": q_ann_filtered_topk,
@@ -3120,6 +3134,23 @@ WITH {_DUP_SPAN_CTES.strip()}
 SELECT doc_id, CAST(s AS BIGINT) AS span_start,
        CAST(e AS BIGINT) AS span_end
 FROM spans
+"""
+
+# heavy-hitter mirror: exact per-gram counts with the same wins CTE; the
+# (n_occ DESC, gram ASC) order is total (grams are unique), so the top-20
+# set is deterministic and rank is hash-safe
+ORACLE_SQL["top_dup_grams"] = f"""
+WITH {_DUP_SPAN_CTES.strip()},
+g AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM wins GROUP BY gram HAVING COUNT(*) >= 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_occ DESC, gram) AS rk FROM g
+)
+SELECT gram, n_occ, n_docs, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= 20
 """
 
 # removal mirror: token ordinals anti-filtered against the span set,

@@ -122,36 +122,15 @@ def _isin_sorted(h: np.ndarray, cand: np.ndarray) -> np.ndarray:
     return cand[idx] == h
 
 
-def duplicated_spans(
-    ds: ray.data.Dataset,
-    k: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_shards: int | None = None,
-    max_candidate_bytes: int = 64 << 20,
-    output: str = "stats",
-) -> ray.data.Dataset:
-    """Detect exact duplicated k-token spans corpus-wide.
+def _candidate_hashes(ds, k: int, text_col: str, n_shards: int,
+                      max_candidate_bytes: int) -> np.ndarray:
+    """Pass 1: sorted uint64 window hashes seen ≥ 2 times corpus-wide.
 
-    ``output="stats"`` → one row per doc: (id, total_windows,
-    dup_windows, span_count, dup_tokens); docs with no duplicated
-    windows report zeros. ``output="spans"`` → one row per merged span:
-    (id, span_start, span_end) in token positions (end exclusive);
-    adjacent windows (``pos == prev + k``) merge. ``output="clean"`` →
-    ExactSubstr removal: one row per doc (id, text_clean, n_tokens,
-    n_removed) with EVERY occurrence of a duplicated span dropped and
-    the remaining tokens re-joined with single spaces (a token-kernel
-    rebuild — inter-token whitespace/punctuation is normalized away,
-    stated contract, mirrored exactly by the SQL oracle). In clean mode
-    the doc text rides the doc-shard route, so text moves exactly twice
-    (the chunk_corpus budget).
+    16 B/window partials (per-block ``np.unique`` combiner) through one
+    bounded ``h % n_shards`` shuffle; the result is output-sized (only
+    duplicated hashes) and broadcast-capped with a loud remediation.
     """
-    if output not in ("stats", "spans", "clean"):
-        raise ValueError(f"unknown output mode {output!r}")
-    if n_shards is None:
-        n_shards = default_shards()
 
-    # ---- pass 1: window-hash occurrence counts ≥ 2 ----
     def hash_partial(batch: pa.Table) -> pa.Table:
         toks, nt = _tokenize(batch[text_col])
         h, _, _ = _window_hashes(toks, nt, k)
@@ -197,7 +176,40 @@ def duplicated_spans(
             "dedupe less) or max_candidate_bytes, or pre-dedup the "
             "corpus (exact_dedup) first"
         )
-    cand_ref = ray.put(cand)
+    return cand
+
+
+def duplicated_spans(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+    max_candidate_bytes: int = 64 << 20,
+    output: str = "stats",
+) -> ray.data.Dataset:
+    """Detect exact duplicated k-token spans corpus-wide.
+
+    ``output="stats"`` → one row per doc: (id, total_windows,
+    dup_windows, span_count, dup_tokens); docs with no duplicated
+    windows report zeros. ``output="spans"`` → one row per merged span:
+    (id, span_start, span_end) in token positions (end exclusive);
+    adjacent windows (``pos == prev + k``) merge. ``output="clean"`` →
+    ExactSubstr removal: one row per doc (id, text_clean, n_tokens,
+    n_removed) with EVERY occurrence of a duplicated span dropped and
+    the remaining tokens re-joined with single spaces (a token-kernel
+    rebuild — inter-token whitespace/punctuation is normalized away,
+    stated contract, mirrored exactly by the SQL oracle). In clean mode
+    the doc text rides the doc-shard route, so text moves exactly twice
+    (the chunk_corpus budget).
+    """
+    if output not in ("stats", "spans", "clean"):
+        raise ValueError(f"unknown output mode {output!r}")
+    if n_shards is None:
+        n_shards = default_shards()
+    cand_ref = ray.put(_candidate_hashes(
+        ds, k, text_col, n_shards, max_candidate_bytes
+    ))
 
     # ---- pass 2: exact gram confirmation + per-doc totals ----
     def extract_cands(batch: pa.Table) -> pa.Table:
@@ -406,3 +418,111 @@ def duplicated_spans(
         .groupby("__shard__")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def top_duplicated_grams(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    top: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+    max_candidate_bytes: int = 64 << 20,
+) -> ray.data.Dataset:
+    """Global heavy hitters among exact duplicated k-token grams — the
+    contamination-triage report (which boilerplate/benchmark spans
+    repeat most). Output: ``top`` rows (rank, gram, n_occ, n_docs),
+    rank = ROW_NUMBER under the total order (n_occ desc, gram asc).
+
+    Shares pass 1 with :func:`duplicated_spans`; pass 2 routes candidate
+    windows by gram hash so each shard holds EVERY occurrence of its
+    grams — per-gram exact counts need no cross-shard merge, and each
+    shard pre-trims to its local top-``top`` before a bounded tree
+    merge picks the global winners.
+    """
+    from geomesa_ray.stages.corpus import _tree_merge
+
+    if n_shards is None:
+        n_shards = default_shards()
+    cand_ref = ray.put(_candidate_hashes(
+        ds, k, text_col, n_shards, max_candidate_bytes
+    ))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        cand_arr = _resolve_broadcast(cand_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, nt = _tokenize(batch[text_col])
+        h, doc_idx, pos = _window_hashes(toks, nt, k)
+        m = _isin_sorted(h, cand_arr)
+        doc_idx, h = doc_idx[m], h[m]
+        grams = _gram_strings(toks, doc_idx, pos[m], k)
+        return pa.table({
+            "gram": grams,
+            id_col: pa.array(ids[doc_idx], pa.int64()),
+            "__shard__": pa.array(
+                (h % np.uint64(n_shards)).astype(np.int64), pa.int64()
+            ),
+        })
+
+    def shard_counts(group: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("gram", pa.string()), ("n_occ", pa.int64()),
+            ("n_docs", pa.int64()),
+        ])
+        if group.num_rows == 0:
+            return schema.empty_table()
+        grams = np.asarray(group["gram"].to_pandas(), dtype=object)
+        docs = group[id_col].to_numpy(zero_copy_only=False)
+        uniq, inv, n_occ = np.unique(
+            grams, return_inverse=True, return_counts=True
+        )
+        pair_order = np.lexsort((docs, inv))
+        gi, di = inv[pair_order], docs[pair_order]
+        new_pair = np.concatenate(
+            [[True], (gi[1:] != gi[:-1]) | (di[1:] != di[:-1])]
+        )
+        n_docs = np.bincount(gi[new_pair], minlength=len(uniq))
+        keep = n_occ >= 2  # exact count decides; the hash only routed
+        uniq, n_occ, n_docs = uniq[keep], n_occ[keep], n_docs[keep]
+        # local pre-trim: counts are complete per shard (same gram →
+        # same hash → same shard), so the global top-k is a subset of
+        # each shard's top-k
+        if len(uniq) > top:
+            sel = np.lexsort((uniq, -n_occ))[:top]
+            uniq, n_occ, n_docs = uniq[sel], n_occ[sel], n_docs[sel]
+        return pa.table({
+            "gram": pa.array(uniq, pa.string()),
+            "n_occ": pa.array(n_occ.astype(np.int64), pa.int64()),
+            "n_docs": pa.array(n_docs.astype(np.int64), pa.int64()),
+        })
+
+    def merge_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        grams = np.asarray(batch["gram"].to_pandas(), dtype=object)
+        n_occ = batch["n_occ"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((grams, -n_occ))[:top]
+        return batch.take(pa.array(np.sort(sel), pa.int64()))
+
+    merged, converged = _tree_merge(
+        ds.map_batches(extract, batch_format="pyarrow", batch_size=None)
+        .groupby("__shard__")
+        .map_groups(shard_counts, batch_format="pyarrow"),
+        merge_topk,
+    )
+    if not converged:  # pragma: no cover - bounded by top × n_shards
+        raise ValueError("top_duplicated_grams: merge did not converge")
+
+    def rank(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("rank", pa.array([], pa.int64()))
+        grams = np.asarray(batch["gram"].to_pandas(), dtype=object)
+        n_occ = batch["n_occ"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((grams, -n_occ))[:top]
+        out = batch.take(pa.array(sel, pa.int64()))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(sel) + 1), pa.int64())
+        )
+
+    return merged.map_batches(rank, batch_format="pyarrow",
+                              batch_size=None)

@@ -180,6 +180,36 @@ def test_clean_corpus_all_zero(ray_session):
     assert len(spans) == 0
 
 
+def test_top_duplicated_grams(ray_session, fixture_con):
+    from geomesa_ray.stages.spans import top_duplicated_grams
+
+    tbl, con = fixture_con
+    out = (
+        top_duplicated_grams(
+            ray.data.from_arrow(tbl).repartition(5), k=K, top=10
+        )
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    ora = con.sql(f"""
+        WITH {_CTES.strip()},
+        g AS (
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM wins GROUP BY gram HAVING COUNT(*) >= 2
+        ),
+        r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_occ DESC, gram)
+              AS rk FROM g)
+        SELECT gram, n_occ, n_docs, CAST(rk AS BIGINT) AS rank
+        FROM r WHERE rk <= 10 ORDER BY rank
+    """).df()
+    assert out[["gram", "n_occ", "n_docs", "rank"]].equals(
+        ora[["gram", "n_occ", "n_docs", "rank"]]
+    )
+    assert (out["n_occ"] >= 2).all()
+    assert out["n_occ"].is_monotonic_decreasing or True
+    assert (out["n_occ"].to_numpy()[:-1] >= out["n_occ"].to_numpy()[1:]).all()
+
+
 def test_candidate_cap_raises(ray_session):
     tbl = pa.table({
         "doc_id": pa.array([1, 2], pa.int64()),
