@@ -87,6 +87,8 @@ HEADLINE = [
     "jaccard_pairs_capped",
     "track_stats",
     "dup_span_stats",
+    "remove_spans",
+    "top_dup_grams",
 ]
 
 

@@ -206,7 +206,6 @@ def test_top_duplicated_grams(ray_session, fixture_con):
         ora[["gram", "n_occ", "n_docs", "rank"]]
     )
     assert (out["n_occ"] >= 2).all()
-    assert out["n_occ"].is_monotonic_decreasing or True
     assert (out["n_occ"].to_numpy()[:-1] >= out["n_occ"].to_numpy()[1:]).all()
 
 
