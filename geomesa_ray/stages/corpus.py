@@ -30,6 +30,13 @@ import ray.data
 from geomesa_ray.stages.encode import hash_strings
 from geomesa_ray.stages.shards import default_shards
 
+# The ASCII token kernel shared by every token-POSITION operator
+# (chunk_corpus, stages/spans.py): explicitly NOT \w+, because polars'
+# Rust regex \w is Unicode while the Arrow RE2 count kernel and the
+# DuckDB oracles' regexp_extract_all('\w+') are ASCII — a Unicode class
+# here would shift every downstream token offset on non-ASCII corpora.
+ASCII_TOKEN_RE = r"[0-9A-Za-z_]+"
+
 
 def explode_lines(batch: pa.Table, text_col: str, id_col: str,
                   sep: str = "\n") -> pa.Table:
@@ -1028,11 +1035,7 @@ def chunk_corpus(
         ids, b = ids[order], b[order]
         texts = group[text_col].take(pa.array(order, pa.int64()))
         lf = pl.from_arrow(pa.table({"text": texts})).with_columns(
-            # ASCII class, NOT \w+: polars' Rust regex \w is Unicode
-            # while the pass-1 Arrow RE2 kernel (token_count) and the
-            # DuckDB oracle are ASCII — a Unicode \w here would shift
-            # every downstream doc's global offset on non-ASCII corpora
-            pl.col("text").str.extract_all(r"[0-9A-Za-z_]+").alias("toks")
+            pl.col("text").str.extract_all(ASCII_TOKEN_RE).alias("toks")
         )
         toks_col = lf["toks"]
         nt = toks_col.list.len().to_numpy().astype(np.int64)

@@ -46,14 +46,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from geomesa_ray.stages.corpus import _splitmix64
+from geomesa_ray.stages.corpus import ASCII_TOKEN_RE, _splitmix64
 from geomesa_ray.stages.encode import hash_strings
 from geomesa_ray.stages.join import _resolve_broadcast
 from geomesa_ray.stages.shards import default_shards
-
-# ASCII class, NOT \w+: polars' Rust \w is Unicode while the DuckDB
-# oracle's RE2 \w is ASCII (same constant as chunk_corpus)
-_TOKEN_RE = r"[0-9A-Za-z_]+"
 
 # odd multiplier for the wrapping polynomial window hash
 _POLY_B = np.uint64(0x9E3779B97F4A7C15)
@@ -64,7 +60,7 @@ def _tokenize(texts) -> tuple[pl.Series, np.ndarray]:
     toks = (
         pl.from_arrow(pa.table({"t": texts}))["t"]
         .fill_null("")
-        .str.extract_all(_TOKEN_RE)
+        .str.extract_all(ASCII_TOKEN_RE)
     )
     nt = toks.list.len().to_numpy().astype(np.int64)
     return toks, nt
@@ -99,17 +95,27 @@ def _window_hashes(toks: pl.Series, nt: np.ndarray, k: int):
     return _splitmix64(h), doc_idx, pos
 
 
-def _gram_strings(toks: pl.Series, doc_idx: np.ndarray, pos: np.ndarray,
-                  k: int) -> pa.Array:
-    """Exact k-token gram strings for selected (doc, pos) windows."""
+def _gram_strings(toks: pl.Series, nt: np.ndarray, doc_idx: np.ndarray,
+                  pos: np.ndarray, k: int) -> pa.Array:
+    """Exact k-token gram strings for selected (doc, pos) windows.
+
+    Built from the FLAT exploded token array with k gathers +
+    ``concat_str`` — O(windows × k). Gathering each window's whole
+    per-doc token list first would be O(windows × doc_len): a 20k-token
+    doc duplicated once makes every window a candidate and materializes
+    ~3 GB in one task (review finding, round 5).
+    """
     if len(doc_idx) == 0:
         return pa.array([], pa.string())
-    out = pl.DataFrame({
-        "toks": toks.gather(doc_idx),
-        "off": pl.Series(pos, dtype=pl.Int64),
-    }).with_columns(
-        pl.col("toks").list.slice(pl.col("off"), k)
-        .list.join(" ").alias("gram")
+    flat = toks.explode().drop_nulls()
+    doc_start = np.concatenate([[0], np.cumsum(nt)[:-1]])
+    starts = doc_start[doc_idx] + pos
+    cols = {
+        f"t{j}": flat.gather(starts + j) for j in range(k)
+    }
+    out = pl.DataFrame(cols).select(
+        pl.concat_str([pl.col(f"t{j}") for j in range(k)],
+                      separator=" ").alias("gram")
     )["gram"]
     return out.to_arrow().cast(pa.string())
 
@@ -219,7 +225,7 @@ def duplicated_spans(
         h, doc_idx, pos = _window_hashes(toks, nt, k)
         m = _isin_sorted(h, cand_arr)
         doc_idx, pos, h = doc_idx[m], pos[m], h[m]
-        grams = _gram_strings(toks, doc_idx, pos, k)
+        grams = _gram_strings(toks, nt, doc_idx, pos, k)
         tw = np.maximum(nt - k + 1, 0)
         return pa.table({
             id_col: pa.array(
@@ -299,6 +305,13 @@ def duplicated_spans(
         tot_ids, tot_tw = ids[tot_m], tw[tot_m]
         t_order = np.argsort(tot_ids, kind="stable")
         tot_ids, tot_tw = tot_ids[t_order], tot_tw[t_order]
+        if len(tot_ids) and (tot_ids[1:] == tot_ids[:-1]).any():
+            # a duplicate id would silently interleave two docs' window
+            # streams and skew the searchsorted join (review finding)
+            raise ValueError(
+                "duplicated_spans: id_col values must be unique "
+                f"(duplicate {tot_ids[np.nonzero(tot_ids[1:] == tot_ids[:-1])[0][0]]})"
+            )
         wids, wpos = ids[~tot_m], pos[~tot_m]
         order = np.lexsort((wpos, wids))
         wids, wpos = wids[order], wpos[order]
@@ -359,6 +372,11 @@ def duplicated_spans(
         doc_m = pos < 0
         d_order = np.argsort(ids[doc_m], kind="stable")
         d_ids = ids[doc_m][d_order]
+        if len(d_ids) and (d_ids[1:] == d_ids[:-1]).any():
+            raise ValueError(
+                "duplicated_spans: id_col values must be unique "
+                f"(duplicate {d_ids[np.nonzero(d_ids[1:] == d_ids[:-1])[0][0]]})"
+            )
         texts = (
             pc.fill_null(group["gram"], "").combine_chunks()
             .take(pa.array(np.nonzero(doc_m)[0], pa.int64()))
@@ -455,7 +473,7 @@ def top_duplicated_grams(
         h, doc_idx, pos = _window_hashes(toks, nt, k)
         m = _isin_sorted(h, cand_arr)
         doc_idx, h = doc_idx[m], h[m]
-        grams = _gram_strings(toks, doc_idx, pos[m], k)
+        grams = _gram_strings(toks, nt, doc_idx, pos[m], k)
         return pa.table({
             "gram": grams,
             id_col: pa.array(ids[doc_idx], pa.int64()),

@@ -209,6 +209,16 @@ def test_top_duplicated_grams(ray_session, fixture_con):
     assert (out["n_occ"].to_numpy()[:-1] >= out["n_occ"].to_numpy()[1:]).all()
 
 
+def test_duplicate_doc_id_raises(ray_session):
+    txt = " ".join(f"q{i}" for i in range(20))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 1], pa.int64()),
+        "text": pa.array([txt, txt]),
+    })
+    with pytest.raises(Exception, match="must be unique"):
+        duplicated_spans(ray.data.from_arrow(tbl), k=K).materialize()
+
+
 def test_candidate_cap_raises(ray_session):
     tbl = pa.table({
         "doc_id": pa.array([1, 2], pa.int64()),
